@@ -1,0 +1,58 @@
+"""Engine-wide compile-time configuration.
+
+Single source of truth shared by the C++ cooker, the JAX/Pallas kernels and the
+frame orchestrator — the TPU analog of the reference's src/config.h (which is
+#included by both C++ and GLSL).
+
+Values that mirror the reference keep the reference names; TPU-only tuning
+values are grouped at the bottom.
+"""
+
+# --- Meshlet geometry budget (reference: config.h:14-15) ---
+MESH_MAXVTX = 64  # max vertices per meshlet
+MESH_MAXTRI = 96  # max triangles per meshlet
+
+# Meshlet build configuration (reference: config.h:18-19)
+MESHLET_CONE_WEIGHT = 0.25
+MESHLET_FILL_WEIGHT = 0.5
+
+# Task/cluster workgroup sizing (reference: config.h:2-5).  On TPU there are no
+# workgroups, but the drawcull kernel still splits each draw's meshlet range
+# into TASK_WGSIZE-sized "task commands" so that per-meshlet work is expressed
+# over fixed-shape [num_commands, TASK_WGSIZE] arrays.
+TASK_WGSIZE = 64
+
+# Capacity limits -> static shapes for XLA (reference: config.h:24-28).
+# The reference drops draws/clusters on overflow (drawcull.comp.glsl:128-139);
+# we reproduce that as masked writes past the capacity.
+TASK_WGLIMIT = 1 << 22  # max task commands in flight
+CLUSTER_LIMIT = 1 << 24  # max visible clusters
+
+# Number of LOD slots per mesh (reference: scene.h:92 "MeshLod lods[8]")
+MAX_LODS = 8
+
+# --- TPU-specific tuning ---
+
+# Framebuffer tile processed by one rasterizer grid step, in pixels.
+# (rows, cols): cols=128 matches the VPU lane width; 32 rows x 128 cols
+# = 4096 pixels per tile.
+TILE_H = 32
+TILE_W = 128
+
+# Max triangle-records binned per tile per raster batch; triangles beyond this
+# are dropped (mirrors the reference's graceful overflow drop).
+TILE_TRI_CAP = 4096
+
+# Per-triangle tile-footprint cap for the binning pass: a triangle may emit at
+# most BIN_MAX_TILES_LOG2^2... (see ops/raster.py); larger triangles take the
+# "big triangle" path.
+BIN_TILES_X = 2  # footprint cap: 2 tiles across
+BIN_TILES_Y = 4  # footprint cap: 4 tiles down (tiles are wide, so allow more rows)
+
+# Default render resolution (the reference is windowed; benchmarks use 1080p).
+RENDER_WIDTH = 1920
+RENDER_HEIGHT = 1080
+
+# Depth convention: reverse-Z, infinite far plane (reference niagara.cpp:424-432,
+# shaders.cpp:699 VK_COMPARE_OP_GREATER).  Depth clear value is 0.0.
+DEPTH_CLEAR = 0.0

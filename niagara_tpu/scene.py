@@ -1,0 +1,262 @@
+"""Scene data model.
+
+Two representations:
+
+* :class:`Geometry` / :class:`Draws` — host-side cooked arrays (numpy, SoA),
+  mirroring the reference's packed GPU buffer layouts (scene.h:10-109,
+  buffer inventory niagara.cpp:1027-1093).  This is what the C++ cooker
+  produces and what the scene cache stores.
+
+* :class:`DeviceScene` — TPU-resident arrays with static, padded shapes:
+  meshlet vertex references expanded to [M, MESH_MAXVTX] int32 and triangles
+  to [M, MESH_MAXTRI, 3], vertex attributes dequantized to f32/f16.  XLA wants
+  fixed shapes and vectorized gathers, so the reference's variable-length
+  packed meshletdata stream (scene.cpp:24-88) is unpacked once at upload.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .config import MAX_LODS, MESH_MAXTRI, MESH_MAXVTX
+from .utils import math3d
+
+
+@dataclass
+class Meshlets:
+    """SoA meshlet headers (reference scene.h:10-23).
+
+    center/radius are stored dequantized (float32 of the fp16-quantized value)
+    so device culling sees exactly what the reference GLSL sees when it reads
+    float16 fields.
+    """
+
+    center: np.ndarray  # f32 [M,3]
+    radius: np.ndarray  # f32 [M]
+    cone_axis: np.ndarray  # i8 [M,3]
+    cone_cutoff: np.ndarray  # i8 [M]
+    data_offset: np.ndarray  # u32 [M]
+    base_vertex: np.ndarray  # u32 [M]
+    vertex_count: np.ndarray  # u8 [M]
+    triangle_count: np.ndarray  # u8 [M]
+    short_refs: np.ndarray  # u8 [M]
+
+    @property
+    def count(self) -> int:
+        return len(self.radius)
+
+
+@dataclass
+class Meshes:
+    """SoA mesh headers + LOD tables (reference scene.h:68-93)."""
+
+    center: np.ndarray  # f32 [N,3]
+    radius: np.ndarray  # f32 [N]
+    vertex_offset: np.ndarray  # u32 [N]
+    vertex_count: np.ndarray  # u32 [N]
+    lod_count: np.ndarray  # u32 [N]
+    lod_rt: np.ndarray  # u32 [N]
+    lod_index_offset: np.ndarray  # u32 [N, MAX_LODS]
+    lod_index_count: np.ndarray  # u32 [N, MAX_LODS]
+    lod_meshlet_offset: np.ndarray  # u32 [N, MAX_LODS]
+    lod_meshlet_count: np.ndarray  # u32 [N, MAX_LODS]
+    lod_error: np.ndarray  # f32 [N, MAX_LODS]
+
+    @property
+    def count(self) -> int:
+        return len(self.radius)
+
+
+@dataclass
+class Geometry:
+    """Cooked geometry for a whole scene (reference scene.h:95-109)."""
+
+    # Vertex attributes, quantized exactly like reference Vertex (scene.h:60-66)
+    vpos: np.ndarray  # f16 [V,3] quantized positions
+    vnorm: np.ndarray  # u32 [V] packed 10-10-10-2 normal + bitangent sign
+    vtan: np.ndarray  # u16 [V] packed 8-8 octahedral tangent
+    vuv: np.ndarray  # f16 [V,2] quantized uvs
+
+    indices: np.ndarray  # u32 [I] LOD-concatenated index buffer
+    meshlet_data: np.ndarray  # u32 [D] packed vertex refs + triangle bytes
+    meshlets: Meshlets
+    meshes: Meshes
+
+    @property
+    def vertex_count(self) -> int:
+        return len(self.vpos)
+
+
+@dataclass
+class Draws:
+    """SoA draw instances (reference scene.h:39-49)."""
+
+    position: np.ndarray  # f32 [N,3]
+    scale: np.ndarray  # f32 [N]
+    orientation: np.ndarray  # f32 [N,4] quaternion xyzw
+    mesh_index: np.ndarray  # i32 [N]
+    meshlet_visibility_offset: np.ndarray  # u32 [N]
+    post_pass: np.ndarray  # i32 [N]
+    material_index: np.ndarray  # i32 [N]
+
+    @property
+    def count(self) -> int:
+        return len(self.scale)
+
+
+def assign_meshlet_visibility_offsets(draws: Draws, meshes: Meshes) -> int:
+    """Assign per-draw offsets into the persistent meshlet-visibility bitfield
+    and return the total slot count (reference niagara.cpp:1002-1020: each draw
+    reserves max-over-LODs meshletCount slots)."""
+    per_mesh = np.max(meshes.lod_meshlet_count, axis=1)  # [N_mesh]
+    per_draw = per_mesh[draws.mesh_index]
+    offsets = np.zeros(draws.count, dtype=np.uint32)
+    if draws.count:
+        np.cumsum(per_draw[:-1], out=offsets[1:])
+    draws.meshlet_visibility_offset = offsets.astype(np.uint32)
+    return int(per_draw.sum()) if draws.count else 0
+
+
+def unpack_meshlet_refs(geometry: Geometry) -> tuple[np.ndarray, np.ndarray]:
+    """Expand the packed meshletdata stream into fixed-shape arrays.
+
+    Returns (vertex_ids [M, MESH_MAXVTX] int32 absolute vertex indices,
+    triangles [M, MESH_MAXTRI, 3] int32 meshlet-local indices).  Padding
+    entries replicate index 0 / degenerate triangles (0,0,0); consumers mask by
+    vertex_count / triangle_count.
+
+    Layout being decoded (reference scene.cpp:24-50, meshlet.mesh.glsl:112-116):
+    at data_offset: vertexCount refs — packed 2x16-bit if short_refs else 32-bit
+    — then triangle index bytes packed 4 per u32.
+    """
+    ml = geometry.meshlets
+    M = ml.count
+    data = geometry.meshlet_data
+    vertex_ids = np.zeros((M, MESH_MAXVTX), dtype=np.int32)
+    tris = np.zeros((M, MESH_MAXTRI, 3), dtype=np.int32)
+
+    data_u16 = data.view(np.uint16)
+    data_u8 = data.view(np.uint8)
+
+    for m in range(M):
+        off = int(ml.data_offset[m])
+        vcnt = int(ml.vertex_count[m])
+        tcnt = int(ml.triangle_count[m])
+        base = int(ml.base_vertex[m])
+        if ml.short_refs[m]:
+            refs = data_u16[off * 2 : off * 2 + vcnt].astype(np.int32)
+            index_off = off + (vcnt + 1) // 2
+        else:
+            refs = data[off : off + vcnt].astype(np.int32)
+            index_off = off + vcnt
+        vertex_ids[m, :vcnt] = refs + base
+        tri_bytes = data_u8[index_off * 4 : index_off * 4 + tcnt * 3].astype(np.int32)
+        tris[m, :tcnt] = tri_bytes.reshape(tcnt, 3)
+
+    return vertex_ids, tris
+
+
+@dataclass
+class DeviceScene:
+    """Static-shape arrays ready to become jnp device buffers.
+
+    Everything here is a plain numpy array; the renderer moves them to the
+    device with jax.device_put (or they get traced as constants).
+    """
+
+    # vertex attributes (dequantized)
+    positions: np.ndarray  # f32 [V,3]
+    normals: np.ndarray  # f32 [V,3]
+    uvs: np.ndarray  # f32 [V,2]
+    tangents: np.ndarray  # f32 [V,4] xyz + bitangent sign
+
+    # meshlets (fixed shape)
+    meshlet_vertices: np.ndarray  # i32 [M, MESH_MAXVTX]
+    meshlet_tris: np.ndarray  # i32 [M, MESH_MAXTRI, 3]
+    meshlet_center: np.ndarray  # f32 [M,3]
+    meshlet_radius: np.ndarray  # f32 [M]
+    meshlet_cone_axis: np.ndarray  # f32 [M,3] (snorm8 / 127)
+    meshlet_cone_cutoff: np.ndarray  # f32 [M]
+    meshlet_vertex_count: np.ndarray  # i32 [M]
+    meshlet_triangle_count: np.ndarray  # i32 [M]
+
+    # mesh + LOD tables
+    mesh_center: np.ndarray  # f32 [N,3]
+    mesh_radius: np.ndarray  # f32 [N]
+    mesh_lod_count: np.ndarray  # i32 [N]
+    lod_meshlet_offset: np.ndarray  # i32 [N, MAX_LODS]
+    lod_meshlet_count: np.ndarray  # i32 [N, MAX_LODS]
+    lod_error: np.ndarray  # f32 [N, MAX_LODS]
+
+    # draws
+    draw_position: np.ndarray  # f32 [D,3]
+    draw_scale: np.ndarray  # f32 [D]
+    draw_orientation: np.ndarray  # f32 [D,4]
+    draw_mesh_index: np.ndarray  # i32 [D]
+    draw_vis_offset: np.ndarray  # i32 [D]
+    draw_post_pass: np.ndarray  # i32 [D]
+    draw_material_index: np.ndarray  # i32 [D]
+
+    meshlet_visibility_count: int = 0
+
+    @property
+    def num_draws(self) -> int:
+        return len(self.draw_scale)
+
+    @property
+    def num_meshlets(self) -> int:
+        return len(self.meshlet_radius)
+
+
+def upload(geometry: Geometry, draws: Draws) -> DeviceScene:
+    """Build the static-shape device layout from cooked geometry + draws."""
+    vis_count = assign_meshlet_visibility_offsets(draws, geometry.meshes)
+    vertex_ids, tris = unpack_meshlet_refs(geometry)
+
+    positions = geometry.vpos.astype(np.float32)
+    normals = math3d.unpack_normal(geometry.vnorm)
+    tangent_oct = (
+        np.stack(
+            [
+                (geometry.vtan.astype(np.int32) >> 0) & 255,
+                (geometry.vtan.astype(np.int32) >> 8) & 255,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        / 127.0
+        - 1.0
+    )
+    tan_xyz = math3d.oct_decode(tangent_oct)
+    tan_sign = np.where((geometry.vnorm & np.uint32(1 << 30)) != 0, -1.0, 1.0).astype(np.float32)
+    tangents = np.concatenate([tan_xyz, tan_sign[:, None]], axis=-1)
+
+    return DeviceScene(
+        positions=positions,
+        normals=normals,
+        uvs=geometry.vuv.astype(np.float32),
+        tangents=tangents,
+        meshlet_vertices=vertex_ids,
+        meshlet_tris=tris,
+        meshlet_center=geometry.meshlets.center.astype(np.float32),
+        meshlet_radius=geometry.meshlets.radius.astype(np.float32),
+        meshlet_cone_axis=(geometry.meshlets.cone_axis.astype(np.float32) / 127.0),
+        meshlet_cone_cutoff=(geometry.meshlets.cone_cutoff.astype(np.float32) / 127.0),
+        meshlet_vertex_count=geometry.meshlets.vertex_count.astype(np.int32),
+        meshlet_triangle_count=geometry.meshlets.triangle_count.astype(np.int32),
+        mesh_center=geometry.meshes.center.astype(np.float32),
+        mesh_radius=geometry.meshes.radius.astype(np.float32),
+        mesh_lod_count=geometry.meshes.lod_count.astype(np.int32),
+        lod_meshlet_offset=geometry.meshes.lod_meshlet_offset.astype(np.int32),
+        lod_meshlet_count=geometry.meshes.lod_meshlet_count.astype(np.int32),
+        lod_error=geometry.meshes.lod_error.astype(np.float32),
+        draw_position=draws.position.astype(np.float32),
+        draw_scale=draws.scale.astype(np.float32),
+        draw_orientation=draws.orientation.astype(np.float32),
+        draw_mesh_index=draws.mesh_index.astype(np.int32),
+        draw_vis_offset=draws.meshlet_visibility_offset.astype(np.int32),
+        draw_post_pass=draws.post_pass.astype(np.int32),
+        draw_material_index=draws.material_index.astype(np.int32),
+        meshlet_visibility_count=vis_count,
+    )
