@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark: the reference's default synthetic load on one TPU chip.
+
+Scene: kitten.obj instanced 1,000,000 times in a 300-unit cube (bit-exact
+PCG32 placement, reference niagara.cpp:969-998), rendered at 1080p with the
+full two-pass meshlet occlusion pipeline (frustum + cone + occlusion cull,
+LOD select, software raster, deferred shade).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md); vs_baseline normalizes
+against the 16.7 ms vsync frame budget the reference runs at by default
+(CONFIG_VSYNC=1, config.h:37): vs_baseline = 16.7 / frame_ms (>1 = faster
+than the 60 Hz budget).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from niagara_tpu.cooker.cook import cook_or_load
+from niagara_tpu.cooker.synth import synthesize_draws
+from niagara_tpu.render import frame as frame_mod
+from niagara_tpu.render.camera import Camera, RenderSettings
+from niagara_tpu.scene import upload
+
+KITTEN = "/root/reference/data/kitten.obj"
+
+
+def main():
+    draw_count = int(os.environ.get("BENCH_DRAWS", 1_000_000))
+    width = int(os.environ.get("BENCH_W", 1920))
+    height = int(os.environ.get("BENCH_H", 1080))
+    frames = int(os.environ.get("BENCH_FRAMES", 5))
+
+    t0 = time.time()
+    geometry = cook_or_load([KITTEN], cache_dir=os.path.join(os.path.dirname(__file__), ".cache"))
+    draws = synthesize_draws(geometry.meshes.count, draw_count=draw_count)
+    scene = upload(geometry, draws)
+    print(f"[bench] scene ready in {time.time()-t0:.1f}s: {draw_count} draws, "
+          f"{scene.num_meshlets} meshlets, vis slots {scene.meshlet_visibility_count}", file=sys.stderr)
+
+    scene = jax.device_put(scene)
+
+    cfg = frame_mod.FrameConfig(
+        width=width,
+        height=height,
+        max_groups=int(np.ceil(geometry.meshes.lod_meshlet_count.max() / 64)),
+        cmd_capacity=1 << 16,
+        cluster_capacity=1 << 17,
+        small_capacity=1 << 21,
+        big_capacity=512,
+    )
+
+    cam = Camera()
+    settings = RenderSettings()
+    params, sp = frame_mod.make_frame_inputs(cam, settings, cfg)
+    state = frame_mod.init_state(scene.num_draws, scene.meshlet_visibility_count)
+
+    # warmup: compile + converge visibility state
+    t0 = time.time()
+    image, fb, state, stats = frame_mod.render_frame(scene, state, params, sp, cfg)
+    jax.block_until_ready(image)
+    print(f"[bench] first frame (compile) {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    image, fb, state, stats = frame_mod.render_frame(scene, state, params, sp, cfg)
+    jax.block_until_ready(image)
+    print(f"[bench] second frame {1000*(time.time()-t0):.2f}ms; "
+          f"stats: early_cmd={int(stats.early_commands)} late_cmd={int(stats.late_commands)} "
+          f"early_clusters={int(stats.early_clusters)} late_clusters={int(stats.late_clusters)} "
+          f"visible_draws={int(stats.visible_draws)}", file=sys.stderr)
+
+    times = []
+    for _ in range(frames):
+        t0 = time.time()
+        image, fb, state, stats = frame_mod.render_frame(scene, state, params, sp, cfg)
+        jax.block_until_ready(image)
+        times.append(time.time() - t0)
+
+    frame_ms = float(np.median(times) * 1000)
+    covered = int(np.asarray((fb.vis != 0x7FFFFFFF)).sum())
+    print(f"[bench] median {frame_ms:.2f}ms over {frames} frames; covered px {covered}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"kitten_{draw_count//1000}k_draws_{width}x{height}_frame_time",
+        "value": round(frame_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(16.7 / frame_ms, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

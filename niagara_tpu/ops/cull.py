@@ -1,0 +1,265 @@
+"""The GPU-driven culling cascade, TPU-style.
+
+Reference protocol (drawcull.comp.glsl, tasksubmit.comp.glsl,
+clustercull.comp.glsl; see SURVEY.md §3.3):
+
+  early drawcull -> task commands -> early clustercull -> render visible
+  -> depth pyramid -> late drawcull (+occlusion) -> late clustercull
+  (+occlusion, visibility write-back) -> render newly visible
+
+TPU redesign decisions:
+* Atomic compaction (atomicAdd command/cluster counters) becomes masked
+  prefix-sum compaction into fixed-capacity arrays — deterministic and
+  XLA-friendly.  Overflow drops mirror the reference's TASK_WGLIMIT /
+  CLUSTER_LIMIT semantics (drawcull.comp.glsl:128-139).
+* The per-draw/per-meshlet work is plain vectorized jnp: ~40 f32 ops per
+  element, which XLA fuses into a handful of VPU kernels — no Pallas needed.
+* The meshlet visibility bitfield (mvb) keeps the reference's u32-word
+  packing, but per-draw slot ranges are aligned to 64 so a word is owned by
+  exactly one draw; late-pass updates then become two deterministic scatters
+  (zero the owned words, scatter-add the new bits).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TASK_WGSIZE
+from . import cullmath
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class CullParams:
+    """Frame culling constants (reference shaders/mesh.h:26-44 CullData)."""
+
+    view: Any  # f32 [4,4]
+    p00: Any
+    p11: Any
+    znear: Any
+    zfar: Any
+    frustum: Any  # f32 [4]
+    lod_target: Any
+    pyramid_w: Any  # f32 pyramid size in texels
+    pyramid_h: Any
+    culling_enabled: Any  # i32 flags (runtime-toggleable like reference keys)
+    lod_enabled: Any
+    occlusion_enabled: Any
+    cluster_occlusion_enabled: Any
+    cluster_backface_enabled: Any
+    post_pass: Any
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TaskCommands:
+    """Fixed-capacity task command buffer (reference MeshTaskCommand,
+    shaders/mesh.h:116-123).  Slots past `count` have task_count == 0."""
+
+    draw_id: Any  # i32 [CAP]
+    task_offset: Any  # i32 [CAP] absolute meshlet index of lane 0
+    task_count: Any  # i32 [CAP] valid lanes (<= TASK_WGSIZE)
+    late_draw_visibility: Any  # i32 [CAP]
+    vis_offset: Any  # i32 [CAP] meshlet-visibility slot of lane 0
+    count: Any  # i32 [] number of live commands
+
+
+def transform_sphere_to_view(center_local, radius_local, orientation, scale, position, view):
+    """Object-space sphere -> camera-space (reference drawcull.comp.glsl:73-75)."""
+    world = cullmath.rotate_quat(center_local, orientation) * scale[..., None] + position
+    cam = world @ view[:3, :3].T + view[:3, 3]
+    return cam, radius_local * scale
+
+
+def draw_cull(scene, params: CullParams, draw_vis, pyramid_atlas, *, late: bool, pyramid_shape):
+    """Per-draw frustum/occlusion cull + LOD select.
+
+    Returns (emit [D] bool, lod_index [D] i32, visible [D] bool).
+    `visible` is the new draw-visibility state (written back in the late pass,
+    reference drawcull.comp.glsl:154-155).
+    """
+    center_local = scene.mesh_center[scene.draw_mesh_index]
+    radius_local = scene.mesh_radius[scene.draw_mesh_index]
+    center, radius = transform_sphere_to_view(
+        center_local, radius_local, scene.draw_orientation, scene.draw_scale, scene.draw_position, params.view
+    )
+
+    in_pass = scene.draw_post_pass == params.post_pass
+
+    visible = cullmath.frustum_visible(center, radius, params.frustum, params.znear, params.zfar)
+    visible = jnp.logical_or(visible, params.culling_enabled == 0)
+
+    if late:
+        valid, aabb = cullmath.project_sphere(center, radius, params.znear, params.p00, params.p11)
+        level = cullmath.occlusion_mip(aabb, params.pyramid_w, params.pyramid_h)
+        uv = jnp.stack([(aabb[..., 0] + aabb[..., 2]) * 0.5, (aabb[..., 1] + aabb[..., 3]) * 0.5], axis=-1)
+        depth = cullmath.sample_pyramid_min(pyramid_atlas, uv, level, pyramid_shape[1], pyramid_shape[0])
+        depth_sphere = params.znear / (center[..., 2] - radius)
+        occluded = jnp.logical_and(valid, depth_sphere <= depth)
+        visible = jnp.logical_and(visible, jnp.logical_or(params.occlusion_enabled == 0, ~occluded))
+
+    visible = jnp.logical_and(visible, in_pass)
+
+    # emission predicate (reference drawcull.comp.glsl:104)
+    if late:
+        emit = visible & (
+            (params.cluster_occlusion_enabled == 1)
+            | (draw_vis == 0)
+            | (params.post_pass != 0)
+        )
+    else:
+        emit = visible & (draw_vis != 0)
+
+    # LOD selection from screen-space error (reference drawcull.comp.glsl:106-117)
+    dist = jnp.maximum(jnp.sqrt(jnp.sum(center * center, axis=-1)) - radius, 0.0)
+    threshold = dist * params.lod_target / scene.draw_scale
+    lod_count = scene.mesh_lod_count[scene.draw_mesh_index]
+    errors = scene.lod_error[scene.draw_mesh_index]  # [D, MAX_LODS]
+    lod_valid = jnp.arange(errors.shape[1])[None, :] < lod_count[:, None]
+    passes = (errors < threshold[:, None]) & lod_valid
+    # highest index i>=1 with error < threshold, else 0
+    idxs = jnp.arange(errors.shape[1])[None, :]
+    lod_index = jnp.max(jnp.where(passes & (idxs > 0), idxs, 0), axis=1)
+    lod_index = jnp.where(params.lod_enabled == 1, lod_index, 0)
+
+    return emit, lod_index.astype(jnp.int32), visible
+
+
+def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, capacity: int) -> TaskCommands:
+    """Prefix-sum replacement for the reference's atomicAdd command emission
+    (drawcull.comp.glsl:120-139): each emitted draw appends
+    ceil(meshletCount/64) commands; draws overflowing `capacity` are dropped
+    whole, like the reference's TASK_WGLIMIT check."""
+    d = jnp.arange(scene.draw_mesh_index.shape[0], dtype=jnp.int32)
+    meshlet_count = scene.lod_meshlet_count[scene.draw_mesh_index, lod_index]
+    meshlet_offset = scene.lod_meshlet_offset[scene.draw_mesh_index, lod_index]
+
+    groups = jnp.where(emit, (meshlet_count + TASK_WGSIZE - 1) // TASK_WGSIZE, 0)
+    base = jnp.cumsum(groups) - groups  # exclusive prefix sum
+    fits = base + groups <= capacity
+    groups = jnp.where(fits, groups, 0)
+    count = jnp.sum(groups)
+
+    g = jnp.arange(max_groups, dtype=jnp.int32)[None, :]  # [1, G]
+    lane_valid = g < groups[:, None]  # [D, G]
+    slot = jnp.where(lane_valid, base[:, None] + g, capacity)  # OOB -> dropped
+
+    def scatter(values):
+        out = jnp.zeros(capacity, dtype=values.dtype)
+        return out.at[slot.reshape(-1)].set(values.reshape(-1), mode="drop")
+
+    draw_ids = jnp.broadcast_to(d[:, None], slot.shape)
+    task_offset = meshlet_offset[:, None] + g * TASK_WGSIZE
+    task_count = jnp.clip(meshlet_count[:, None] - g * TASK_WGSIZE, 0, TASK_WGSIZE)
+    task_count = jnp.where(lane_valid, task_count, 0)
+    late_vis = jnp.broadcast_to(draw_vis.astype(jnp.int32)[:, None], slot.shape)
+    vis_offset = scene.draw_vis_offset[:, None] + g * TASK_WGSIZE
+
+    return TaskCommands(
+        draw_id=scatter(draw_ids.astype(jnp.int32)),
+        task_offset=scatter(task_offset.astype(jnp.int32)),
+        task_count=scatter(task_count.astype(jnp.int32)),
+        late_draw_visibility=scatter(late_vis),
+        vis_offset=scatter(vis_offset.astype(jnp.int32)),
+        count=count.astype(jnp.int32),
+    )
+
+
+def cluster_cull(
+    scene,
+    params: CullParams,
+    cmds: TaskCommands,
+    vis_words,
+    pyramid_atlas,
+    *,
+    late: bool,
+    pyramid_shape,
+    cluster_capacity: int,
+):
+    """Per-meshlet culling over [CAP, 64] command lanes (reference
+    clustercull.comp.glsl), with the two-pass visibility-bit protocol.
+
+    Returns (cluster_cmd [K], cluster_lane [K], cluster_count [], new_vis_words).
+    """
+    C = cmds.draw_id.shape[0]
+    lanes = jnp.arange(TASK_WGSIZE, dtype=jnp.int32)[None, :]  # [1,64]
+
+    valid = lanes < cmds.task_count[:, None]  # [C,64]
+    mi = cmds.task_offset[:, None] + lanes  # absolute meshlet index
+    mi_safe = jnp.clip(mi, 0, scene.meshlet_radius.shape[0] - 1)
+    draw_id = cmds.draw_id  # [C]
+
+    orientation = scene.draw_orientation[draw_id][:, None, :]  # [C,1,4]
+    scale = scene.draw_scale[draw_id][:, None]  # [C,1]
+    position = scene.draw_position[draw_id][:, None, :]
+
+    center_local = scene.meshlet_center[mi_safe]  # [C,64,3]
+    radius = scene.meshlet_radius[mi_safe] * scale  # [C,64]
+
+    world = cullmath.rotate_quat(center_local, orientation) * scale[..., None] + position
+    center = world @ params.view[:3, :3].T + params.view[:3, 3]
+
+    cone_axis_local = scene.meshlet_cone_axis[mi_safe]  # [C,64,3]
+    cone_axis = cullmath.rotate_quat(cone_axis_local, orientation) @ params.view[:3, :3].T
+    cone_cutoff = scene.meshlet_cone_cutoff[mi_safe]
+
+    visible = valid
+    skip = jnp.zeros_like(valid)
+
+    # visibility-bit protocol (reference clustercull.comp.glsl:86-99)
+    mvi = cmds.vis_offset[:, None] + lanes  # [C,64]
+    word_idx = mvi >> 5
+    bit = jnp.left_shift(jnp.uint32(1), (mvi & 31).astype(jnp.uint32))
+    word_idx_safe = jnp.clip(word_idx, 0, vis_words.shape[0] - 1)
+    vis_bit = (vis_words[word_idx_safe] & bit) != 0
+
+    cluster_occ = (params.cluster_occlusion_enabled == 1) & (params.post_pass == 0)
+    if not late:
+        visible = visible & jnp.where(cluster_occ, vis_bit, True)
+    else:
+        skip = cluster_occ & (cmds.late_draw_visibility[:, None] == 1) & vis_bit & valid
+
+    # backface cone cull (camera at origin in view space)
+    cone = cullmath.cone_cull(center, radius, cone_axis, cone_cutoff, jnp.zeros(3))
+    visible = visible & jnp.where(params.cluster_backface_enabled == 1, ~cone, True)
+
+    visible = visible & cullmath.frustum_visible(center, radius, params.frustum, params.znear, params.zfar)
+
+    if late:
+        vvalid, aabb = cullmath.project_sphere(center, radius, params.znear, params.p00, params.p11)
+        level = cullmath.occlusion_mip(aabb, params.pyramid_w, params.pyramid_h)
+        uv = jnp.stack([(aabb[..., 0] + aabb[..., 2]) * 0.5, (aabb[..., 1] + aabb[..., 3]) * 0.5], axis=-1)
+        depth = cullmath.sample_pyramid_min(pyramid_atlas, uv, level, pyramid_shape[1], pyramid_shape[0])
+        depth_sphere = params.znear / (center[..., 2] - radius)
+        occluded = vvalid & (depth_sphere <= depth)
+        visible = visible & jnp.where(cluster_occ, ~occluded, True)
+
+    # late-pass visibility write-back (reference clustercull.comp.glsl:125-131).
+    # Slot ranges are 64-aligned per draw, so each touched word belongs to one
+    # command; rebuild those words from scratch.
+    new_vis_words = vis_words
+    if late:
+        touched = valid & jnp.broadcast_to(cluster_occ, valid.shape)
+        w = jnp.where(touched, word_idx, vis_words.shape[0])  # OOB -> dropped
+        bits = jnp.where(touched & visible, bit, jnp.uint32(0))
+        cleared = vis_words.at[w.reshape(-1)].set(jnp.uint32(0), mode="drop")
+        new_vis_words = cleared.at[w.reshape(-1)].add(bits.reshape(-1), mode="drop")
+
+    # compaction (reference's atomicAdd cluster append, clustercull:133-139)
+    emit = (visible & ~skip).reshape(-1)  # [C*64]
+    pos = jnp.cumsum(emit) - emit
+    cluster_count = jnp.sum(emit)
+    slot = jnp.where(emit & (pos < cluster_capacity), pos, cluster_capacity)
+
+    cmd_ids = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, TASK_WGSIZE)).reshape(-1)
+    lane_ids = jnp.broadcast_to(lanes, (C, TASK_WGSIZE)).reshape(-1)
+
+    cluster_cmd = jnp.zeros(cluster_capacity, dtype=jnp.int32).at[slot].set(cmd_ids, mode="drop")
+    cluster_lane = jnp.zeros(cluster_capacity, dtype=jnp.int32).at[slot].set(lane_ids, mode="drop")
+
+    return cluster_cmd, cluster_lane, jnp.minimum(cluster_count, cluster_capacity).astype(jnp.int32), new_vis_words

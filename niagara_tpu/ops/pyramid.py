@@ -1,0 +1,60 @@
+"""Depth pyramid (HiZ) construction.
+
+Reference: depthreduce.comp.glsl + niagara.cpp:1339-1344, 1703-1733.  The
+pyramid base is previousPow2 of the framebuffer so every reduction step is at
+most 2x2 (conservative); each mip stores the *minimum* depth (reverse-Z: the
+farthest surface) of its footprint, and the occlusion test passes when the
+sphere's nearest depth is greater than the sampled value.
+
+The TPU layout is a dense mip atlas [L, PH, PW] (mip l valid in
+[:PH>>l, :PW>>l]) so data-dependent mip selection in the cull kernels is a
+single 3D gather instead of a switch over per-mip buffers.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.math3d import image_mip_levels, previous_pow2
+
+
+def pyramid_shape(width: int, height: int) -> tuple[int, int, int]:
+    """(levels, PH, PW) for a framebuffer of size width x height."""
+    pw = previous_pow2(width)
+    ph = previous_pow2(height)
+    return image_mip_levels(pw, ph), ph, pw
+
+
+def _min_sample_reduce(src: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """One reduction step: out[y,x] = min of the 2x2 bilinear footprint of a
+    min-reduction sampler at uv=((x,y)+0.5)/out_size (depthreduce.comp.glsl:19)."""
+    in_h, in_w = src.shape
+    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * in_w - 0.5
+    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * in_h - 0.5
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+
+    def fetch(yi, xi):
+        yc = jnp.clip(yi, 0, in_h - 1)
+        xc = jnp.clip(xi, 0, in_w - 1)
+        return src[yc][:, xc]
+
+    d00 = fetch(y0, x0)
+    d10 = fetch(y0, x0 + 1)
+    d01 = fetch(y0 + 1, x0)
+    d11 = fetch(y0 + 1, x0 + 1)
+    return jnp.minimum(jnp.minimum(d00, d10), jnp.minimum(d01, d11))
+
+
+def build_pyramid(depth: jnp.ndarray, levels: int, ph: int, pw: int) -> jnp.ndarray:
+    """depth [H,W] -> atlas [levels, ph, pw] of min-reduced mips."""
+    mips = []
+    src = depth
+    h, w = ph, pw
+    for lvl in range(levels):
+        mip = _min_sample_reduce(src, h, w)
+        mips.append(jnp.pad(mip, ((0, ph - h), (0, pw - w))))
+        src = mip
+        h = max(h // 2, 1)
+        w = max(w // 2, 1)
+    return jnp.stack(mips, axis=0)

@@ -1,0 +1,421 @@
+"""Software rasterizer — visibility-buffer style, TPU-first.
+
+Replaces the reference's hardware mesh-shading raster path
+(meshlet.mesh.glsl + dynamic-rendering G-buffer writes) with a design built
+for dense VPU work and minimal scatter:
+
+1. **Cluster vertex transform** [K,64]: gather meshlet vertices, transform to
+   clip/screen space (reference meshlet.mesh.glsl:125-162 semantics).
+2. **Triangle setup** [K,96]: edge equations, screen-linear depth plane
+   (valid because ndc depth = znear/viewz is affine in screen space under
+   perspective), backface/zero-area cull (reference meshlet.mesh.glsl:175-197).
+3. **Window emission**: each surviving triangle emits 8x8-pixel raster
+   windows covering its AABB (up to MAX_SUBWINDOWS; larger triangles go to a
+   bounded big-triangle path).  Fixed caps with masked overflow mirror the
+   reference's buffer-limit drops.
+4. **Fragment evaluation** [W,8,8]: dense edge/depth evaluation per window.
+5. **Deterministic z-resolve** into a *visibility buffer*: scatter-max depth,
+   then scatter-min fragment id among depth winners.  Equal-depth ties go to
+   the smallest fragment id, making the whole raster order-independent —
+   stronger determinism than the reference's submission-order HW raster.
+
+Shading then runs as dense per-pixel passes over the visibility buffer
+(ops/shade.py), which is exactly the shape of work the VPU wants.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MESH_MAXTRI, MESH_MAXVTX
+
+# raster window size in pixels (small triangles after 1px-error LOD)
+WIN = 8
+# small path: dense window emission for triangles spanning <= 2x2 windows
+# (~16px); mid path: compacted triangles spanning <= 16x16 windows (128px);
+# larger triangles are dropped with a counter (rare under 1px-error LOD)
+SMALL_TILES = 2
+MID_TILES = 16
+
+INVALID_FRAG = jnp.int32(0x7FFFFFFF)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Framebuffer:
+    depth: Any  # f32 [H,W], reverse-Z (0 = far/clear)
+    vis: Any  # i32 [H,W], fragment id or INVALID_FRAG
+
+
+def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, view, p00, p11, znear, width, height):
+    """Gather + transform the vertices of each visible cluster.
+
+    Returns per-cluster arrays:
+      tri_valid  [K,96]  triangle is live (cluster live, tri < count)
+      vid        [K,64]  absolute vertex ids (for attribute fetch at shade time)
+      sx, sy     [K,64]  screen-space pixel coords (pixel centers at x+0.5)
+      zw         [K,64]  ndc depth (znear/viewz)
+      inv_w      [K,64]  1/viewz (for perspective-correct interpolation)
+      tri        [K,96,3] meshlet-local indices
+      draw_id    [K]
+      mi         [K]     absolute meshlet ids
+    """
+    K = cluster_cmd.shape[0]
+    k = jnp.arange(K, dtype=jnp.int32)
+    live = k < cluster_count
+
+    cmd = cluster_cmd
+    draw_id = cmds.draw_id[cmd]
+    mi = cmds.task_offset[cmd] + cluster_lane
+    mi = jnp.clip(mi, 0, scene.meshlet_vertices.shape[0] - 1)
+
+    vid = scene.meshlet_vertices[mi]  # [K,64]
+    tri = scene.meshlet_tris[mi]  # [K,96,3]
+    tri_count = scene.meshlet_triangle_count[mi]  # [K]
+
+    pos = scene.positions[vid]  # [K,64,3]
+    q = scene.draw_orientation[draw_id][:, None, :]  # [K,1,4]
+    s = scene.draw_scale[draw_id][:, None, None]
+    t = scene.draw_position[draw_id][:, None, :]
+
+    qv = q[..., :3]
+    qw = q[..., 3:4]
+    tmp = jnp.cross(qv, pos) + qw * pos
+    world = (pos + 2.0 * jnp.cross(qv, tmp)) * s + t  # [K,64,3]
+
+    cam = world @ view[:3, :3].T + view[:3, 3]  # camera space, z forward
+    viewz = cam[..., 2]
+
+    safe_z = jnp.where(jnp.abs(viewz) < 1e-12, 1e-12, viewz)
+    ndc_x = p00 * cam[..., 0] / safe_z
+    ndc_y = p11 * cam[..., 1] / safe_z
+    zw = znear / safe_z
+
+    sx = (ndc_x * 0.5 + 0.5) * width
+    sy = (0.5 - ndc_y * 0.5) * height  # image y down; matches projectSphere's uv flip
+
+    tri_valid = (
+        live[:, None]
+        & (jnp.arange(MESH_MAXTRI, dtype=jnp.int32)[None, :] < tri_count[:, None])
+    )
+
+    return dict(
+        tri_valid=tri_valid,
+        vid=vid,
+        sx=sx,
+        sy=sy,
+        zw=zw,
+        viewz=viewz,
+        tri=tri,
+        draw_id=draw_id,
+        mi=mi,
+    )
+
+
+def setup_triangles(tc, width, height, znear):
+    """Edge equations + screen-linear depth planes for all [K,96] triangles.
+
+    Returns flattened [T=K*96] arrays: valid, edge coeffs (e[3][3]), depth
+    plane (za, zb, zc), integer AABB (x0,y0,x1,y1 inclusive).
+    Convention: pixel (x, y) is evaluated at center (x+0.5, y+0.5); a pixel is
+    covered when all three edge functions are >= 0 (counter-clockwise in
+    y-down screen space after the projection flip).
+    """
+    tri = tc["tri"]  # [K,96,3]
+    K = tri.shape[0]
+
+    def g(attr, c):
+        # gather corner c's per-vertex attribute: [K,64] -> [K,96]
+        return jnp.take_along_axis(attr, tri[..., c], axis=1)
+
+    ax, ay, az = g(tc["sx"], 0), g(tc["sy"], 0), g(tc["zw"], 0)
+    bx, by, bz = g(tc["sx"], 1), g(tc["sy"], 1), g(tc["zw"], 1)
+    cx, cy, cz = g(tc["sx"], 2), g(tc["sy"], 2), g(tc["zw"], 2)
+    awz, bwz, cwz = g(tc["viewz"], 0), g(tc["viewz"], 1), g(tc["viewz"], 2)
+
+    # signed doubled area; cull backfaces and degenerates
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    front = area > 0.0
+
+    # all vertices must be in front of the near plane (v1: no near clipping;
+    # reference MESH_CULL guards the same way, meshlet.mesh.glsl:195)
+    in_front = (awz > znear * 0.5) & (bwz > znear * 0.5) & (cwz > znear * 0.5)
+
+    valid = tc["tri_valid"] & front & in_front
+
+    # edge functions E(x,y) = cross(w - v, p - v) for each directed edge
+    # v->w; >= 0 inside for triangles with positive signed area (matching the
+    # `front` test above), and E0+E1+E2 == area
+    def edge(vx, vy, wx, wy):
+        A = vy - wy
+        B = wx - vx
+        C = -(A * vx + B * vy)
+        return A, B, C
+
+    e0 = edge(ax, ay, bx, by)
+    e1 = edge(bx, by, cx, cy)
+    e2 = edge(cx, cy, ax, ay)
+
+    # depth plane: solve z = za*x + zb*y + zc through the three screen verts
+    inv_area = jnp.where(jnp.abs(area) < 1e-20, 0.0, 1.0 / area)
+    za = ((bz - az) * (cy - ay) - (cz - az) * (by - ay)) * inv_area
+    zb = ((cz - az) * (bx - ax) - (bz - az) * (cx - ax)) * inv_area
+    zc = az - za * ax - zb * ay
+
+    x0 = jnp.floor(jnp.minimum(jnp.minimum(ax, bx), cx)).astype(jnp.int32)
+    y0 = jnp.floor(jnp.minimum(jnp.minimum(ay, by), cy)).astype(jnp.int32)
+    x1 = jnp.ceil(jnp.maximum(jnp.maximum(ax, bx), cx)).astype(jnp.int32)
+    y1 = jnp.ceil(jnp.maximum(jnp.maximum(ay, by), cy)).astype(jnp.int32)
+    x0 = jnp.clip(x0, 0, width - 1)
+    y0 = jnp.clip(y0, 0, height - 1)
+    x1 = jnp.clip(x1, 0, width)
+    y1 = jnp.clip(y1, 0, height)
+
+    valid = valid & (x1 > x0) & (y1 > y0)
+
+    flat = lambda a: a.reshape(K * MESH_MAXTRI)
+    return dict(
+        valid=flat(valid),
+        e=[tuple(map(flat, e)) for e in (e0, e1, e2)],
+        za=flat(za),
+        zb=flat(zb),
+        zc=flat(zc),
+        x0=flat(x0),
+        y0=flat(y0),
+        x1=flat(x1),
+        y1=flat(y1),
+    )
+
+
+def _compact(mask, payload_arrays, capacity):
+    """Stream-compact indices where mask is set into [capacity] slots.
+
+    Returns (slots dict of arrays, count).  Deterministic (prefix-sum order).
+    """
+    pos = jnp.cumsum(mask) - mask
+    count = jnp.sum(mask)
+    slot = jnp.where(mask & (pos < capacity), pos, capacity)
+    out = {}
+    for name, arr in payload_arrays.items():
+        out[name] = jnp.zeros((capacity,) + arr.shape[1:], dtype=arr.dtype).at[slot].set(arr, mode="drop")
+    return out, jnp.minimum(count, capacity)
+
+
+def _emit_windows(setup, *, small_tiles: int, mid_tiles: int, mid_capacity: int, window_capacity: int):
+    """Emit 8x8-pixel raster-window records (tri_ref, wx, wy) for every
+    surviving triangle, bounded-memory:
+
+    * triangles spanning <= small_tiles^2 windows emit densely from [T, s^2];
+    * triangles spanning <= mid_tiles^2 are first compacted to [mid_capacity]
+      and then emit from [mid_capacity, m^2] (they are rare, so the dense
+      block stays small);
+    * larger triangles are dropped and counted (`huge_dropped`), mirroring
+      the reference's capacity-overflow drops.
+
+    Returns (win_tri, win_x, win_y [window_capacity], window_count,
+    huge_dropped).  win_tri indexes the flattened setup arrays; frag_id is
+    carried separately by the caller.
+    """
+    T = setup["valid"].shape[0]
+    x0, y0, x1, y1 = setup["x0"], setup["y0"], setup["x1"], setup["y1"]
+    wx0 = x0 // WIN
+    wy0 = y0 // WIN
+    wspan = (x1 - 1) // WIN - wx0 + 1
+    hspan = (y1 - 1) // WIN - wy0 + 1
+
+    valid = setup["valid"]
+    is_small = valid & (wspan <= small_tiles) & (hspan <= small_tiles)
+    is_mid = valid & ~is_small & (wspan <= mid_tiles) & (hspan <= mid_tiles)
+    huge_dropped = jnp.sum(valid & ~is_small & ~is_mid)
+
+    def emit(tri_idx, sel, wx0s, wy0s, wss, hss, tiles, capacity, base):
+        """Dense [N, tiles^2] window emission with prefix-sum placement."""
+        n_win = jnp.where(sel, wss * hss, 0)
+        start = jnp.cumsum(n_win) - n_win + base
+        fits = start + n_win <= capacity
+        n_win = jnp.where(fits, n_win, 0)
+        total = jnp.sum(n_win)
+
+        s = jnp.arange(tiles * tiles, dtype=jnp.int32)[None, :]
+        sx = s % tiles
+        sy = s // tiles
+        live = (sx < wss[:, None]) & (sy < hss[:, None]) & (n_win > 0)[:, None]
+        # window's slot: start + sy*wspan + sx (row-major within the tri)
+        slot = jnp.where(live, start[:, None] + sy * wss[:, None] + sx, capacity)
+        wx = wx0s[:, None] + sx
+        wy = wy0s[:, None] + sy
+        return slot.reshape(-1), jnp.broadcast_to(tri_idx[:, None], slot.shape).reshape(-1), \
+            wx.reshape(-1), wy.reshape(-1), total
+
+    win_tri = jnp.zeros(window_capacity, dtype=jnp.int32)
+    win_x = jnp.zeros(window_capacity, dtype=jnp.int32)
+    win_y = jnp.zeros(window_capacity, dtype=jnp.int32)
+
+    tri_idx = jnp.arange(T, dtype=jnp.int32)
+    slot_s, tri_s, wx_s, wy_s, total_s = emit(tri_idx, is_small, wx0, wy0, wspan, hspan, small_tiles, window_capacity, 0)
+    win_tri = win_tri.at[slot_s].set(tri_s, mode="drop")
+    win_x = win_x.at[slot_s].set(wx_s, mode="drop")
+    win_y = win_y.at[slot_s].set(wy_s, mode="drop")
+
+    # mid path: compact the (rare) larger triangles first
+    mid, n_mid = _compact(
+        is_mid,
+        dict(tri=tri_idx, wx0=wx0, wy0=wy0, ws=wspan, hs=hspan),
+        mid_capacity,
+    )
+    mid_live = jnp.arange(mid_capacity, dtype=jnp.int32) < n_mid
+    slot_m, tri_m, wx_m, wy_m, total_m = emit(
+        mid["tri"], mid_live, mid["wx0"], mid["wy0"], mid["ws"], mid["hs"], mid_tiles, window_capacity, total_s
+    )
+    win_tri = win_tri.at[slot_m].set(tri_m, mode="drop")
+    win_x = win_x.at[slot_m].set(wx_m, mode="drop")
+    win_y = win_y.at[slot_m].set(wy_m, mode="drop")
+
+    window_count = jnp.minimum(total_s + total_m, window_capacity)
+    return win_tri, win_x, win_y, window_count, huge_dropped
+
+
+def rasterize(
+    setup,
+    width,
+    height,
+    *,
+    window_capacity: int = 1 << 20,
+    chunk: int = 1 << 16,
+    mid_capacity: int = 1 << 14,
+    fb: Framebuffer | None = None,
+    frag_offset: int = 0,
+    # kept for call-site compatibility; small_capacity bounds total windows
+    small_capacity: int | None = None,
+    big_capacity: int | None = None,
+):
+    """Rasterize set-up triangles into (depth, visibility) buffers.
+
+    Window records are merged into the framebuffer by a chunked lax.scan:
+    each step gathers `chunk` windows' triangle coefficients, evaluates the
+    8x8 pixel block densely on the VPU, and scatter-maxes depth.  A second
+    scan resolves the visibility buffer by scatter-minning the fragment id of
+    exact depth winners.  Peak temp memory is O(chunk * 64), independent of
+    triangle count.
+
+    Pass `fb` to merge into an existing framebuffer (the late render pass
+    loads instead of clearing, reference niagara.cpp:1645 LOAD_OP_LOAD);
+    `frag_offset` shifts fragment ids so multiple passes share one
+    concatenated attribute table at shade time.
+    """
+    if small_capacity is not None:
+        window_capacity = small_capacity
+    # round capacity to a chunk multiple (small test capacities shrink chunk)
+    chunk = min(chunk, window_capacity)
+    window_capacity = (window_capacity + chunk - 1) // chunk * chunk
+
+    T = setup["valid"].shape[0]
+    win_tri, win_x, win_y, n_win, huge_dropped = _emit_windows(
+        setup,
+        small_tiles=SMALL_TILES,
+        mid_tiles=MID_TILES,
+        mid_capacity=mid_capacity,
+        window_capacity=window_capacity,
+    )
+
+    if fb is None:
+        depth = jnp.zeros(height * width, dtype=jnp.float32)
+        vis = jnp.full(height * width, INVALID_FRAG, dtype=jnp.int32)
+    else:
+        depth = fb.depth.reshape(-1)
+        vis = fb.vis.reshape(-1)
+
+    npix = width * height
+    n_chunks = window_capacity // chunk
+
+    a0, b0, c0 = setup["e"][0]
+    a1, b1, c1 = setup["e"][1]
+    a2, b2, c2 = setup["e"][2]
+    za, zb, zc = setup["za"], setup["zb"], setup["zc"]
+    x1c, y1c = setup["x1"], setup["y1"]
+
+    dx = jnp.arange(WIN, dtype=jnp.int32)[None, None, :]  # [1,1,8]
+    dy = jnp.arange(WIN, dtype=jnp.int32)[None, :, None]  # [1,8,1]
+
+    def eval_chunk(ci):
+        off = ci * chunk
+        tri = jax.lax.dynamic_slice(win_tri, (off,), (chunk,))
+        wx = jax.lax.dynamic_slice(win_x, (off,), (chunk,))
+        wy = jax.lax.dynamic_slice(win_y, (off,), (chunk,))
+        live = (jnp.arange(chunk, dtype=jnp.int32) + off) < n_win
+
+        px = wx[:, None, None] * WIN + dx  # [chunk,1,8] -> broadcast [chunk,8,8]
+        py = wy[:, None, None] * WIN + dy
+        fx = px.astype(jnp.float32) + 0.5
+        fy = py.astype(jnp.float32) + 0.5
+
+        def ev(a, b, c):
+            return a[tri][:, None, None] * fx + b[tri][:, None, None] * fy + c[tri][:, None, None]
+
+        cover = (ev(a0, b0, c0) >= 0) & (ev(a1, b1, c1) >= 0) & (ev(a2, b2, c2) >= 0)
+        z = ev(za, zb, zc)
+        cover &= (px < jnp.minimum(x1c[tri], width)[:, None, None]) & (
+            py < jnp.minimum(y1c[tri], height)[:, None, None]
+        )
+        cover &= live[:, None, None] & (z > 0.0) & (z <= 1.0)
+        flat = py * width + px
+        return tri, flat, z, cover
+
+    def depth_step(d, ci):
+        tri, flat, z, cover = eval_chunk(ci)
+        idx = jnp.where(cover, flat, npix).reshape(-1)
+        return d.at[idx].max(z.reshape(-1), mode="drop"), None
+
+    depth, _ = jax.lax.scan(depth_step, depth, jnp.arange(n_chunks, dtype=jnp.int32))
+
+    def vis_step(v, ci):
+        tri, flat, z, cover = eval_chunk(ci)
+        safe = jnp.clip(flat, 0, npix - 1)
+        winner = cover & (z == depth[safe])
+        idx = jnp.where(winner, flat, npix).reshape(-1)
+        frag = jnp.broadcast_to((tri + frag_offset)[:, None, None], z.shape).reshape(-1)
+        return v.at[idx].min(frag, mode="drop"), None
+
+    vis, _ = jax.lax.scan(vis_step, vis, jnp.arange(n_chunks, dtype=jnp.int32))
+
+    return Framebuffer(depth=depth.reshape(height, width), vis=vis.reshape(height, width))
+
+
+def rasterize_onto(fb: Framebuffer, setup, width, height, *, frag_offset: int, small_capacity: int, big_capacity: int = 256) -> Framebuffer:
+    """Merge a second raster pass into an existing framebuffer."""
+    return rasterize(
+        setup, width, height,
+        small_capacity=small_capacity, big_capacity=big_capacity,
+        fb=fb, frag_offset=frag_offset,
+    )
+
+
+def rasterize_clusters(
+    scene,
+    cluster_cmd,
+    cluster_lane,
+    cluster_count,
+    cmds,
+    view,
+    p00,
+    p11,
+    znear,
+    width: int,
+    height: int,
+    *,
+    small_capacity: int = 1 << 20,
+    big_capacity: int = 256,
+):
+    """Full raster pipeline: transform -> setup -> rasterize.
+
+    Returns (Framebuffer, cluster transform dict) — the latter is reused by
+    the deferred shading pass to fetch attributes for visible fragments.
+    """
+    tc = transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, view, p00, p11, znear, width, height)
+    st = setup_triangles(tc, width, height, znear)
+    fb = rasterize(st, width, height, small_capacity=small_capacity, big_capacity=big_capacity)
+    return fb, tc

@@ -1,0 +1,190 @@
+"""Deferred shading over the visibility buffer.
+
+Two dense per-pixel passes, mirroring the reference's split between the
+fragment shader's G-buffer write (mesh.frag.glsl) and the deferred composite
+(final.comp.glsl):
+
+1. `shade_gbuffer` — resolve each visible fragment's triangle, interpolate
+   attributes perspective-correctly, sample the material, and produce the two
+   G-buffer planes with the reference's exact encodings (srgb albedo +
+   log2 emissive scale; octahedral normal + gloss).
+2. `composite` — decode the G-buffer, apply sun N·L + Blinn-Phong + ambient +
+   shadow + emissive + bloom, filmic tonemap and deband noise.
+
+Both are pure VPU work: the visibility-buffer design pushes all the
+irregularity into the raster scatter, so shading is fully dense.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import MESH_MAXTRI
+from . import cullmath
+from .raster import INVALID_FRAG
+
+
+def shade_gbuffer(fb, tc, scene, width, height):
+    """Visibility buffer -> G-buffer planes [H,W,4] x2 (reference
+    mesh.frag.glsl:55-95 semantics, sans textures for now)."""
+    frag = fb.vis
+    valid = frag != INVALID_FRAG
+    f = jnp.where(valid, frag, 0)
+    k = f // MESH_MAXTRI  # cluster index
+    t = f % MESH_MAXTRI  # triangle within cluster
+
+    loc = tc["tri"][k, t]  # [H,W,3] meshlet-local corner ids
+    draw_id = tc["draw_id"][k]  # [H,W]
+
+    # corner gathers
+    def corner(attr, c):
+        return attr[k, loc[..., c]]  # [H,W]
+
+    sx = [corner(tc["sx"], c) for c in range(3)]
+    sy = [corner(tc["sy"], c) for c in range(3)]
+    viewz = [corner(tc["viewz"], c) for c in range(3)]
+    vids = [corner(tc["vid"], c) for c in range(3)]
+
+    # screen-space barycentrics at the pixel center
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5
+
+    def edge_at(axp, ayp, bxp, byp):
+        return (px - axp) * (byp - ayp) - (py - ayp) * (bxp - axp)
+
+    w0 = edge_at(sx[1], sy[1], sx[2], sy[2])  # opposite corner 0
+    w1 = edge_at(sx[2], sy[2], sx[0], sy[0])
+    w2 = edge_at(sx[0], sy[0], sx[1], sy[1])
+    wsum = w0 + w1 + w2
+    inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
+    b0, b1, b2 = w0 * inv, w1 * inv, w2 * inv
+
+    # perspective correction: weights divided by view-space z
+    iz = [1.0 / jnp.maximum(z, 1e-12) for z in viewz]
+    pw0, pw1, pw2 = b0 * iz[0], b1 * iz[1], b2 * iz[2]
+    pws = pw0 + pw1 + pw2
+    pinv = jnp.where(jnp.abs(pws) < 1e-20, 0.0, 1.0 / pws)
+
+    def interp(attr_per_vertex):
+        a0 = attr_per_vertex[vids[0]]
+        a1 = attr_per_vertex[vids[1]]
+        a2 = attr_per_vertex[vids[2]]
+        if a0.ndim == 3:  # vector attribute [V,C]
+            return (pw0[..., None] * a0 + pw1[..., None] * a1 + pw2[..., None] * a2) * pinv[..., None]
+        return (pw0 * a0 + pw1 * a1 + pw2 * a2) * pinv
+
+    normal = interp(scene.normals)  # [H,W,3] object space
+    tangent = interp(scene.tangents)  # [H,W,4]
+    uv = interp(scene.uvs)  # [H,W,2]
+
+    # rotate into world space by the draw orientation
+    q = scene.draw_orientation[draw_id]  # [H,W,4]
+    normal = cullmath.rotate_quat(normal, q)
+    tangent_xyz = cullmath.rotate_quat(tangent[..., :3], q)
+
+    nlen = jnp.sqrt(jnp.sum(normal * normal, axis=-1, keepdims=True))
+    normal = normal / jnp.maximum(nlen, 1e-20)
+
+    # material sample (textures arrive with the bindless texture table; for
+    # now factors only, like the reference's OBJ mode)
+    mat = scene.draw_material_index[draw_id]  # [H,W]
+    albedo = scene.mat_diffuse[mat]  # [H,W,4]
+    specgloss = scene.mat_specular[mat]  # [H,W,4]
+    emissive = scene.mat_emissive[mat]  # [H,W,3]
+
+    # flat normal map for untextured materials -> nrm == vertex normal
+    nrm = normal
+    _ = tangent_xyz  # TBN path activates with normal maps
+
+    lum = jnp.array([0.3, 0.6, 0.1], dtype=jnp.float32)
+    emissivef = jnp.sum(emissive * lum, axis=-1) / (jnp.sum(albedo[..., :3] * lum, axis=-1) + 1e-3)
+
+    g0 = jnp.concatenate(
+        [
+            cullmath.to_srgb(albedo[..., :3]),
+            (jnp.log2(1.0 + emissivef) / 5.0)[..., None],
+        ],
+        axis=-1,
+    )
+    g1 = jnp.concatenate(
+        [
+            cullmath.oct_encode(nrm) * 0.5 + 0.5,
+            specgloss[..., 3:4],
+            jnp.zeros_like(specgloss[..., :1]),
+        ],
+        axis=-1,
+    )
+
+    valid4 = valid[..., None]
+    g0 = jnp.where(valid4, g0, 0.0)
+    g1 = jnp.where(valid4, g1, 0.0)
+    return g0, g1, valid
+
+
+def composite(
+    g0,
+    g1,
+    depth,
+    valid,
+    *,
+    camera_position,
+    sun_direction,
+    inverse_view_projection,
+    shadow=None,
+    bloom=None,
+    width: int,
+    height: int,
+):
+    """G-buffer -> tonemapped image [H,W,3] (reference final.comp.glsl:37-80)."""
+    albedo = cullmath.from_srgb(g0[..., :3])
+    emissive = albedo * (jnp.exp2(g0[..., 3] * 5.0) - 1.0)[..., None]
+    normal = cullmath.oct_decode(g1[..., :2] * 2.0 - 1.0)
+
+    ndotl = jnp.maximum(jnp.sum(normal * sun_direction, axis=-1), 0.0)
+
+    # world position from depth (reference final.comp.glsl:52-54)
+    px = (jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5) / width
+    py = (jnp.arange(height, dtype=jnp.float32)[:, None] + 0.5) / height
+    ndc_x = px * 2.0 - 1.0
+    ndc_y = 1.0 - py * 2.0
+    clip = jnp.stack(
+        [jnp.broadcast_to(ndc_x, depth.shape), jnp.broadcast_to(ndc_y, depth.shape), depth, jnp.ones_like(depth)],
+        axis=-1,
+    )
+    wposh = clip @ inverse_view_projection.T
+    wpos = wposh[..., :3] / jnp.where(jnp.abs(wposh[..., 3:]) < 1e-20, 1e-20, wposh[..., 3:])
+
+    view = camera_position - wpos
+    vlen = jnp.sqrt(jnp.sum(view * view, axis=-1, keepdims=True))
+    view = view / jnp.maximum(vlen, 1e-20)
+    halfv = view + sun_direction
+    hlen = jnp.sqrt(jnp.sum(halfv * halfv, axis=-1, keepdims=True))
+    halfv = halfv / jnp.maximum(hlen, 1e-20)
+    ndoth = jnp.maximum(jnp.sum(normal * halfv, axis=-1), 0.0)
+    gloss = g1[..., 2]
+    specular = jnp.power(jnp.maximum(ndoth, 1e-6), 1.0 + 63.0 * gloss) * gloss
+
+    shadow_term = shadow if shadow is not None else jnp.ones_like(depth)
+
+    ambient = 0.07
+    shadow_ambient = 0.05
+    sun_intensity = 2.5
+
+    color = albedo * (ndotl * jnp.minimum(shadow_term + shadow_ambient, 1.0) * sun_intensity + ambient)[..., None]
+    color = color + (specular * shadow_term)[..., None] * sun_intensity
+    color = color + emissive
+    if bloom is not None:
+        color = color + bloom * 0.1
+
+    # background stays black where nothing was rasterized
+    color = jnp.where(valid[..., None], color, 0.0)
+
+    xy = jnp.stack(
+        [
+            jnp.broadcast_to(jnp.arange(width, dtype=jnp.float32)[None, :], depth.shape),
+            jnp.broadcast_to(jnp.arange(height, dtype=jnp.float32)[:, None], depth.shape),
+        ],
+        axis=-1,
+    )
+    deband = cullmath.gradient_noise(xy) * 2.0 - 1.0
+    return cullmath.tonemap(color) + (deband * (0.5 / 255.0))[..., None]

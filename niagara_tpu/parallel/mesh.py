@@ -1,0 +1,128 @@
+"""Multi-chip rendering: draw-sharded culling + sort-last image compositing.
+
+The reference is strictly single-GPU (SURVEY.md §2d); scaling it out on TPU
+uses the natural decomposition of the GPU-driven pipeline:
+
+* **Draw shard (data parallel):** each device owns a slice of the draw list
+  (with its own dvb/mvb visibility state) and runs the full cull -> raster
+  cascade for its draws at full resolution — the culling cascade is
+  embarrassingly parallel over draws.
+* **Sort-last compositing over ICI:** per-device framebuffers are merged
+  with two all-reduces: max over reverse-Z depth, then min over fragment id
+  among exact-depth winners.  Fragment ids carry a per-device offset so the
+  (device, fragment) winner is globally unique and the merge is
+  deterministic — the same two-pass protocol the single-chip rasterizer uses
+  for its scatter merge, lifted to the mesh axis.
+* **Owner shading:** each device shades only pixels whose winning fragment
+  it owns (it alone has that cluster's attributes), then a psum assembles
+  the image.
+
+Communication: 3 all-reduces of [H,W] buffers per frame, riding ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import shade
+from ..ops.raster import INVALID_FRAG, Framebuffer
+from ..render import frame as frame_mod
+from ..scene import DeviceScene, Draws, upload
+
+
+def shard_draws(geometry, draws: Draws, n_shards: int, materials=None):
+    """Split the draw list round-robin and build one DeviceScene per shard,
+    each with locally-computed visibility offsets.  Returns stacked arrays
+    [n_shards, ...] ready for a 'draws' mesh axis."""
+    scenes = []
+    for s in range(n_shards):
+        sl = slice(s, None, n_shards)
+        shard = Draws(
+            position=draws.position[sl].copy(),
+            scale=draws.scale[sl].copy(),
+            orientation=draws.orientation[sl].copy(),
+            mesh_index=draws.mesh_index[sl].copy(),
+            meshlet_visibility_offset=draws.meshlet_visibility_offset[sl].copy(),
+            post_pass=draws.post_pass[sl].copy(),
+            material_index=draws.material_index[sl].copy(),
+        )
+        scenes.append(upload(geometry, shard, materials))
+    stacked = jax.tree.map(lambda *xs: np.stack(xs, axis=0), *scenes)
+    # meshlet_visibility_count is static metadata: take the max so every
+    # shard's state buffer has one common (padded) size
+    vis_count = max(s.meshlet_visibility_count for s in scenes)
+    stacked.meshlet_visibility_count = vis_count
+    return stacked
+
+
+def init_sharded_state(stacked_scene, n_shards: int):
+    num_draws = stacked_scene.draw_scale.shape[1]
+    states = [frame_mod.init_state(num_draws, stacked_scene.meshlet_visibility_count) for _ in range(n_shards)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *states)
+
+
+def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draws"):
+    """Build the jitted multi-chip frame function over `mesh`.
+
+    Returns fn(stacked_scene, stacked_state, params, shade_params)
+    -> (image [H,W,3] replicated, new stacked_state, stats summed).
+    """
+    frag_stride = 2 * cfg.cluster_capacity * 96
+
+    def per_device(scene, state, params, sp):
+        # shard_map passes [1, ...] blocks along the draw axis
+        scene = jax.tree.map(lambda a: a[0], scene)
+        state = jax.tree.map(lambda a: a[0], state)
+
+        dev = jax.lax.axis_index(axis).astype(jnp.int32)
+        offset = dev * frag_stride
+
+        fb, tc, new_state, stats = frame_mod.frame_core(scene, state, params, cfg, frag_offset=offset)
+
+        # ---- sort-last composite over ICI ----
+        gdepth = jax.lax.pmax(fb.depth, axis)
+        winner = (fb.depth == gdepth) & (fb.vis != INVALID_FRAG)
+        cand = jnp.where(winner, fb.vis, INVALID_FRAG)
+        gvis = jax.lax.pmin(cand, axis)
+        mine = winner & (gvis == fb.vis)
+
+        # shade owned pixels with the local attribute tables
+        local_vis = jnp.where(mine, fb.vis - offset, INVALID_FRAG)
+        local_fb = Framebuffer(depth=gdepth, vis=local_vis)
+        g0, g1, valid = shade.shade_gbuffer(local_fb, tc, scene, cfg.width, cfg.height)
+        img = shade.composite(
+            g0,
+            g1,
+            gdepth,
+            valid,
+            camera_position=sp.camera_position,
+            sun_direction=sp.sun_direction,
+            inverse_view_projection=sp.inverse_view_projection,
+            width=cfg.width,
+            height=cfg.height,
+        )
+        img = jnp.where(valid[..., None], img, 0.0)
+        image = jax.lax.psum(img, axis)
+
+        stats = jax.tree.map(lambda s: jax.lax.psum(s, axis), stats)
+        new_state = jax.tree.map(lambda a: a[None], new_state)
+        return image, new_state, stats
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=(P(), P(axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_mesh(n_devices: int, axis: str = "draws") -> Mesh:
+    devices = np.array(jax.devices()[:n_devices])
+    return Mesh(devices, (axis,))

@@ -16,12 +16,22 @@ Two representations:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import functools
+from dataclasses import dataclass, field, fields
 
+import jax
 import numpy as np
 
 from .config import MAX_LODS, MESH_MAXTRI, MESH_MAXVTX
 from .utils import math3d
+
+
+def _register_scene_dataclass(cls):
+    names = [f.name for f in fields(cls)]
+    data_fields = [n for n in names if n != "meshlet_visibility_count"]
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=data_fields, meta_fields=["meshlet_visibility_count"]
+    )
 
 
 @dataclass
@@ -109,9 +119,14 @@ class Draws:
 def assign_meshlet_visibility_offsets(draws: Draws, meshes: Meshes) -> int:
     """Assign per-draw offsets into the persistent meshlet-visibility bitfield
     and return the total slot count (reference niagara.cpp:1002-1020: each draw
-    reserves max-over-LODs meshletCount slots)."""
+    reserves max-over-LODs meshletCount slots).
+
+    TPU twist: slot ranges are rounded up to 64 so every u32 word of the
+    bitfield is owned by exactly one draw, which lets the late cull pass
+    rebuild words with two deterministic scatters instead of atomics
+    (see ops/cull.py cluster_cull)."""
     per_mesh = np.max(meshes.lod_meshlet_count, axis=1)  # [N_mesh]
-    per_draw = per_mesh[draws.mesh_index]
+    per_draw = (per_mesh[draws.mesh_index] + 63) // 64 * 64
     offsets = np.zeros(draws.count, dtype=np.uint32)
     if draws.count:
         np.cumsum(per_draw[:-1], out=offsets[1:])
@@ -158,12 +173,13 @@ def unpack_meshlet_refs(geometry: Geometry) -> tuple[np.ndarray, np.ndarray]:
     return vertex_ids, tris
 
 
+@_register_scene_dataclass
 @dataclass
 class DeviceScene:
     """Static-shape arrays ready to become jnp device buffers.
 
-    Everything here is a plain numpy array; the renderer moves them to the
-    device with jax.device_put (or they get traced as constants).
+    Registered as a JAX pytree (meshlet_visibility_count is static metadata)
+    so the whole scene can be passed through jit/shard_map boundaries.
     """
 
     # vertex attributes (dequantized)
@@ -199,6 +215,12 @@ class DeviceScene:
     draw_post_pass: np.ndarray  # i32 [D]
     draw_material_index: np.ndarray  # i32 [D]
 
+    # material factors (reference Material, scene.h:25-37; texture indices
+    # join when the bindless texture table lands)
+    mat_diffuse: np.ndarray = None  # f32 [NM,4]
+    mat_specular: np.ndarray = None  # f32 [NM,4]
+    mat_emissive: np.ndarray = None  # f32 [NM,3]
+
     meshlet_visibility_count: int = 0
 
     @property
@@ -210,10 +232,21 @@ class DeviceScene:
         return len(self.meshlet_radius)
 
 
-def upload(geometry: Geometry, draws: Draws) -> DeviceScene:
-    """Build the static-shape device layout from cooked geometry + draws."""
+def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> DeviceScene:
+    """Build the static-shape device layout from cooked geometry + draws.
+
+    `materials` is an optional dict with diffuse [NM,4] / specular [NM,4] /
+    emissive [NM,3]; absent, a single default material is used (matte white,
+    like the reference's untextured OBJ mode)."""
     vis_count = assign_meshlet_visibility_offsets(draws, geometry.meshes)
     vertex_ids, tris = unpack_meshlet_refs(geometry)
+
+    if materials is None:
+        materials = {
+            "diffuse": np.array([[1.0, 1.0, 1.0, 1.0]], dtype=np.float32),
+            "specular": np.array([[0.0, 0.0, 0.0, 0.0]], dtype=np.float32),
+            "emissive": np.zeros((1, 3), dtype=np.float32),
+        }
 
     positions = geometry.vpos.astype(np.float32)
     normals = math3d.unpack_normal(geometry.vnorm)
@@ -258,5 +291,8 @@ def upload(geometry: Geometry, draws: Draws) -> DeviceScene:
         draw_vis_offset=draws.meshlet_visibility_offset.astype(np.int32),
         draw_post_pass=draws.post_pass.astype(np.int32),
         draw_material_index=draws.material_index.astype(np.int32),
+        mat_diffuse=materials["diffuse"].astype(np.float32),
+        mat_specular=materials["specular"].astype(np.float32),
+        mat_emissive=materials["emissive"].astype(np.float32),
         meshlet_visibility_count=vis_count,
     )

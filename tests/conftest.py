@@ -6,13 +6,21 @@ for bench.py.  Must set env before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even if the environment pre-sets JAX_PLATFORMS=axon (real TPU):
+# tests must not ride the chip tunnel
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
 import numpy as np
 import pytest
+
+# Compilation in this environment can stall on an external service with
+# highly variable latency; a persistent on-disk cache makes reruns cheap.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
 @pytest.fixture(scope="session")

@@ -215,10 +215,11 @@ def test_upload_device_scene(kitten_geometry):
     draws = synthesize_draws(g.meshes.count, draw_count=64)
     ds = scene.upload(g, draws)
     assert ds.num_draws == 64
-    assert ds.meshlet_visibility_count == 64 * g.meshes.lod_meshlet_count[0].max()
-    # visibility offsets strictly increasing by max meshlet count
+    slots_per_draw = (g.meshes.lod_meshlet_count[0].max() + 63) // 64 * 64
+    assert ds.meshlet_visibility_count == 64 * slots_per_draw
+    # visibility offsets strictly increasing by the 64-aligned slot count
     diffs = np.diff(ds.draw_vis_offset)
-    assert np.all(diffs == g.meshes.lod_meshlet_count[0].max())
+    assert np.all(diffs == slots_per_draw)
     # normals decoded to unit-ish vectors
     ln = np.linalg.norm(ds.normals, axis=1)
     assert np.percentile(ln, 5) > 0.9
