@@ -104,10 +104,12 @@ def sample_pyramid_min(pyramid_atlas: jnp.ndarray, uv: jnp.ndarray, level: jnp.n
     x0 = jnp.floor(tx).astype(jnp.int32)
     y0 = jnp.floor(ty).astype(jnp.int32)
 
+    flat = pyramid_atlas.reshape(-1)
+
     def fetch(xi, yi):
         xc = jnp.clip(xi, 0, jnp.maximum(mip_w.astype(jnp.int32) - 1, 0))
         yc = jnp.clip(yi, 0, jnp.maximum(mip_h.astype(jnp.int32) - 1, 0))
-        return pyramid_atlas[lvl, yc, xc]
+        return flat[(lvl * base_h + yc) * base_w + xc]
 
     d00 = fetch(x0, y0)
     d10 = fetch(x0 + 1, y0)

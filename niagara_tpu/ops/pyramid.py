@@ -29,15 +29,23 @@ def _min_sample_reduce(src: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """One reduction step: out[y,x] = min of the 2x2 bilinear footprint of a
     min-reduction sampler at uv=((x,y)+0.5)/out_size (depthreduce.comp.glsl:19)."""
     in_h, in_w = src.shape
+
+    if in_h == out_h * 2 and in_w == out_w * 2:
+        # exact halving: the footprint is the aligned 2x2 block -> dense
+        # reshape-min, no gather (the hot path: all mips of a pow2 pyramid)
+        return src.reshape(out_h, 2, out_w, 2).min(axis=(1, 3))
+
     xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * in_w - 0.5
     ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * in_h - 0.5
     x0 = jnp.floor(xs).astype(jnp.int32)
     y0 = jnp.floor(ys).astype(jnp.int32)
 
+    flat = src.reshape(-1)
+
     def fetch(yi, xi):
         yc = jnp.clip(yi, 0, in_h - 1)
         xc = jnp.clip(xi, 0, in_w - 1)
-        return src[yc][:, xc]
+        return flat[yc[:, None] * in_w + xc[None, :]]
 
     d00 = fetch(y0, x0)
     d10 = fetch(y0, x0 + 1)

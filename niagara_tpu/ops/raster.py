@@ -77,7 +77,8 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
     tri = scene.meshlet_tris[mi]  # [K,96,3]
     tri_count = scene.meshlet_triangle_count[mi]  # [K]
 
-    pos = scene.positions[vid]  # [K,64,3]
+    # one contiguous row per meshlet (768 B) instead of 64 element gathers
+    pos = scene.meshlet_vpos[mi]  # [K,64,3]
     q = scene.draw_orientation[draw_id][:, None, :]  # [K,1,4]
     s = scene.draw_scale[draw_id][:, None, None]
     t = scene.draw_position[draw_id][:, None, :]
@@ -127,10 +128,14 @@ def setup_triangles(tc, width, height, znear):
     """
     tri = tc["tri"]  # [K,96,3]
     K = tri.shape[0]
+    V = tc["sx"].shape[1]
+    # flat global indices: XLA lowers 1-D gathers orders of magnitude better
+    # than take_along_axis on a minor axis (measured on v5e)
+    base = (jnp.arange(K, dtype=jnp.int32) * V)[:, None]
 
     def g(attr, c):
         # gather corner c's per-vertex attribute: [K,64] -> [K,96]
-        return jnp.take_along_axis(attr, tri[..., c], axis=1)
+        return attr.reshape(-1)[base + tri[..., c]]
 
     ax, ay, az = g(tc["sx"], 0), g(tc["sy"], 0), g(tc["zw"], 0)
     bx, by, bz = g(tc["sx"], 1), g(tc["sy"], 1), g(tc["zw"], 1)
@@ -188,6 +193,111 @@ def setup_triangles(tc, width, height, znear):
         y0=flat(y0),
         x1=flat(x1),
         y1=flat(y1),
+    )
+
+
+def compact_setup(tc, width, height, znear, capacity: int):
+    """Validity-test all [K,96] triangles, stream-compact the survivors, and
+    compute edge/depth coefficients only for them.
+
+    This keeps every downstream stage (pair sort, raster, shading) at
+    *active-triangle* scale instead of capacity scale — the single biggest
+    frame-cost lever on TPU, where dense math over dead slots is pure waste.
+
+    Returns the setup dict of [capacity] arrays (same keys as
+    setup_triangles) plus tri_k/tri_t (cluster + local triangle of each slot)
+    and `count`.  Fragment ids are compacted slot indices.
+    """
+    tri = tc["tri"]  # [K,96,3]
+    K = tri.shape[0]
+    V = tc["sx"].shape[1]
+    base = (jnp.arange(K, dtype=jnp.int32) * V)[:, None]
+
+    sx_flat = tc["sx"].reshape(-1)
+    sy_flat = tc["sy"].reshape(-1)
+    zw_flat = tc["zw"].reshape(-1)
+    vz_flat = tc["viewz"].reshape(-1)
+
+    def g(flat, c):
+        return flat[base + tri[..., c]]  # [K,96]
+
+    ax, ay = g(sx_flat, 0), g(sy_flat, 0)
+    bx, by = g(sx_flat, 1), g(sy_flat, 1)
+    cx, cy = g(sx_flat, 2), g(sy_flat, 2)
+
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    front = area > 0.0
+    in_front = (g(vz_flat, 0) > znear * 0.5) & (g(vz_flat, 1) > znear * 0.5) & (g(vz_flat, 2) > znear * 0.5)
+
+    x0 = jnp.floor(jnp.minimum(jnp.minimum(ax, bx), cx))
+    y0 = jnp.floor(jnp.minimum(jnp.minimum(ay, by), cy))
+    x1 = jnp.ceil(jnp.maximum(jnp.maximum(ax, bx), cx))
+    y1 = jnp.ceil(jnp.maximum(jnp.maximum(ay, by), cy))
+    on_screen = (x1 > 0) & (y1 > 0) & (x0 < width) & (y0 < height)
+
+    valid = tc["tri_valid"] & front & in_front & on_screen
+
+    # compact the flat (cluster, tri) index of survivors
+    mask = valid.reshape(-1)
+    pos = jnp.cumsum(mask) - mask
+    count = jnp.minimum(jnp.sum(mask), capacity)
+    slot = jnp.where(mask & (pos < capacity), pos, capacity)
+    tidx = jnp.zeros(capacity, dtype=jnp.int32).at[slot].set(
+        jnp.arange(K * MESH_MAXTRI, dtype=jnp.int32), mode="drop"
+    )
+    tri_k = tidx // MESH_MAXTRI
+    tri_t = tidx % MESH_MAXTRI
+
+    # recompute per-survivor corner data with small gathers
+    loc = tri.reshape(-1, 3)[tidx]  # [cap, 3]
+    vidx = tri_k[:, None] * V + loc  # [cap,3] flat vertex indices
+
+    caxs = sx_flat[vidx]  # [cap,3]
+    cays = sy_flat[vidx]
+    czs = zw_flat[vidx]
+
+    axc, bxc, cxc = caxs[:, 0], caxs[:, 1], caxs[:, 2]
+    ayc, byc, cyc = cays[:, 0], cays[:, 1], cays[:, 2]
+    azc, bzc, czc = czs[:, 0], czs[:, 1], czs[:, 2]
+
+    areac = (bxc - axc) * (cyc - ayc) - (byc - ayc) * (cxc - axc)
+
+    def edge(vx, vy, wx, wy):
+        A = vy - wy
+        B = wx - vx
+        C = -(A * vx + B * vy)
+        return A, B, C
+
+    e0 = edge(axc, ayc, bxc, byc)
+    e1 = edge(bxc, byc, cxc, cyc)
+    e2 = edge(cxc, cyc, axc, ayc)
+
+    inv_area = jnp.where(jnp.abs(areac) < 1e-20, 0.0, 1.0 / areac)
+    za = ((bzc - azc) * (cyc - ayc) - (czc - azc) * (byc - ayc)) * inv_area
+    zb = ((czc - azc) * (bxc - axc) - (bzc - azc) * (cxc - axc)) * inv_area
+    zc = azc - za * axc - zb * ayc
+
+    x0c = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(axc, bxc), cxc)).astype(jnp.int32), 0, width - 1)
+    y0c = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(ayc, byc), cyc)).astype(jnp.int32), 0, height - 1)
+    x1c = jnp.clip(jnp.ceil(jnp.maximum(jnp.maximum(axc, bxc), cxc)).astype(jnp.int32), 0, width)
+    y1c = jnp.clip(jnp.ceil(jnp.maximum(jnp.maximum(ayc, byc), cyc)).astype(jnp.int32), 0, height)
+
+    live = jnp.arange(capacity, dtype=jnp.int32) < count
+    live = live & (x1c > x0c) & (y1c > y0c)
+
+    return dict(
+        valid=live,
+        e=[e0, e1, e2],
+        za=za,
+        zb=zb,
+        zc=zc,
+        x0=x0c,
+        y0=y0c,
+        x1=x1c,
+        y1=y1c,
+        tri_k=tri_k,
+        tri_t=tri_t,
+        count=count,
     )
 
 

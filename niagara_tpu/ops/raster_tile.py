@@ -1,0 +1,267 @@
+"""Pallas tile rasterizer — the hot raster path on TPU.
+
+Design (replaces the scatter-merge in ops/raster.py for the frame loop):
+
+1. **Pair emission + sort (XLA):** each surviving triangle emits
+   (tile_id, tri) pairs for the 8x128-pixel tiles its AABB touches (bounded
+   footprint; larger triangles via a compacted mid path; huge ones dropped
+   with a counter).  Pairs are sorted by tile id — XLA sort is cheap on TPU —
+   and per-tile ranges come from searchsorted.
+2. **Tile kernel (Pallas):** one grid step per tile.  The kernel streams the
+   tile's triangle records from HBM in double-buffered chunks, and for each
+   record evaluates 3 edge functions + the depth plane densely over the
+   (8,128) tile block — pure VPU work, one VREG op per instruction — updating
+   a depth/fragment accumulator in registers.  No global scatter anywhere.
+3. Ties break to the smaller fragment id, and records are processed in
+   deterministic sorted order, so output is bit-stable and matches the
+   scatter-merge rasterizer's resolve rule exactly.
+
+The framebuffer lives in tile-major layout [n_tiles, 8, 128] inside the
+frame loop; `tiles_to_image`/`image_to_tiles` convert at the boundaries.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .raster import INVALID_FRAG, _compact
+
+TILE_H = 8
+TILE_W = 128
+# records are stored transposed [12, R] and DMA'd in lane-aligned chunks of
+# 128 (Mosaic requires 128-lane-aligned HBM slices); chunk windows start at
+# the aligned offset below each tile's range and mask out-of-range records
+REC_CHUNK = 128
+
+# pair-emission footprint caps (in tiles): small path emits densely from
+# [T, SMALL_TX*SMALL_TY]; mid path compacts then emits from
+# [mid_capacity, MID_TX*MID_TY]
+SMALL_TX, SMALL_TY = 2, 3  # up to 256 x 24 px
+MID_TX, MID_TY = 15, 32  # up to 1920 x 256 px
+
+
+def image_to_tiles(img, height, width):
+    """[H,W,...] -> [n_tiles, TILE_H, TILE_W, ...] (row-major tiles)."""
+    ty, tx = height // TILE_H, width // TILE_W
+    rest = img.shape[2:]
+    t = img.reshape((ty, TILE_H, tx, TILE_W) + rest)
+    t = jnp.swapaxes(t, 1, 2)
+    return t.reshape((ty * tx, TILE_H, TILE_W) + rest)
+
+
+def tiles_to_image(tiles, height, width):
+    ty, tx = height // TILE_H, width // TILE_W
+    rest = tiles.shape[3:]
+    t = tiles.reshape((ty, tx, TILE_H, TILE_W) + rest)
+    t = jnp.swapaxes(t, 1, 2)
+    return t.reshape((height, width) + rest)
+
+
+def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int, mid_capacity: int = 8192):
+    """(tile, tri) pair list sorted by tile.
+
+    Returns (pair_tri [P] i32 sorted, tile_start [n_tiles+1] i32, pair_count,
+    huge_dropped)."""
+    n_tiles = tiles_x * tiles_y
+    valid = setup["valid"]
+    T = valid.shape[0]
+
+    tx0 = setup["x0"] // TILE_W
+    ty0 = setup["y0"] // TILE_H
+    txs = (setup["x1"] - 1) // TILE_W - tx0 + 1
+    tys = (setup["y1"] - 1) // TILE_H - ty0 + 1
+
+    is_small = valid & (txs <= SMALL_TX) & (tys <= SMALL_TY)
+    is_mid = valid & ~is_small & (txs <= MID_TX) & (tys <= MID_TY)
+    huge_dropped = jnp.sum(valid & ~is_small & ~is_mid)
+
+    def emit(tri_idx, sel, tx0s, ty0s, txss, tyss, cap_x, cap_y):
+        """Dense [N, cap_x*cap_y] (tile, tri) emission; returns flat arrays."""
+        s = jnp.arange(cap_x * cap_y, dtype=jnp.int32)[None, :]
+        sx = s % cap_x
+        sy = s // cap_x
+        live = sel[:, None] & (sx < txss[:, None]) & (sy < tyss[:, None])
+        tile = (ty0s[:, None] + sy) * tiles_x + (tx0s[:, None] + sx)
+        tile = jnp.where(live, tile, n_tiles)
+        tri = jnp.broadcast_to(tri_idx[:, None], tile.shape)
+        return tile.reshape(-1), tri.reshape(-1)
+
+    tri_idx = jnp.arange(T, dtype=jnp.int32)
+    tile_s, tri_s = emit(tri_idx, is_small, tx0, ty0, txs, tys, SMALL_TX, SMALL_TY)
+
+    mid, n_mid = _compact(
+        is_mid, dict(tri=tri_idx, tx0=tx0, ty0=ty0, txs=txs, tys=tys), mid_capacity
+    )
+    mid_live = jnp.arange(mid_capacity, dtype=jnp.int32) < n_mid
+    tile_m, tri_m = emit(mid["tri"], mid_live, mid["tx0"], mid["ty0"], mid["txs"], mid["tys"], MID_TX, MID_TY)
+
+    tiles_all = jnp.concatenate([tile_s, tile_m])
+    tris_all = jnp.concatenate([tri_s, tri_m])
+
+    # sort by tile; dead pairs (tile == n_tiles) sort to the end.  Secondary
+    # order = emission order (stable sort) -> deterministic.
+    tiles_sorted, tris_sorted = jax.lax.sort((tiles_all, tris_all), num_keys=1, is_stable=True)
+
+    pair_count = jnp.sum(tiles_all < n_tiles)
+    pair_tri = tris_sorted[:pair_capacity]
+    tiles_sorted = tiles_sorted[:pair_capacity]
+
+    tile_start = jnp.searchsorted(tiles_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left")
+    return pair_tri, tile_start.astype(jnp.int32), jnp.minimum(pair_count, pair_capacity), huge_dropped
+
+
+def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
+                   depth_out_ref, vis_out_ref, recs_smem, frag_smem, sems, *, tiles_x):
+    i = pl.program_id(0)
+    start = tile_start_ref[i]
+    end = tile_start_ref[i + 1]
+
+    # lane-aligned chunk window covering [start, end)
+    a0_off = (start // REC_CHUNK) * REC_CHUNK
+    n_chunks = (end - a0_off + REC_CHUNK - 1) // REC_CHUNK
+    rmax = recs_ref.shape[1] - REC_CHUNK
+
+    ox = (i % tiles_x) * TILE_W
+    oy = (i // tiles_x) * TILE_H
+
+    fx = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+          + (jnp.float32(0.5) + ox.astype(jnp.float32)))
+    fy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+          + (jnp.float32(0.5) + oy.astype(jnp.float32)))
+
+    def dma(slot, c):
+        off = jnp.minimum(a0_off + c * REC_CHUNK, rmax)
+        off = pl.multiple_of(off, REC_CHUNK)
+        return (
+            pltpu.make_async_copy(recs_ref.at[:, pl.ds(off, REC_CHUNK)], recs_smem.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(frag_ref.at[:, pl.ds(off, REC_CHUNK)], frag_smem.at[slot], sems.at[slot, 1]),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        a, b = dma(0, 0)
+        a.start()
+        b.start()
+
+    def chunk_body(c, carry):
+        depth, vis = carry
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            a, b = dma((c + 1) % 2, c + 1)
+            a.start()
+            b.start()
+
+        a, b = dma(slot, c)
+        a.wait()
+        b.wait()
+
+        def rec_body(j, carry2):
+            depth, vis = carry2
+            a0 = recs_smem[slot, 0, j]
+            b0 = recs_smem[slot, 1, j]
+            c0 = recs_smem[slot, 2, j]
+            a1 = recs_smem[slot, 3, j]
+            b1 = recs_smem[slot, 4, j]
+            c1 = recs_smem[slot, 5, j]
+            a2 = recs_smem[slot, 6, j]
+            b2 = recs_smem[slot, 7, j]
+            c2 = recs_smem[slot, 8, j]
+            za = recs_smem[slot, 9, j]
+            zb = recs_smem[slot, 10, j]
+            zc = recs_smem[slot, 11, j]
+            frag = frag_smem[slot, 0, j]
+
+            e0 = a0 * fx + b0 * fy + c0
+            e1 = a1 * fx + b1 * fy + c1
+            e2 = a2 * fx + b2 * fy + c2
+            z = za * fx + zb * fy + zc
+
+            cover = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z > 0.0) & (z <= 1.0)
+            gidx = a0_off + c * REC_CHUNK + j
+            live = (gidx >= start) & (gidx < end)
+            cover = cover & live
+
+            closer = cover & (z > depth)
+            tie = cover & (z == depth) & (frag < vis)
+            new_depth = jnp.where(closer, z, depth)
+            new_vis = jnp.where(closer | tie, frag, vis)
+            return new_depth, new_vis
+
+        return jax.lax.fori_loop(0, REC_CHUNK, rec_body, (depth, vis))
+
+    depth0 = depth_in_ref[0]
+    vis0 = vis_in_ref[0]
+    depth, vis = jax.lax.fori_loop(0, n_chunks, chunk_body, (depth0, vis0))
+    depth_out_ref[0] = depth
+    vis_out_ref[0] = vis
+
+
+def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int,
+                    pair_capacity: int, frag_offset=0, interpret: bool = False):
+    """Rasterize set-up triangles into tile-major depth/vis buffers.
+
+    depth_tiles/vis_tiles: [n_tiles, TILE_H, TILE_W] prior contents (cleared
+    or the early pass's output for the late pass).
+    Returns (depth_tiles, vis_tiles, stats dict).
+    """
+    n_tiles = tiles_x * tiles_y
+    pair_tri, tile_start, pair_count, huge_dropped = emit_pairs(
+        setup, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=pair_capacity
+    )
+
+    # per-pair records: gather the triangle's 12 coefficients (flat gathers)
+    a0, b0, c0 = setup["e"][0]
+    a1, b1, c1 = setup["e"][1]
+    a2, b2, c2 = setup["e"][2]
+    cols = [a0, b0, c0, a1, b1, c1, a2, b2, c2, setup["za"], setup["zb"], setup["zc"]]
+    # transposed record layout [12, P]: HBM chunk DMAs slice 128 lanes at a
+    # time, which Mosaic requires to be lane-dim slices
+    recs = jnp.stack([col[pair_tri] for col in cols], axis=0)  # [12, P]
+    # pad rows to a sublane-tiling multiple (8) and columns so the kernel's
+    # fixed-size chunk DMA never reads out of bounds
+    recs = jnp.concatenate([recs, jnp.zeros((4, recs.shape[1]), recs.dtype)], axis=0)
+    recs = jnp.concatenate([recs, jnp.zeros((16, 2 * REC_CHUNK), recs.dtype)], axis=1)
+    # fragment ids ride in their own [8, R] i32 array (row 0) so DMA slices
+    # stay tile-aligned without f32-bitcast denormal hazards
+    frag = jnp.zeros((8, recs.shape[1]), jnp.int32)
+    frag = frag.at[0, : pair_tri.shape[0]].set(pair_tri + frag_offset)
+
+    kernel = functools.partial(_raster_kernel, tiles_x=tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # recs (12 coeff rows)
+            pl.BlockSpec(memory_space=pl.ANY),  # frag ids [8, R] i32
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, 16, REC_CHUNK), jnp.float32),
+            pltpu.SMEM((2, 8, REC_CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    depth_out, vis_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_start, recs, frag, depth_tiles, vis_tiles)
+
+    return depth_out, vis_out, dict(pair_count=pair_count, huge_dropped=huge_dropped)

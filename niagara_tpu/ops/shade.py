@@ -24,21 +24,26 @@ from . import cullmath
 from .raster import INVALID_FRAG
 
 
-def shade_gbuffer(fb, tc, scene, width, height):
+def shade_gbuffer(fb, tc, setup, scene, width, height):
     """Visibility buffer -> G-buffer planes [H,W,4] x2 (reference
-    mesh.frag.glsl:55-95 semantics, sans textures for now)."""
+    mesh.frag.glsl:55-95 semantics, sans textures for now).
+
+    Fragment ids are compacted-triangle slots; setup['tri_k'/'tri_t'] map
+    them back to (cluster, local tri)."""
     frag = fb.vis
     valid = frag != INVALID_FRAG
     f = jnp.where(valid, frag, 0)
-    k = f // MESH_MAXTRI  # cluster index
-    t = f % MESH_MAXTRI  # triangle within cluster
+    k = setup["tri_k"][f]  # cluster index
+    t = setup["tri_t"][f]  # triangle within cluster
 
-    loc = tc["tri"][k, t]  # [H,W,3] meshlet-local corner ids
+    # flat 1-D gathers (fast path on TPU; see ops/raster.py note)
+    nvtx = tc["sx"].shape[1]
+    loc = tc["tri"].reshape(-1, 3)[k * MESH_MAXTRI + t]  # [H,W,3] local corner ids
     draw_id = tc["draw_id"][k]  # [H,W]
+    vbase = k * nvtx
 
-    # corner gathers
     def corner(attr, c):
-        return attr[k, loc[..., c]]  # [H,W]
+        return attr.reshape(-1)[vbase + loc[..., c]]  # [H,W]
 
     sx = [corner(tc["sx"], c) for c in range(3)]
     sy = [corner(tc["sy"], c) for c in range(3)]

@@ -72,7 +72,7 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
     Returns fn(stacked_scene, stacked_state, params, shade_params)
     -> (image [H,W,3] replicated, new stacked_state, stats summed).
     """
-    frag_stride = 2 * cfg.cluster_capacity * 96
+    frag_stride = 2 * cfg.tri_capacity
 
     def per_device(scene, state, params, sp):
         # shard_map passes [1, ...] blocks along the draw axis
@@ -82,7 +82,7 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
         dev = jax.lax.axis_index(axis).astype(jnp.int32)
         offset = dev * frag_stride
 
-        fb, tc, new_state, stats = frame_mod.frame_core(scene, state, params, cfg, frag_offset=offset)
+        fb, tc, setup_all, new_state, stats = frame_mod.frame_core(scene, state, params, cfg, frag_offset=offset)
 
         # ---- sort-last composite over ICI ----
         gdepth = jax.lax.pmax(fb.depth, axis)
@@ -94,7 +94,7 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
         # shade owned pixels with the local attribute tables
         local_vis = jnp.where(mine, fb.vis - offset, INVALID_FRAG)
         local_fb = Framebuffer(depth=gdepth, vis=local_vis)
-        g0, g1, valid = shade.shade_gbuffer(local_fb, tc, scene, cfg.width, cfg.height)
+        g0, g1, valid = shade.shade_gbuffer(local_fb, tc, setup_all, scene, cfg.width, cfg.height)
         img = shade.composite(
             g0,
             g1,

@@ -22,6 +22,39 @@ class Camera:
     znear: float = 0.1
 
 
+def save_camera(path: str, camera: Camera) -> None:
+    """Persist the camera (role of the reference's `P` key + .camera file,
+    niagara.cpp:389-395, scenecache.cpp:372-413)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "version": 1,
+                "position": [float(v) for v in camera.position],
+                "orientation": [float(v) for v in camera.orientation],
+                "fov_y": float(camera.fov_y),
+                "znear": float(camera.znear),
+            },
+            f,
+        )
+
+
+def load_camera(path: str) -> Camera:
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    if data.get("version") != 1:
+        raise ValueError(f"unsupported camera file version in {path}")
+    return Camera(
+        position=np.array(data["position"], dtype=np.float32),
+        orientation=np.array(data["orientation"], dtype=np.float32),
+        fov_y=float(data["fov_y"]),
+        znear=float(data["znear"]),
+    )
+
+
 @dataclass
 class RenderSettings:
     """Runtime toggles (reference key bindings, niagara.cpp:332-409)."""

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import bloom, cull, pyramid, raster, shade
+from ..ops import bloom, cull, pyramid, raster, raster_tile, shade
 from ..utils import math3d
 from .camera import Camera, RenderSettings, make_cull_params
 
@@ -52,6 +52,13 @@ class FrameConfig:
     big_capacity: int = 512
     occlusion_two_pass: bool = True
     bloom: bool = True
+    # tile rasterizer (Pallas) vs scatter-merge fallback; interpret=True runs
+    # the kernel in interpreter mode (CPU tests / virtual-device dryruns)
+    use_tile_raster: bool = True
+    raster_interpret: bool = False
+    pair_capacity: int = 1 << 21
+    # max live triangles per raster pass after compaction (fragment-id space)
+    tri_capacity: int = 1 << 20
 
     @property
     def pyramid_levels_shape(self):
@@ -126,12 +133,33 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
     ccount_e, tc_e, _ = _render_pass(
         scene, params, cmds_e, state.vis_words, empty_atlas, cfg, late=False, pyr_hw=pyr_hw
     )
-    st_e = raster.setup_triangles(tc_e, cfg.width, cfg.height, params.znear)
-    fb = raster.rasterize(
-        st_e, cfg.width, cfg.height,
-        small_capacity=cfg.small_capacity, big_capacity=cfg.big_capacity,
-        frag_offset=frag_offset,
-    )
+    st_e = raster.compact_setup(tc_e, cfg.width, cfg.height, params.znear, cfg.tri_capacity)
+
+    use_tiles = cfg.use_tile_raster
+    if use_tiles:
+        assert cfg.width % raster_tile.TILE_W == 0 and cfg.height % raster_tile.TILE_H == 0, (
+            "tile raster requires the render size to be a multiple of (8,128)"
+        )
+        tiles_x = cfg.width // raster_tile.TILE_W
+        tiles_y = cfg.height // raster_tile.TILE_H
+        n_tiles = tiles_x * tiles_y
+        depth_t = jnp.zeros((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32)
+        vis_t = jnp.full((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), raster.INVALID_FRAG, jnp.int32)
+        depth_t, vis_t, _ = raster_tile.rasterize_tiles(
+            st_e, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
+            pair_capacity=cfg.pair_capacity, frag_offset=frag_offset,
+            interpret=cfg.raster_interpret,
+        )
+        fb = raster.Framebuffer(
+            depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
+            vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
+        )
+    else:
+        fb = raster.rasterize(
+            st_e, cfg.width, cfg.height,
+            small_capacity=cfg.small_capacity, big_capacity=cfg.big_capacity,
+            frag_offset=frag_offset,
+        )
 
     if cfg.occlusion_two_pass:
         # --- depth pyramid from the early pass ---
@@ -147,19 +175,38 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         ccount_l, tc_l, new_words = _render_pass(
             scene, params, cmds_l, state.vis_words, atlas, cfg, late=True, pyr_hw=pyr_hw
         )
-        st_l = raster.setup_triangles(tc_l, cfg.width, cfg.height, params.znear)
+        st_l = raster.compact_setup(tc_l, cfg.width, cfg.height, params.znear, cfg.tri_capacity)
         # merge late-pass fragments into the early framebuffer; fragment ids
         # are offset so both passes shade from concatenated cluster arrays
-        fb = raster.rasterize_onto(
-            fb,
-            st_l,
-            cfg.width,
-            cfg.height,
-            frag_offset=frag_offset + cfg.cluster_capacity * 96,
-            small_capacity=cfg.small_capacity,
-            big_capacity=cfg.big_capacity,
-        )
+        if use_tiles:
+            depth_t, vis_t, _ = raster_tile.rasterize_tiles(
+                st_l, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
+                pair_capacity=cfg.pair_capacity,
+                frag_offset=frag_offset + cfg.tri_capacity,
+                interpret=cfg.raster_interpret,
+            )
+            fb = raster.Framebuffer(
+                depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
+                vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
+            )
+        else:
+            fb = raster.rasterize_onto(
+                fb,
+                st_l,
+                cfg.width,
+                cfg.height,
+                frag_offset=frag_offset + cfg.tri_capacity,
+                small_capacity=cfg.small_capacity,
+                big_capacity=cfg.big_capacity,
+            )
         tc = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), tc_e, tc_l)
+        # fragment ids of the two passes live in disjoint [0,T) and [T,2T)
+        # ranges; late tri_k shifts by cluster_capacity to index the
+        # concatenated tc arrays
+        setup_all = dict(
+            tri_k=jnp.concatenate([st_e["tri_k"], st_l["tri_k"] + cfg.cluster_capacity]),
+            tri_t=jnp.concatenate([st_e["tri_t"], st_l["tri_t"]]),
+        )
         new_state = FrameState(draw_vis=new_draw_vis.astype(jnp.int32), vis_words=new_words)
         stats = FrameStats(
             early_commands=cmds_e.count,
@@ -170,6 +217,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         )
     else:
         tc = tc_e
+        setup_all = dict(tri_k=st_e["tri_k"], tri_t=st_e["tri_t"])
         new_state = state
         stats = FrameStats(
             early_commands=cmds_e.count,
@@ -179,15 +227,15 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             visible_draws=jnp.sum(emit_e),
         )
 
-    return fb, tc, new_state, stats
+    return fb, tc, setup_all, new_state, stats
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cfg: FrameConfig):
     """Render one frame.  Returns (image [H,W,3], fb, new_state, stats)."""
-    fb, tc, new_state, stats = frame_core(scene, state, params, cfg)
+    fb, tc, setup_all, new_state, stats = frame_core(scene, state, params, cfg)
 
-    g0, g1, valid = shade.shade_gbuffer(fb, tc, scene, cfg.width, cfg.height)
+    g0, g1, valid = shade.shade_gbuffer(fb, tc, setup_all, scene, cfg.width, cfg.height)
     bloom_img = None
     if cfg.bloom:
         bloom_half = bloom.compute_bloom(g0, cfg.width, cfg.height)

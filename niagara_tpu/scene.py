@@ -191,6 +191,12 @@ class DeviceScene:
     # meshlets (fixed shape)
     meshlet_vertices: np.ndarray  # i32 [M, MESH_MAXVTX]
     meshlet_tris: np.ndarray  # i32 [M, MESH_MAXTRI, 3]
+    # packed per-meshlet vertex data: positions + shading attributes copied
+    # per meshlet slot at upload.  TPU-first layout: element gathers from
+    # global vertex arrays are slow; one contiguous row per meshlet makes the
+    # hot raster path a coarse row gather (see ops/raster.py).
+    meshlet_vpos: np.ndarray  # f32 [M, MESH_MAXVTX, 3]
+    meshlet_vattr: np.ndarray  # f32 [M, MESH_MAXVTX, 5] (normal xyz, uv)
     meshlet_center: np.ndarray  # f32 [M,3]
     meshlet_radius: np.ndarray  # f32 [M]
     meshlet_cone_axis: np.ndarray  # f32 [M,3] (snorm8 / 127)
@@ -265,6 +271,11 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
     tan_sign = np.where((geometry.vnorm & np.uint32(1 << 30)) != 0, -1.0, 1.0).astype(np.float32)
     tangents = np.concatenate([tan_xyz, tan_sign[:, None]], axis=-1)
 
+    meshlet_vpos = positions[vertex_ids]  # [M, 64, 3]
+    meshlet_vattr = np.concatenate(
+        [normals[vertex_ids], geometry.vuv.astype(np.float32)[vertex_ids]], axis=-1
+    )  # [M, 64, 5]
+
     return DeviceScene(
         positions=positions,
         normals=normals,
@@ -272,6 +283,8 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
         tangents=tangents,
         meshlet_vertices=vertex_ids,
         meshlet_tris=tris,
+        meshlet_vpos=meshlet_vpos,
+        meshlet_vattr=meshlet_vattr,
         meshlet_center=geometry.meshlets.center.astype(np.float32),
         meshlet_radius=geometry.meshlets.radius.astype(np.float32),
         meshlet_cone_axis=(geometry.meshlets.cone_axis.astype(np.float32) / 127.0),

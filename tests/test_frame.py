@@ -18,6 +18,20 @@ CFG = frame_mod.FrameConfig(
     cluster_capacity=1 << 12,
     small_capacity=1 << 16,
     big_capacity=128,
+    pair_capacity=1 << 14,
+    raster_interpret=True,  # CPU tests run the Pallas kernel interpreted
+)
+
+# scatter-merge fallback config (same scene, same expectations)
+CFG_SCATTER = frame_mod.FrameConfig(
+    width=128,
+    height=128,
+    max_groups=8,
+    cmd_capacity=1 << 10,
+    cluster_capacity=1 << 12,
+    small_capacity=1 << 16,
+    big_capacity=128,
+    use_tile_raster=False,
 )
 
 
@@ -33,13 +47,20 @@ def tiny_scene(kitten_geometry):
     return scene_mod.upload(kitten_geometry, draws)
 
 
-def render(scene, state=None, settings=None):
+def render(scene, state=None, settings=None, cfg=CFG):
     cam = Camera()
     settings = settings or RenderSettings()
-    params, sp = frame_mod.make_frame_inputs(cam, settings, CFG)
+    params, sp = frame_mod.make_frame_inputs(cam, settings, cfg)
     if state is None:
         state = frame_mod.init_state(scene.num_draws, scene.meshlet_visibility_count)
-    return frame_mod.render_frame(scene, state, params, sp, CFG)
+    return frame_mod.render_frame(scene, state, params, sp, cfg)
+
+
+def test_tile_and_scatter_rasterizers_agree(tiny_scene):
+    _, fb_t, _, _ = render(tiny_scene)
+    _, fb_s, _, _ = render(tiny_scene, cfg=CFG_SCATTER)
+    np.testing.assert_array_equal(np.asarray(fb_t.depth), np.asarray(fb_s.depth))
+    np.testing.assert_array_equal(np.asarray(fb_t.vis), np.asarray(fb_s.vis))
 
 
 def test_first_frame_renders_geometry(tiny_scene):

@@ -1,0 +1,213 @@
+import base64
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from niagara_tpu.cooker import gltf
+from niagara_tpu.utils import math3d
+
+
+def make_test_gltf(tmp_path, animated=False):
+    """Two nodes sharing one cube mesh; one rotated+scaled; 2 materials;
+    a perspective camera and a directional + point light."""
+    # cube: 8 verts, 12 tris
+    verts = np.array(
+        [
+            [x, y, z]
+            for x in (-1, 1)
+            for y in (-1, 1)
+            for z in (-1, 1)
+        ],
+        dtype=np.float32,
+    )
+    normals = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    tris = np.array(
+        [
+            [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+            [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+            [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+        ],
+        dtype=np.uint16,
+    )
+
+    pos_bytes = verts.tobytes()
+    nrm_bytes = normals.astype(np.float32).tobytes()
+    idx_bytes = tris.tobytes()
+    buffer = pos_bytes + nrm_bytes + idx_bytes
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [
+            {
+                "uri": "data:application/octet-stream;base64," + base64.b64encode(buffer).decode(),
+                "byteLength": len(buffer),
+            }
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pos_bytes)},
+            {"buffer": 0, "byteOffset": len(pos_bytes), "byteLength": len(nrm_bytes)},
+            {"buffer": 0, "byteOffset": len(pos_bytes) + len(nrm_bytes), "byteLength": len(idx_bytes)},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 8, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 8, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5123, "count": 36, "type": "SCALAR"},
+        ],
+        "meshes": [
+            {
+                "primitives": [
+                    {"attributes": {"POSITION": 0, "NORMAL": 1}, "indices": 2, "material": 0}
+                ]
+            }
+        ],
+        "materials": [
+            {
+                "pbrMetallicRoughness": {
+                    "baseColorFactor": [0.8, 0.2, 0.1, 1.0],
+                    "roughnessFactor": 0.4,
+                },
+                "emissiveFactor": [0.1, 0.0, 0.0],
+            },
+            {"pbrMetallicRoughness": {"baseColorFactor": [0, 1, 0, 0.4]}, "alphaMode": "MASK"},
+        ],
+        "cameras": [{"type": "perspective", "perspective": {"yfov": 0.9, "znear": 0.05}}],
+        "extensions": {
+            "KHR_lights_punctual": {
+                "lights": [
+                    {"type": "directional", "intensity": 3.0},
+                    {"type": "point", "color": [1, 0.5, 0.2], "intensity": 7.0, "range": 12.0},
+                ]
+            }
+        },
+        "extensionsUsed": ["KHR_lights_punctual"],
+        "nodes": [
+            {"mesh": 0, "translation": [1, 2, 3]},
+            {"mesh": 0, "translation": [-4, 0, 0], "rotation": [0, 0.7071068, 0, 0.7071068], "scale": [2, 2, 2]},
+            {"camera": 0, "translation": [0, 1, 10]},
+            {"extensions": {"KHR_lights_punctual": {"light": 0}}},
+            {"extensions": {"KHR_lights_punctual": {"light": 1}}, "translation": [5, 5, 5]},
+        ],
+        "scenes": [{"nodes": [0, 1, 2, 3, 4]}],
+        "scene": 0,
+    }
+
+    if animated:
+        times = np.array([0.0, 1.0, 2.0], dtype=np.float32)
+        values = np.array([[0, 0, 0], [0, 5, 0], [0, 0, 0]], dtype=np.float32)
+        anim_buf = times.tobytes() + values.tobytes()
+        doc["buffers"].append(
+            {
+                "uri": "data:application/octet-stream;base64," + base64.b64encode(anim_buf).decode(),
+                "byteLength": len(anim_buf),
+            }
+        )
+        doc["bufferViews"] += [
+            {"buffer": 1, "byteOffset": 0, "byteLength": 12},
+            {"buffer": 1, "byteOffset": 12, "byteLength": 36},
+        ]
+        doc["accessors"] += [
+            {"bufferView": 3, "componentType": 5126, "count": 3, "type": "SCALAR"},
+            {"bufferView": 4, "componentType": 5126, "count": 3, "type": "VEC3"},
+        ]
+        doc["animations"] = [
+            {
+                "samplers": [{"input": 3, "output": 4, "interpolation": "LINEAR"}],
+                "channels": [{"sampler": 0, "target": {"node": 0, "path": "translation"}}],
+            }
+        ]
+
+    path = tmp_path / "test.gltf"
+    path.write_text(json.dumps(doc))
+    return str(path)
+
+
+def test_load_scene_basics(tmp_path):
+    scene = gltf.load_scene(make_test_gltf(tmp_path))
+    g = scene.geometry
+
+    assert g.meshes.count == 1  # one primitive cooked once, shared by 2 draws
+    assert scene.draws.count == 2
+    np.testing.assert_allclose(scene.draws.position[0], [1, 2, 3])
+    np.testing.assert_allclose(scene.draws.position[1], [-4, 0, 0])
+    assert scene.draws.scale[1] == pytest.approx(2.0)
+    # rotation quaternion preserved (y-axis 90deg)
+    v = math3d.rotate_quat(np.array([1.0, 0, 0]), scene.draws.orientation[1])
+    np.testing.assert_allclose(v, [0, 0, -1], atol=1e-5)
+
+    # cube geometry: 12 tris at LOD0, sane bounds
+    assert g.meshes.lod_index_count[0, 0] == 36
+    assert g.meshes.radius[0] == pytest.approx(np.sqrt(3), rel=1e-2)
+
+    # materials
+    np.testing.assert_allclose(scene.materials["diffuse"][0], [0.8, 0.2, 0.1, 1.0])
+    assert scene.materials["specular"][0, 3] == pytest.approx(0.6)  # 1 - roughness
+    np.testing.assert_allclose(scene.materials["emissive"][0], [0.1, 0, 0])
+    # second material is alpha-masked -> but the cube uses material 0
+    assert scene.draws.post_pass[0] == 0
+
+    # camera + lights
+    np.testing.assert_allclose(scene.camera_position, [0, 1, 10])
+    assert scene.camera_fov_y == pytest.approx(0.9)
+    np.testing.assert_allclose(scene.sun_direction, [0, 0, 1], atol=1e-6)  # identity light node
+    assert len(scene.lights["range"]) == 1
+    np.testing.assert_allclose(scene.lights["position"][0], [5, 5, 5])
+    assert scene.lights["intensity"][0] == pytest.approx(7.0)
+
+
+def test_load_scene_renders(tmp_path):
+    """End-to-end: glTF -> upload -> one frame."""
+    import jax.numpy as jnp
+
+    from niagara_tpu import scene as scene_mod
+    from niagara_tpu.render import frame as frame_mod
+    from niagara_tpu.render.camera import Camera, RenderSettings
+    from niagara_tpu.ops.raster import INVALID_FRAG
+
+    sd = gltf.load_scene(make_test_gltf(tmp_path))
+    ds = scene_mod.upload(sd.geometry, sd.draws, sd.materials)
+
+    cfg = frame_mod.FrameConfig(
+        width=128, height=128, max_groups=1,
+        cmd_capacity=64, cluster_capacity=64,
+        small_capacity=1 << 12, big_capacity=32, pair_capacity=1 << 12,
+        raster_interpret=True, bloom=False,
+    )
+    cam = Camera(
+        position=np.array(sd.camera_position, dtype=np.float32),
+        orientation=np.array(sd.camera_orientation, dtype=np.float32),
+        fov_y=sd.camera_fov_y,
+    )
+    params, sp = frame_mod.make_frame_inputs(cam, RenderSettings(), cfg, sun_direction=sd.sun_direction)
+    state = frame_mod.init_state(ds.num_draws, ds.meshlet_visibility_count)
+    image, fb, state, stats = frame_mod.render_frame(ds, state, params, sp, cfg)
+    vis = np.asarray(fb.vis)
+    assert (vis != INVALID_FRAG).sum() > 50  # cubes visible
+    # shaded color reflects the red-ish material
+    img = np.asarray(image)
+    covered = vis != INVALID_FRAG
+    assert img[covered][:, 0].mean() > img[covered][:, 2].mean()
+
+
+def test_animation_resampling(tmp_path):
+    sd = gltf.load_scene(make_test_gltf(tmp_path, animated=True))
+    at = sd.animations
+    assert at.draw_index.shape[0] == 1
+    assert at.draw_index[0] == 0
+    assert at.key_count[0] >= 2
+
+    from niagara_tpu.render import animation
+
+    # at t=1.0 the translation should be ~[0, 5, 0]
+    _, pos, scale, orient, active = animation.evaluate(at, jnp_time(1.0))
+    np.testing.assert_allclose(np.asarray(pos[0]), [0, 5, 0], atol=0.2)
+    # at t=0 back at origin
+    _, pos0, _, _, _ = animation.evaluate(at, jnp_time(0.0))
+    np.testing.assert_allclose(np.asarray(pos0[0]), [0, 0, 0], atol=0.2)
+
+
+def jnp_time(t):
+    import jax.numpy as jnp
+
+    return jnp.float32(t)

@@ -12,7 +12,8 @@ from niagara_tpu.ops import raster
 rasterize_j = partial(
     jax.jit, static_argnames=("width", "height", "small_capacity", "big_capacity", "frag_offset")
 )(raster.rasterize)
-setup_j = partial(jax.jit, static_argnames=("width", "height", "znear"))(raster.setup_triangles)
+setup_j = partial(jax.jit, static_argnames=("width", "height", "znear", "capacity"))(raster.compact_setup)
+SETUP_CAP = 1024
 
 
 TRIS_PER_CLUSTER = MESH_MAXVTX // 3  # 21 unshared-corner triangles per cluster
@@ -54,9 +55,34 @@ def make_tc(screen_tris, width, height):
     )
 
 
-def frag_of(t):
-    """Oracle triangle index -> rasterizer fragment id."""
-    return (t // TRIS_PER_CLUSTER) * MESH_MAXTRI + t % TRIS_PER_CLUSTER
+def tri_is_valid(corners, width, height):
+    """Replicates compact_setup's validity test for the oracle id mapping."""
+    (ax, ay, _, _), (bx, by, _, _), (cx, cy, _, _) = corners
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    if area <= 0:
+        return False
+    x0 = max(min(int(np.floor(min(ax, bx, cx))), width - 1), 0)
+    y0 = max(min(int(np.floor(min(ay, by, cy))), height - 1), 0)
+    x1 = max(min(int(np.ceil(max(ax, bx, cx))), width), 0)
+    y1 = max(min(int(np.ceil(max(ay, by, cy))), height), 0)
+    return x1 > x0 and y1 > y0
+
+
+def frag_map(screen_tris, width=64, height=64):
+    """Oracle triangle index -> compacted fragment id (or None if culled)."""
+    out = {}
+    slot = 0
+    for t, corners in enumerate(screen_tris):
+        if tri_is_valid(corners, width, height):
+            out[t] = slot
+            slot += 1
+    return out
+
+
+def frag_of(t, screen_tris=None, width=64, height=64):
+    if screen_tris is None:
+        return t  # all-valid sequential emission -> identity mapping
+    return frag_map(screen_tris, width, height).get(t)
 
 
 def raster_oracle(screen_tris, width, height):
@@ -87,7 +113,7 @@ def raster_oracle(screen_tris, width, height):
 
 def run_raster(screen_tris, width=64, height=64, small_capacity=256, big_capacity=32):
     tc = make_tc(screen_tris, width, height)
-    st = setup_j(tc, width, height, 0.1)
+    st = setup_j(tc, width, height, 0.1, SETUP_CAP)
     fb = rasterize_j(st, width, height, small_capacity=small_capacity, big_capacity=big_capacity)
     return np.asarray(fb.depth), np.asarray(fb.vis)
 
@@ -150,7 +176,9 @@ def test_many_small_triangles_match_oracle(rng):
     assert ((vis != raster.INVALID_FRAG) == inside).all()
     # fragment ids agree almost everywhere (tiny z float differences between
     # the plane-solve and barycentric formulations may flip rare overlaps)
-    assert (vis[inside] == frag_of(ovis[inside])).mean() > 0.95
+    fm = frag_map(tris)
+    expected = np.vectorize(lambda t: fm.get(int(t), -1))(ovis[inside])
+    assert (vis[inside] == expected).mean() > 0.95
 
 
 def test_big_triangle_path():

@@ -54,13 +54,14 @@ def main():
         width=width, height=height, max_groups=8,
         cmd_capacity=1 << 16, cluster_capacity=1 << 17,
         small_capacity=1 << 21, big_capacity=512,
+        pair_capacity=1 << 21, tri_capacity=1 << 20,
     )
     params, sp = frame_mod.make_frame_inputs(Camera(), RenderSettings(), cfg)
     levels, ph, pw = cfg.pyramid_levels_shape
     pyr_hw = (ph, pw)
     atlas0 = jnp.zeros((levels, ph, pw), dtype=jnp.float32)
     dvb = jnp.ones(scene.num_draws, dtype=jnp.int32)
-    vis_words = jnp.zeros((max(scene.meshlet_visibility_count, 64) + 31) // 32, dtype=jnp.uint32)
+    vis_words = jnp.full((max(scene.meshlet_visibility_count, 64) + 31) // 32, 0xFFFFFFFF, dtype=jnp.uint32)
 
     dc = partial(jax.jit, static_argnames=("late", "pyramid_shape"))(cull.draw_cull)
     emit, lod, vis = timed("drawcull", dc, scene, params, dvb, atlas0, late=False, pyramid_shape=pyr_hw)
@@ -79,19 +80,37 @@ def main():
     tc = timed("transform_clusters", tcf, scene, ccmd, clane, ccount, cmds, params.view,
                params.p00, params.p11, params.znear, width=cfg.width, height=cfg.height)
 
-    stf = partial(jax.jit, static_argnames=("width", "height"))(
-        lambda tc, w, h, zn: raster.setup_triangles(tc, w, h, zn), )
-    st = timed("setup_triangles", partial(jax.jit, static_argnames=())(lambda t: raster.setup_triangles(t, cfg.width, cfg.height, 0.1)), tc)
-    print(f"{'':28s} [valid tris={int(jnp.sum(st['valid']))}]")
+    st = timed("compact_setup", jax.jit(lambda t: raster.compact_setup(t, cfg.width, cfg.height, float(params.znear), cfg.tri_capacity)), tc)
+    print(f"{'':28s} [valid tris={int(st['count'])}]", flush=True)
 
-    rz = partial(jax.jit, static_argnames=("width", "height", "small_capacity", "big_capacity"))(raster.rasterize)
-    fb = timed("rasterize", rz, st, cfg.width, cfg.height, small_capacity=cfg.small_capacity, big_capacity=cfg.big_capacity)
+    from niagara_tpu.ops import raster_tile
+    tiles_x = cfg.width // raster_tile.TILE_W
+    tiles_y = cfg.height // raster_tile.TILE_H
+    n_tiles = tiles_x * tiles_y
+
+    ep = partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "pair_capacity"))(raster_tile.emit_pairs)
+    pair_tri, tile_start, pair_count, huge = timed(
+        "emit_pairs(sort)", ep, st, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=cfg.pair_capacity)
+    print(f"{'':28s} [pairs={int(pair_count)} huge_dropped={int(huge)}]", flush=True)
+
+    def tile_raster(st):
+        depth_t = jnp.zeros((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32)
+        vis_t = jnp.full((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), 0x7FFFFFFF, jnp.int32)
+        d, v, _ = raster_tile.rasterize_tiles(
+            st, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
+            pair_capacity=cfg.pair_capacity)
+        return raster_tile.tiles_to_image(d, cfg.height, cfg.width), raster_tile.tiles_to_image(v, cfg.height, cfg.width)
+
+    depth_img, vis_img = timed("rasterize_tiles+emit", jax.jit(tile_raster), st)
+    from niagara_tpu.ops.raster import Framebuffer
+    fb = Framebuffer(depth=depth_img, vis=vis_img)
 
     pj = partial(jax.jit, static_argnames=("levels", "ph", "pw"))(pyramid.build_pyramid)
     timed("depth_pyramid", pj, fb.depth, levels, ph, pw)
 
+    setup_all = dict(tri_k=st["tri_k"], tri_t=st["tri_t"])
     sg = partial(jax.jit, static_argnames=("width", "height"))(shade.shade_gbuffer)
-    g0, g1, valid = timed("shade_gbuffer", sg, fb, tc, scene, width=cfg.width, height=cfg.height)
+    g0, g1, valid = timed("shade_gbuffer", sg, fb, tc, setup_all, scene, width=cfg.width, height=cfg.height)
 
     co = partial(jax.jit, static_argnames=("width", "height"))(
         lambda g0, g1, d, v, sp: shade.composite(
@@ -102,6 +121,10 @@ def main():
         )
     )
     timed("composite", co, g0, g1, fb.depth, valid, sp)
+
+    from niagara_tpu.ops import bloom as bloom_mod
+    bl = partial(jax.jit, static_argnames=("width", "height"))(bloom_mod.compute_bloom)
+    timed("bloom", bl, g0, width=cfg.width, height=cfg.height)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Offline renderer: render frames of a scene to PPM images.
+
+The headless analog of the reference's interactive window — renders the
+synthetic kitten scene (or a .gltf/.obj) with the full pipeline and writes
+frame_NNN.ppm plus a HUD overlay with frame stats.
+
+Usage:
+  python tools/render_scene.py [scene.gltf|scene.obj ...] \
+      [--draws N] [--frames N] [--size WxH] [--out DIR] [--orbit]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np
+
+from niagara_tpu.cooker.cook import cook_or_load
+from niagara_tpu.cooker.synth import synthesize_draws
+from niagara_tpu.render import frame as frame_mod, hud
+from niagara_tpu.render.camera import Camera, RenderSettings, load_camera, save_camera
+from niagara_tpu.scene import upload
+from niagara_tpu.utils import math3d
+from niagara_tpu.utils.profiling import FrameProfiler
+from niagara_tpu.utils.png import write_png
+
+
+def write_ppm(path: str, image: np.ndarray):
+    """image [H,W,3] float in [0,1] -> binary PPM."""
+    data = (np.clip(image, 0, 1) * 255).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"P6\n%d %d\n255\n" % (data.shape[1], data.shape[0]))
+        f.write(data.tobytes())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene", nargs="*", default=["/root/reference/data/kitten.obj"])
+    ap.add_argument("--draws", type=int, default=10000)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--size", default="1920x1080")
+    ap.add_argument("--out", default="/tmp/niagara_frames")
+    ap.add_argument("--orbit", action="store_true", help="orbit the camera around the scene")
+    ap.add_argument("--camera", default=None, help="camera persistence file (.camera.json)")
+    args = ap.parse_args()
+
+    width, height = map(int, args.size.split("x"))
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.scene[0].endswith((".gltf", ".glb")):
+        from niagara_tpu.cooker import gltf
+
+        sd = gltf.load_scene(args.scene[0])
+        geometry, draws, materials = sd.geometry, sd.draws, sd.materials
+        cam = Camera()
+        if sd.camera_position is not None:
+            cam = Camera(position=sd.camera_position, orientation=sd.camera_orientation, fov_y=sd.camera_fov_y)
+        sun = sd.sun_direction
+    else:
+        geometry = cook_or_load(args.scene, cache_dir="/root/repo/.cache")
+        draws = synthesize_draws(geometry.meshes.count, draw_count=args.draws)
+        materials = None
+        cam = Camera()
+        sun = None
+
+    if args.camera and os.path.exists(args.camera):
+        cam = load_camera(args.camera)
+        print(f"loaded camera from {args.camera}")
+
+    scene = jax.device_put(upload(geometry, draws, materials))
+
+    cfg = frame_mod.FrameConfig(
+        width=width,
+        height=height,
+        max_groups=int(np.ceil(geometry.meshes.lod_meshlet_count.max() / 64)),
+        cmd_capacity=1 << 16,
+        cluster_capacity=1 << 17,
+        pair_capacity=1 << 21,
+        raster_interpret=jax.default_backend() == "cpu",
+    )
+    settings = RenderSettings()
+    state = frame_mod.init_state(scene.num_draws, scene.meshlet_visibility_count)
+    prof = FrameProfiler()
+
+    for n in range(args.frames):
+        if args.orbit:
+            angle = 2 * np.pi * n / max(args.frames, 1)
+            cam.orientation = math3d.quat_axis_angle(np.array([0, 1, 0]), angle)
+
+        params, sp = frame_mod.make_frame_inputs(cam, settings, cfg, sun_direction=sun)
+        prof.begin_frame()
+        image, fb, state, stats = frame_mod.render_frame(scene, state, params, sp, cfg)
+        img = np.asarray(image)  # device->host sync
+        ms = prof.end_frame()
+
+        img = np.asarray(
+            hud.draw_hud(
+                jax.numpy.asarray(img),
+                [
+                    f"frame {ms:8.2f} ms",
+                    f"draws visible {int(stats.visible_draws)}",
+                    f"clusters e/l {int(stats.early_clusters)}/{int(stats.late_clusters)}",
+                ],
+            )
+        )
+        path = os.path.join(args.out, f"frame_{n:03d}.png")
+        write_png(path, img)
+        print(f"{path}: {ms:.1f} ms, visible draws {int(stats.visible_draws)}")
+
+    if args.camera:
+        save_camera(args.camera, cam)
+        print(f"saved camera to {args.camera}")
+
+    print(prof.report(stats))
+
+
+if __name__ == "__main__":
+    main()
