@@ -51,14 +51,20 @@ def main():
 
     scene = jax.device_put(scene)
 
+    # capacities sized to the synthetic scene's steady-state visible set;
+    # the 16-level LOD chain keeps visible clusters near the visible draw
+    # count, so the same budgets cover 100k and 1M draws.  Env-overridable.
+    big = draw_count > 300_000
     cfg = frame_mod.FrameConfig(
         width=width,
         height=height,
         max_groups=int(np.ceil(geometry.meshes.lod_meshlet_count.max() / 64)),
-        cmd_capacity=1 << 16,
-        cluster_capacity=1 << 17,
-        small_capacity=1 << 21,
-        big_capacity=512,
+        cmd_capacity=int(os.environ.get("BENCH_CMD_CAP", 1 << 16 if big else 1 << 14)),
+        cluster_capacity=int(os.environ.get("BENCH_CLUSTER_CAP", 1 << 16)),
+        tri_capacity=int(os.environ.get("BENCH_TRI_CAP", 1 << 20)),
+        pair_capacity=int(os.environ.get("BENCH_PAIR_CAP", 1 << 20)),
+        late_cluster_capacity=int(os.environ.get("BENCH_LATE_CLUSTER_CAP", 1 << 14)),
+        late_tri_capacity=int(os.environ.get("BENCH_LATE_TRI_CAP", 1 << 18)),
     )
 
     cam = Camera()

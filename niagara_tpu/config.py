@@ -28,8 +28,11 @@ TASK_WGSIZE = 64
 TASK_WGLIMIT = 1 << 22  # max task commands in flight
 CLUSTER_LIMIT = 1 << 24  # max visible clusters
 
-# Number of LOD slots per mesh (reference: scene.h:92 "MeshLod lods[8]")
-MAX_LODS = 8
+# Number of LOD slots per mesh.  The reference stops at 8 (scene.h:92
+# "MeshLod lods[8]"); we extend to 16 because software rasterization makes
+# distant-draw triangle counts precious — the deeper chain lets a far-away
+# mesh collapse to a single meshlet.
+MAX_LODS = 16
 
 # --- TPU-specific tuning ---
 

@@ -75,14 +75,14 @@ class _CkCooked(ctypes.Structure):
         ("radius", ctypes.c_float),
         ("lod_count", ctypes.c_uint32),
         ("lod_rt", ctypes.c_uint32),
-        ("lods", _CkLod * 8),
+        ("lods", _CkLod * 16),
     ]
 
 
 def _build_library() -> None:
     sources = [
         os.path.join(_NATIVE_DIR, f)
-        for f in ("cooker.cpp", "meshlet.cpp", "simplify.cpp", "cooker.h", "half.h", "Makefile")
+        for f in ("cooker.cpp", "meshlet.cpp", "simplify.cpp", "bvh.cpp", "cooker.h", "half.h", "Makefile")
     ]
     if os.path.exists(_LIB_PATH):
         lib_mtime = os.path.getmtime(_LIB_PATH)
@@ -277,3 +277,31 @@ def simplify_scale(positions: np.ndarray) -> float:
     lib = get_lib()
     positions = np.ascontiguousarray(positions, dtype=np.float32)
     return float(lib.ck_simplify_scale(_ptr(positions), len(positions)))
+
+
+def build_bvh(positions: np.ndarray, indices: np.ndarray):
+    """Skip-pointer BVH over a triangle soup.
+
+    Returns (nodes [N,8] f32 — aabb min/max + skip/leaf as int bits,
+    tri_order [T] u32 — leaf-order triangle permutation)."""
+    lib = get_lib()
+    if not hasattr(lib.ck_build_bvh, "argtypes") or lib.ck_build_bvh.argtypes is None:
+        pass
+    lib.ck_build_bvh.restype = ctypes.c_uint32
+    lib.ck_build_bvh.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.c_void_p,
+    ]
+    positions = np.ascontiguousarray(positions, dtype=np.float32)
+    indices = np.ascontiguousarray(indices, dtype=np.uint32)
+    tri_count = len(indices) // 3
+    cap = max(2 * tri_count + 8, 64)
+    n = 0xFFFFFFFF
+    while n == 0xFFFFFFFF:
+        nodes = np.zeros((cap, 8), dtype=np.float32)
+        order = np.zeros(tri_count, dtype=np.uint32)
+        n = lib.ck_build_bvh(_ptr(positions), len(positions), _ptr(indices), len(indices), _ptr(nodes), cap, _ptr(order))
+        cap *= 2
+    return nodes[:n], order

@@ -17,7 +17,7 @@ from ..scene import Geometry, Meshes, Meshlets
 from ..utils import math3d
 from . import bindings
 
-CACHE_VERSION = 2
+CACHE_VERSION = 3
 
 
 def _hash_file_meta(path: str) -> int:

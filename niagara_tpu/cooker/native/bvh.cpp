@@ -1,0 +1,175 @@
+// BVH builder for ray-traced shadows.
+//
+// Fills the role of the reference's BLAS/TLAS construction (scenert.cpp:16-579)
+// with a TPU-first twist: a *stackless skip-pointer* BVH in depth-first
+// layout, so device-side traversal is a single while-loop with one node fetch
+// per step (no per-ray stack) — the shape jax.lax.while_loop wants.
+//
+// Node encoding (8 floats):
+//   [0:3] aabb min, [3:6] aabb max,
+//   [6]   skip index as float bits (int32: node to jump to on miss;
+//         on hit the next node is i+1),
+//   [7]   leaf info as float bits: -1 for internal, else first_tri*16+count
+//         (count <= MAX_LEAF).
+
+#include "cooker.h"
+
+#include <float.h>
+#include <math.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include <algorithm>
+#include <vector>
+
+namespace
+{
+
+const int MAX_LEAF = 8;
+
+struct Box
+{
+	float mn[3], mx[3];
+
+	void reset()
+	{
+		for (int k = 0; k < 3; ++k)
+		{
+			mn[k] = FLT_MAX;
+			mx[k] = -FLT_MAX;
+		}
+	}
+
+	void add(const float* p)
+	{
+		for (int k = 0; k < 3; ++k)
+		{
+			mn[k] = std::min(mn[k], p[k]);
+			mx[k] = std::max(mx[k], p[k]);
+		}
+	}
+
+	void add(const Box& b)
+	{
+		for (int k = 0; k < 3; ++k)
+		{
+			mn[k] = std::min(mn[k], b.mn[k]);
+			mx[k] = std::max(mx[k], b.mx[k]);
+		}
+	}
+};
+
+struct Builder
+{
+	const float* positions;
+	const uint32_t* indices;
+	std::vector<uint32_t> order; // triangle permutation
+	std::vector<Box> triBox;
+	std::vector<float> triCentroid;
+	std::vector<float> nodes; // 8 floats per node
+
+	uint32_t emit(const Box& b, int32_t skip, int32_t leaf)
+	{
+		uint32_t id = (uint32_t)(nodes.size() / 8);
+		nodes.insert(nodes.end(), {b.mn[0], b.mn[1], b.mn[2], b.mx[0], b.mx[1], b.mx[2], 0, 0});
+		memcpy(&nodes[id * 8 + 6], &skip, 4);
+		memcpy(&nodes[id * 8 + 7], &leaf, 4);
+		return id;
+	}
+
+	void patchSkip(uint32_t id, int32_t skip)
+	{
+		memcpy(&nodes[id * 8 + 6], &skip, 4);
+	}
+
+	// build [begin, end) of `order`; returns root node id.  Skip pointers are
+	// patched afterwards via subtree extents (DFS layout: skip = end of
+	// subtree).
+	uint32_t build(uint32_t begin, uint32_t end)
+	{
+		Box bounds;
+		bounds.reset();
+		Box cbounds;
+		cbounds.reset();
+		for (uint32_t i = begin; i < end; ++i)
+		{
+			bounds.add(triBox[order[i]]);
+			cbounds.add(&triCentroid[order[i] * 3]);
+		}
+
+		uint32_t count = end - begin;
+		if (count <= (uint32_t)MAX_LEAF)
+		{
+			int32_t leaf = (int32_t)(begin * 16 + count);
+			uint32_t id = emit(bounds, 0, leaf);
+			patchSkip(id, (int32_t)(id + 1)); // leaf: miss and hit both continue at i+1
+			return id;
+		}
+
+		// split along the widest centroid axis at the median
+		int axis = 0;
+		float best = -1;
+		for (int k = 0; k < 3; ++k)
+		{
+			float w = cbounds.mx[k] - cbounds.mn[k];
+			if (w > best)
+			{
+				best = w;
+				axis = k;
+			}
+		}
+
+		uint32_t mid = begin + count / 2;
+		std::nth_element(order.begin() + begin, order.begin() + mid, order.begin() + end,
+		    [&](uint32_t a, uint32_t b) { return triCentroid[a * 3 + axis] < triCentroid[b * 3 + axis]; });
+
+		uint32_t id = emit(bounds, 0, -1);
+		build(begin, mid);
+		build(mid, end);
+		// skip of this node = first node after the whole subtree
+		patchSkip(id, (int32_t)(nodes.size() / 8));
+		return id;
+	}
+};
+
+} // namespace
+
+extern "C" uint32_t ck_build_bvh(const float* positions, uint32_t vertex_count,
+    const uint32_t* indices, uint32_t index_count,
+    float* out_nodes, uint32_t max_nodes,
+    uint32_t* out_tri_order)
+{
+	(void)vertex_count;
+	uint32_t triCount = index_count / 3;
+	if (triCount == 0)
+		return 0;
+
+	Builder b;
+	b.positions = positions;
+	b.indices = indices;
+	b.order.resize(triCount);
+	b.triBox.resize(triCount);
+	b.triCentroid.resize(triCount * 3);
+	b.nodes.reserve((size_t)triCount * 4);
+
+	for (uint32_t t = 0; t < triCount; ++t)
+	{
+		b.order[t] = t;
+		Box& box = b.triBox[t];
+		box.reset();
+		for (int c = 0; c < 3; ++c)
+			box.add(&positions[indices[t * 3 + c] * 3]);
+		for (int k = 0; k < 3; ++k)
+			b.triCentroid[t * 3 + k] = (box.mn[k] + box.mx[k]) * 0.5f;
+	}
+
+	b.build(0, triCount);
+
+	uint32_t nodeCount = (uint32_t)(b.nodes.size() / 8);
+	if (nodeCount > max_nodes)
+		return ~0u; // caller retries with a larger buffer
+
+	memcpy(out_nodes, b.nodes.data(), b.nodes.size() * sizeof(float));
+	memcpy(out_tri_order, b.order.data(), triCount * sizeof(uint32_t));
+	return nodeCount;
+}

@@ -24,7 +24,7 @@
 #define MESH_MAXVTX 64
 #define MESH_MAXTRI 96
 #define MESHLET_CONE_WEIGHT 0.25f
-#define MAX_LODS 8
+#define MAX_LODS 16
 
 static const float kShadowLodError = 3e-3f; // reference scene.cpp:22
 

@@ -66,7 +66,7 @@ extern "C"
 		float radius;
 		uint32_t lod_count;
 		uint32_t lod_rt;
-		CkLod lods[8];
+		CkLod lods[16];
 	} CkCooked;
 
 	// --- End-to-end cooking ---
@@ -130,6 +130,22 @@ extern "C"
 	// normalized simplification error by this gives world units.
 	float ck_simplify_scale(const float* positions, uint32_t vertex_count);
 
+#ifdef __cplusplus
+}
+#endif
+
+#ifdef __cplusplus
+extern "C"
+{
+#endif
+	// Stackless skip-pointer BVH over a triangle soup (see bvh.cpp).
+	// out_nodes: [max_nodes * 8] floats; out_tri_order: [index_count/3] the
+	// leaf-order triangle permutation.  Returns node count, or ~0u if
+	// max_nodes was insufficient.
+	uint32_t ck_build_bvh(const float* positions, uint32_t vertex_count,
+	    const uint32_t* indices, uint32_t index_count,
+	    float* out_nodes, uint32_t max_nodes,
+	    uint32_t* out_tri_order);
 #ifdef __cplusplus
 }
 #endif

@@ -104,6 +104,10 @@ def draw_cull(scene, params: CullParams, draw_vis, pyramid_atlas, *, late: bool,
         visible = jnp.logical_and(visible, jnp.logical_or(params.occlusion_enabled == 0, ~occluded))
 
     visible = jnp.logical_and(visible, in_pass)
+    # dvb write-back only touches draws of the current pass (the reference
+    # shader early-outs on postPass mismatch before the write,
+    # drawcull.comp.glsl:63-64, 154-155)
+    new_vis = jnp.where(in_pass, visible, draw_vis != 0)
 
     # emission predicate (reference drawcull.comp.glsl:104)
     if late:
@@ -127,7 +131,7 @@ def draw_cull(scene, params: CullParams, draw_vis, pyramid_atlas, *, late: bool,
     lod_index = jnp.max(jnp.where(passes & (idxs > 0), idxs, 0), axis=1)
     lod_index = jnp.where(params.lod_enabled == 1, lod_index, 0)
 
-    return emit, lod_index.astype(jnp.int32), visible
+    return emit, lod_index.astype(jnp.int32), new_vis
 
 
 def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, capacity: int) -> TaskCommands:

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import bloom, cull, pyramid, raster, raster_tile, shade
+from ..ops import bloom, cull, pyramid, raster, raster_tile, shade, shadow
 from ..utils import math3d
 from .camera import Camera, RenderSettings, make_cull_params
 
@@ -59,6 +59,27 @@ class FrameConfig:
     pair_capacity: int = 1 << 21
     # max live triangles per raster pass after compaction (fragment-id space)
     tri_capacity: int = 1 << 20
+    # the late pass only renders newly-visible geometry; in steady state that
+    # is near zero, so it gets smaller capacities (overflow after a camera
+    # cut drops clusters for one frame and heals, reference-style).  None =
+    # same as the early pass.
+    late_cluster_capacity: int | None = None
+    late_tri_capacity: int | None = None
+    # number of draw classes: 1 = opaque only; 2 adds the alpha-test pass
+    # (reference postPass loop niagara.cpp:1781-1788); transmission = 3
+    post_passes: int = 1
+    # ray-traced sun shadows (needs a ShadowBVH passed to render_frame)
+    shadows: bool = False
+    shadow_scale: int = 2
+    shadow_checkerboard: bool = True
+
+    @property
+    def late_cluster_cap(self):
+        return self.late_cluster_capacity or self.cluster_capacity
+
+    @property
+    def late_tri_cap(self):
+        return self.late_tri_capacity or self.tri_capacity
 
     @property
     def pyramid_levels_shape(self):
@@ -105,7 +126,7 @@ def _render_pass(scene, params, cmds, state_vis_words, atlas, cfg: FrameConfig, 
         atlas,
         late=late,
         pyramid_shape=pyr_hw,
-        cluster_capacity=cfg.cluster_capacity,
+        cluster_capacity=cfg.late_cluster_cap if late else cfg.cluster_capacity,
     )
     tc = raster.transform_clusters(
         scene, ccmd, clane, ccount, cmds, params.view, params.p00, params.p11, params.znear, cfg.width, cfg.height
@@ -175,7 +196,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         ccount_l, tc_l, new_words = _render_pass(
             scene, params, cmds_l, state.vis_words, atlas, cfg, late=True, pyr_hw=pyr_hw
         )
-        st_l = raster.compact_setup(tc_l, cfg.width, cfg.height, params.znear, cfg.tri_capacity)
+        st_l = raster.compact_setup(tc_l, cfg.width, cfg.height, params.znear, cfg.late_tri_cap)
         # merge late-pass fragments into the early framebuffer; fragment ids
         # are offset so both passes shade from concatenated cluster arrays
         if use_tiles:
@@ -200,13 +221,53 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                 big_capacity=cfg.big_capacity,
             )
         tc = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), tc_e, tc_l)
-        # fragment ids of the two passes live in disjoint [0,T) and [T,2T)
-        # ranges; late tri_k shifts by cluster_capacity to index the
-        # concatenated tc arrays
+        # fragment ids of the two passes live in disjoint [0,Te) and
+        # [Te,Te+Tl) ranges; late tri_k shifts by the early cluster capacity
+        # to index the concatenated tc arrays
         setup_all = dict(
             tri_k=jnp.concatenate([st_e["tri_k"], st_l["tri_k"] + cfg.cluster_capacity]),
             tri_t=jnp.concatenate([st_e["tri_t"], st_l["tri_t"]]),
         )
+        # --- post passes: alpha-test (1) / transmission (2) draw classes,
+        # late-path cull + additive raster (reference niagara.cpp:1781-1788)
+        import dataclasses as _dc
+
+        for pp in range(1, cfg.post_passes):
+            params_pp = _dc.replace(params, post_pass=jnp.int32(pp))
+            emit_p, lod_p, new_draw_vis = cull.draw_cull(
+                scene, params_pp, new_draw_vis.astype(jnp.int32), atlas, late=True, pyramid_shape=pyr_hw
+            )
+            cmds_p = cull.build_task_commands(
+                scene, emit_p, lod_p, new_draw_vis.astype(jnp.int32),
+                max_groups=cfg.max_groups, capacity=cfg.cmd_capacity,
+            )
+            ccount_p, tc_p, new_words = _render_pass(
+                scene, params_pp, cmds_p, new_words, atlas, cfg, late=True, pyr_hw=pyr_hw
+            )
+            st_p = raster.compact_setup(tc_p, cfg.width, cfg.height, params.znear, cfg.late_tri_cap)
+            off_p = frag_offset + cfg.tri_capacity + pp * cfg.late_tri_cap
+            if use_tiles:
+                depth_t, vis_t, _ = raster_tile.rasterize_tiles(
+                    st_p, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
+                    pair_capacity=cfg.pair_capacity, frag_offset=off_p,
+                    interpret=cfg.raster_interpret,
+                )
+                fb = raster.Framebuffer(
+                    depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
+                    vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
+                )
+            else:
+                fb = raster.rasterize_onto(
+                    fb, st_p, cfg.width, cfg.height, frag_offset=off_p,
+                    small_capacity=cfg.small_capacity, big_capacity=cfg.big_capacity,
+                )
+            k_off = cfg.cluster_capacity + pp * cfg.late_cluster_cap
+            tc = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), tc, tc_p)
+            setup_all = dict(
+                tri_k=jnp.concatenate([setup_all["tri_k"], st_p["tri_k"] + k_off]),
+                tri_t=jnp.concatenate([setup_all["tri_t"], st_p["tri_t"]]),
+            )
+
         new_state = FrameState(draw_vis=new_draw_vis.astype(jnp.int32), vis_words=new_words)
         stats = FrameStats(
             early_commands=cmds_e.count,
@@ -231,8 +292,11 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cfg: FrameConfig):
-    """Render one frame.  Returns (image [H,W,3], fb, new_state, stats)."""
+def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cfg: FrameConfig, bvh=None):
+    """Render one frame.  Returns (image [H,W,3], fb, new_state, stats).
+
+    `bvh` (ops.shadow.ShadowBVH) enables ray-traced sun shadows when
+    cfg.shadows is set (reference shadow pipeline niagara.cpp:1792-1855)."""
     fb, tc, setup_all, new_state, stats = frame_core(scene, state, params, cfg)
 
     g0, g1, valid = shade.shade_gbuffer(fb, tc, setup_all, scene, cfg.width, cfg.height)
@@ -240,6 +304,18 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
     if cfg.bloom:
         bloom_half = bloom.compute_bloom(g0, cfg.width, cfg.height)
         bloom_img = bloom.sample_bloom_fullres(bloom_half, cfg.width, cfg.height)
+    shadow_img = None
+    if cfg.shadows and bvh is not None:
+        shadow_img = shadow.shadow_pass(
+            fb.depth,
+            bvh,
+            sun_direction=shade_params.sun_direction,
+            inverse_view_projection=shade_params.inverse_view_projection,
+            width=cfg.width,
+            height=cfg.height,
+            scale=cfg.shadow_scale,
+            checkerboard=cfg.shadow_checkerboard,
+        )
     image = shade.composite(
         g0,
         g1,
@@ -248,6 +324,7 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
         camera_position=shade_params.camera_position,
         sun_direction=shade_params.sun_direction,
         inverse_view_projection=shade_params.inverse_view_projection,
+        shadow=shadow_img,
         bloom=bloom_img,
         width=cfg.width,
         height=cfg.height,

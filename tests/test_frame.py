@@ -134,3 +134,31 @@ def test_occlusion_culls_hidden_draws(kitten_geometry):
     draw_vis = np.asarray(state.draw_vis)
     assert draw_vis[0] == 1
     assert draw_vis[1] == 0  # occluded
+
+
+def test_post_pass_renders_alpha_class(kitten_geometry):
+    """Draws classified postPass=1 are culled+rendered by the extra pass."""
+    import dataclasses
+
+    draws = synthesize_draws(kitten_geometry.meshes.count, draw_count=4)
+    draws.position[:] = np.array([[0.0, 0.0, -3.0]]) + np.array([[1.2, 0.0, 0.0]]) * (
+        np.arange(4)[:, None] - 1.5
+    )
+    draws.scale[:] = 1.0
+    draws.orientation[:] = np.array([0, 0, 0, 1], dtype=np.float32)
+    draws.post_pass[:] = [0, 1, 0, 1]
+    ds = scene_mod.upload(kitten_geometry, draws)
+
+    cfg2 = dataclasses.replace(CFG, post_passes=2)
+    cfg1 = CFG
+
+    image2, fb2, state2, stats2 = render(ds, cfg=cfg2)
+    image1, fb1, state1, stats1 = render(ds, cfg=cfg1)
+
+    c2 = int((np.asarray(fb2.vis) != INVALID_FRAG).sum())
+    c1 = int((np.asarray(fb1.vis) != INVALID_FRAG).sum())
+    # the post pass adds the two alpha-class kittens
+    assert c2 > c1 * 1.5
+    # and marks them visible in the carried state
+    assert np.asarray(state2.draw_vis).sum() == 4
+    assert np.asarray(state1.draw_vis).sum() == 2

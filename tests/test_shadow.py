@@ -1,0 +1,125 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from niagara_tpu.cooker import bindings
+from niagara_tpu.ops import shadow
+
+
+def make_quad_bvh(z=0.0, size=1.0):
+    """Two triangles forming a quad in the plane y=z... actually z=const."""
+    v = np.array(
+        [[-size, -size, z], [size, -size, z], [size, size, z], [-size, size, z]],
+        dtype=np.float32,
+    )
+    idx = np.array([0, 1, 2, 0, 2, 3], dtype=np.uint32)
+    nodes, order = bindings.build_bvh(v, idx)
+    tris = v[idx.reshape(-1, 3)][order]
+    return shadow.ShadowBVH(
+        nodes=jnp.array(nodes),
+        tri_v0=jnp.array(tris[:, 0]),
+        tri_e1=jnp.array(tris[:, 1] - tris[:, 0]),
+        tri_e2=jnp.array(tris[:, 2] - tris[:, 0]),
+    )
+
+
+def test_bvh_build_shape():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    idx = np.arange(300, dtype=np.uint32)
+    nodes, order = bindings.build_bvh(pts, idx)
+    assert len(order) == 100
+    assert sorted(order.tolist()) == list(range(100))
+    # root bbox contains all points
+    mn, mx = nodes[0, :3], nodes[0, 3:6]
+    assert (pts.min(0) >= mn - 1e-5).all() and (pts.max(0) <= mx + 1e-5).all()
+    # root skip points past the end
+    skip = nodes[0, 6:7].view(np.int32)[0]
+    assert skip == len(nodes)
+
+
+def test_any_hit_quad():
+    bvh = make_quad_bvh(z=0.0, size=1.0)
+    origins = jnp.array(
+        [
+            [0.0, 0.0, -5.0],   # below, ray +z through quad -> hit
+            [3.0, 3.0, -5.0],   # misses quad
+            [0.0, 0.0, 5.0],    # above, ray +z away from quad -> miss
+            [0.5, -0.5, -1.0],  # inside quad extent -> hit
+        ]
+    )
+    dirs = jnp.array([[0.0, 0, 1], [0.0, 0, 1], [0.0, 0, 1], [0.0, 0, 1]])
+    hit = np.asarray(shadow.trace_any_hit(bvh, origins, dirs))
+    np.testing.assert_array_equal(hit, [True, False, False, True])
+
+
+def test_any_hit_many_triangles(rng):
+    # random soup; rays through the middle nearly always hit, rays far away never
+    pts = rng.uniform(-1, 1, size=(900, 3)).astype(np.float32)
+    idx = np.arange(900, dtype=np.uint32)
+    nodes, order = bindings.build_bvh(pts, idx)
+    tris = pts[idx.reshape(-1, 3)][order]
+    bvh = shadow.ShadowBVH(
+        nodes=jnp.array(nodes),
+        tri_v0=jnp.array(tris[:, 0]),
+        tri_e1=jnp.array(tris[:, 1] - tris[:, 0]),
+        tri_e2=jnp.array(tris[:, 2] - tris[:, 0]),
+    )
+    far = jnp.array([[50.0, 50.0, -5.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    assert not bool(shadow.trace_any_hit(bvh, far, d)[0])
+
+    # brute-force oracle vs BVH for center rays
+    origins = rng.uniform(-0.5, 0.5, size=(32, 3)).astype(np.float32)
+    origins[:, 2] = -3.0
+    dirs = np.tile([0.0, 0.0, 1.0], (32, 1)).astype(np.float32)
+    got = np.asarray(shadow.trace_any_hit(bvh, jnp.array(origins), jnp.array(dirs)))
+
+    def ray_tri(o, v0, v1, v2):
+        e1, e2 = v1 - v0, v2 - v0
+        pvec = np.cross([0, 0, 1.0], e2)
+        det = e1 @ pvec
+        if abs(det) < 1e-12:
+            return False
+        tvec = o - v0
+        u = (tvec @ pvec) / det
+        qvec = np.cross(tvec, e1)
+        v = np.array([0, 0, 1.0]) @ qvec / det
+        t = (e2 @ qvec) / det
+        return u >= 0 and v >= 0 and u + v <= 1 and t > 1e-3
+
+    soup = pts[idx.reshape(-1, 3)]
+    for i in range(32):
+        expect = any(ray_tri(origins[i], *soup[t]) for t in range(len(soup)))
+        assert got[i] == expect, i
+
+
+def test_shadow_pass_occluder(rng):
+    """A quad floating above the ground plane must shadow the pixels under
+    it when lit straight from above."""
+    # scene: looking down -z; ground at z=-10 (depth buffer filled), occluder
+    # quad at z=-5 in the upper half.  Sun direction +z (toward the camera).
+    bvh = make_quad_bvh(z=-5.0, size=0.5)
+    W = H = 128
+    depth = jnp.full((H, W), 0.01, jnp.float32)  # ground at viewz 10 (wpos z=-10)
+
+    import numpy.linalg as la
+    from niagara_tpu.utils import math3d
+
+    view = math3d.view_matrix(np.zeros(3), math3d.quat_identity())
+    proj = math3d.perspective_projection(np.radians(70), 1.0, 0.1)
+    inv_vp = np.linalg.inv(proj @ view).astype(np.float32)
+
+    sh = shadow.shadow_pass(
+        depth, bvh,
+        sun_direction=jnp.array([0.0, 0.0, 1.0]),
+        inverse_view_projection=jnp.array(inv_vp),
+        width=W, height=H, scale=2, checkerboard=True,
+    )
+    sh = np.asarray(sh)
+    assert sh.shape == (H, W)
+    # center pixels (behind the occluder) are dark, corners are lit
+    assert sh[H // 2, W // 2] < 0.4
+    assert sh[4, 4] > 0.8
