@@ -82,7 +82,7 @@ class _CkCooked(ctypes.Structure):
 def _build_library() -> None:
     sources = [
         os.path.join(_NATIVE_DIR, f)
-        for f in ("cooker.cpp", "meshlet.cpp", "simplify.cpp", "bvh.cpp", "cooker.h", "half.h", "Makefile")
+        for f in ("cooker.cpp", "meshlet.cpp", "simplify.cpp", "bvh.cpp", "textures.cpp", "cooker.h", "half.h", "Makefile")
     ]
     if os.path.exists(_LIB_PATH):
         lib_mtime = os.path.getmtime(_LIB_PATH)
@@ -305,3 +305,36 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray):
         n = lib.ck_build_bvh(_ptr(positions), len(positions), _ptr(indices), len(indices), _ptr(nodes), cap, _ptr(order))
         cap *= 2
     return nodes[:n], order
+
+
+def load_dds(path: str):
+    """Decode a DDS texture (BC1-5 / RGBA8) to RGBA8 mips.
+
+    Returns (mips: list of [h,w,4] uint8 arrays, format: int 1..6)."""
+    lib = get_lib()
+    lib.ck_load_dds.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.ck_load_dds.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+    lib.ck_free_rgba.argtypes = [ctypes.c_void_p]
+
+    info = np.zeros(4, dtype=np.uint32)
+    ptr = lib.ck_load_dds(path.encode(), _ptr(info))
+    if not ptr:
+        raise IOError(f"failed to load DDS (unsupported format?): {path}")
+    w, h, mips, fmt = (int(v) for v in info)
+    total = 0
+    mw, mh = w, h
+    dims = []
+    for _ in range(mips):
+        dims.append((mh, mw))
+        total += mw * mh
+        mw, mh = max(mw // 2, 1), max(mh // 2, 1)
+    raw = ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8 * (total * 4)))
+    flat = np.frombuffer(bytes(raw.contents), dtype=np.uint8).copy()
+    lib.ck_free_rgba(ptr)
+
+    out = []
+    off = 0
+    for mh, mw in dims:
+        out.append(flat[off * 4 : (off + mw * mh) * 4].reshape(mh, mw, 4))
+        off += mw * mh
+    return out, fmt

@@ -24,12 +24,16 @@ from . import cullmath
 from .raster import INVALID_FRAG
 
 
-def shade_gbuffer(fb, tc, setup, scene, width, height):
+def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
     """Visibility buffer -> G-buffer planes [H,W,4] x2 (reference
-    mesh.frag.glsl:55-95 semantics, sans textures for now).
+    mesh.frag.glsl:55-95 semantics).
 
     Fragment ids are compacted-triangle slots; setup['tri_k'/'tri_t'] map
-    them back to (cluster, local tri)."""
+    them back to (cluster, local tri).  `textures` (render.textures
+    .TextureTable) enables albedo/normal/specular/emissive sampling with
+    per-fragment mip selection; alpha-tested draws (postPass>0) discard
+    below 0.5 alpha at shade time (a visibility-buffer approximation of the
+    reference's fragment discard, mesh.frag.glsl:88-89)."""
     frag = fb.vis
     valid = frag != INVALID_FRAG
     f = jnp.where(valid, frag, 0)
@@ -90,16 +94,53 @@ def shade_gbuffer(fb, tc, setup, scene, width, height):
     nlen = jnp.sqrt(jnp.sum(normal * normal, axis=-1, keepdims=True))
     normal = normal / jnp.maximum(nlen, 1e-20)
 
-    # material sample (textures arrive with the bindless texture table; for
-    # now factors only, like the reference's OBJ mode)
+    # material sample (reference mesh.frag.glsl:62-80)
     mat = scene.draw_material_index[draw_id]  # [H,W]
     albedo = scene.mat_diffuse[mat]  # [H,W,4]
     specgloss = scene.mat_specular[mat]  # [H,W,4]
     emissive = scene.mat_emissive[mat]  # [H,W,3]
-
-    # flat normal map for untextured materials -> nrm == vertex normal
     nrm = normal
-    _ = tangent_xyz  # TBN path activates with normal maps
+
+    if textures is not None:
+        from ..render import textures as tex_mod
+
+        tex_ids = scene.mat_textures[mat]  # [H,W,4]
+        # per-fragment mip from the triangle's texel/pixel area ratio
+        u0 = scene.uvs[vids[0]]
+        u1 = scene.uvs[vids[1]]
+        u2 = scene.uvs[vids[2]]
+        albedo_id = tex_ids[..., 0]
+        tw = textures.mip_w[jnp.clip(albedo_id, 0, textures.mip_count.shape[0] - 1), 0]
+        th = textures.mip_h[jnp.clip(albedo_id, 0, textures.mip_count.shape[0] - 1), 0]
+        mip = tex_mod.select_mip(u0, u1, u2, sx[0], sy[0], sx[1], sy[1], sx[2], sy[2], tw, th)
+
+        def tex(idx):
+            return tex_mod.sample(textures, tex_ids[..., idx], uv, mip)
+
+        albedo_t = tex(0)
+        albedo = albedo * jnp.where(
+            (tex_ids[..., 0] > 0)[..., None],
+            jnp.concatenate([cullmath.from_srgb(albedo_t[..., :3]), albedo_t[..., 3:]], axis=-1),
+            1.0,
+        )
+        nmap = tex(1)[..., :3] * 2.0 - 1.0
+        specgloss_t = cullmath.from_srgb(tex(2))
+        specgloss = specgloss * jnp.where((tex_ids[..., 2] > 0)[..., None], specgloss_t, 1.0)
+        emissive_t = cullmath.from_srgb(tex(3)[..., :3])
+        emissive = emissive * jnp.where((tex_ids[..., 3] > 0)[..., None], emissive_t, 1.0)
+
+        # TBN normal mapping (reference mesh.frag.glsl:78-80)
+        tlen = jnp.sqrt(jnp.sum(tangent_xyz * tangent_xyz, axis=-1, keepdims=True))
+        tdir = tangent_xyz / jnp.maximum(tlen, 1e-20)
+        bitangent = jnp.cross(nrm, tdir) * tangent[..., 3:4]
+        mapped = nmap[..., 0:1] * tdir + nmap[..., 1:2] * bitangent + nmap[..., 2:3] * nrm
+        mlen = jnp.sqrt(jnp.sum(mapped * mapped, axis=-1, keepdims=True))
+        mapped = mapped / jnp.maximum(mlen, 1e-20)
+        nrm = jnp.where((tex_ids[..., 1] > 0)[..., None], mapped, nrm)
+
+        # alpha test for postPass>0 draws (shade-time discard)
+        post = scene.draw_post_pass[draw_id]
+        valid = valid & ~((post > 0) & (albedo[..., 3] < 0.5))
 
     lum = jnp.array([0.3, 0.6, 0.1], dtype=jnp.float32)
     emissivef = jnp.sum(emissive * lum, axis=-1) / (jnp.sum(albedo[..., :3] * lum, axis=-1) + 1e-3)

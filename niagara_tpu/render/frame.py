@@ -292,14 +292,14 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cfg: FrameConfig, bvh=None):
+def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cfg: FrameConfig, bvh=None, textures=None):
     """Render one frame.  Returns (image [H,W,3], fb, new_state, stats).
 
     `bvh` (ops.shadow.ShadowBVH) enables ray-traced sun shadows when
     cfg.shadows is set (reference shadow pipeline niagara.cpp:1792-1855)."""
     fb, tc, setup_all, new_state, stats = frame_core(scene, state, params, cfg)
 
-    g0, g1, valid = shade.shade_gbuffer(fb, tc, setup_all, scene, cfg.width, cfg.height)
+    g0, g1, valid = shade.shade_gbuffer(fb, tc, setup_all, scene, cfg.width, cfg.height, textures=textures)
     bloom_img = None
     if cfg.bloom:
         bloom_half = bloom.compute_bloom(g0, cfg.width, cfg.height)

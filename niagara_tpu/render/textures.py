@@ -1,0 +1,136 @@
+"""Bindless-style texture table.
+
+Role of the reference's descriptor-indexed texture array
+(`textures[nonuniformEXT(id)]`, mesh.frag.glsl:40-42, populated
+niagara.cpp:921-944).  On TPU there are no samplers: every texture's RGBA8
+mip chain is decoded at load (cooker/native/textures.cpp) and packed into one
+flat texel buffer; sampling is address arithmetic + gathers, fully uniform
+over the [H,W] shading grid.
+
+Mip selection happens per fragment from the triangle's uv-vs-screen area
+ratio (the visibility buffer has no hardware derivatives)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_MIPS = 14
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TextureTable:
+    texels: Any  # u8 [N, 4] flat texel pool (all textures, all mips)
+    mip_offset: Any  # i32 [NT, MAX_MIPS]
+    mip_w: Any  # i32 [NT, MAX_MIPS]
+    mip_h: Any  # i32 [NT, MAX_MIPS]
+    mip_count: Any  # i32 [NT]
+
+    @property
+    def count(self):
+        return self.mip_count.shape[0]
+
+
+def build_texture_table(paths: list[str], base_dir: str = "", max_dim: int | None = None) -> TextureTable:
+    """Load DDS textures into one table.  Texture 0 is a 1x1 white dummy
+    (the reference reserves id 0 as 'no texture'); missing/unsupported files
+    fall back to 1x1 magenta."""
+    from ..cooker import bindings
+
+    texture_mips = [[np.full((1, 1, 4), 255, np.uint8)]]  # id 0 = white
+    for p in paths:
+        full = os.path.join(base_dir, p) if base_dir else p
+        try:
+            mips, _fmt = bindings.load_dds(full)
+        except Exception:
+            mips = [np.tile(np.array([255, 0, 255, 255], np.uint8), (1, 1, 1))]
+        if max_dim is not None:
+            mips = [m for m in mips if max(m.shape[0], m.shape[1]) <= max_dim] or [mips[-1]]
+        texture_mips.append(mips[:MAX_MIPS])
+
+    nt = len(texture_mips)
+    mip_offset = np.zeros((nt, MAX_MIPS), np.int32)
+    mip_w = np.ones((nt, MAX_MIPS), np.int32)
+    mip_h = np.ones((nt, MAX_MIPS), np.int32)
+    mip_count = np.zeros(nt, np.int32)
+
+    chunks = []
+    offset = 0
+    for t, mips in enumerate(texture_mips):
+        mip_count[t] = len(mips)
+        for m, img in enumerate(mips):
+            h, w = img.shape[:2]
+            mip_offset[t, m] = offset
+            mip_w[t, m] = w
+            mip_h[t, m] = h
+            chunks.append(img.reshape(-1, 4))
+            offset += w * h
+        # clamp out-of-range mip lookups to the coarsest mip
+        for m in range(len(mips), MAX_MIPS):
+            mip_offset[t, m] = mip_offset[t, len(mips) - 1]
+            mip_w[t, m] = mip_w[t, len(mips) - 1]
+            mip_h[t, m] = mip_h[t, len(mips) - 1]
+
+    texels = np.concatenate(chunks, axis=0) if chunks else np.zeros((1, 4), np.uint8)
+    return TextureTable(
+        texels=texels,
+        mip_offset=mip_offset,
+        mip_w=mip_w,
+        mip_h=mip_h,
+        mip_count=mip_count,
+    )
+
+
+def sample(table: TextureTable, tex_id, uv, mip, *, bilinear: bool = True):
+    """Sample [H,W] pixels: tex_id i32 (0 = white), uv f32 [...,2] (repeat
+    wrap), mip i32.  Returns f32 [...,4] in [0,1]."""
+    tid = jnp.clip(tex_id, 0, table.mip_count.shape[0] - 1)
+    m = jnp.clip(mip, 0, MAX_MIPS - 1)
+
+    off = table.mip_offset[tid, m]
+    w = table.mip_w[tid, m]
+    h = table.mip_h[tid, m]
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+
+    # repeat wrap in uv space
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+
+    def fetch(xi, yi):
+        x = jnp.remainder(xi, w)
+        y = jnp.remainder(yi, h)
+        return table.texels[off + y * w + x].astype(jnp.float32) / 255.0
+
+    if not bilinear:
+        x0 = jnp.clip((u * wf).astype(jnp.int32), 0, w - 1)
+        y0 = jnp.clip((v * hf).astype(jnp.int32), 0, h - 1)
+        return fetch(x0, y0)
+
+    x = u * wf - 0.5
+    y = v * hf - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    top = fetch(x0, y0) * (1 - fx) + fetch(x0 + 1, y0) * fx
+    bot = fetch(x0, y0 + 1) * (1 - fx) + fetch(x0 + 1, y0 + 1) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def select_mip(uv0, uv1, uv2, p0x, p0y, p1x, p1y, p2x, p2y, tex_w, tex_h):
+    """Per-fragment mip from the triangle's texel-to-pixel area ratio (the
+    visibility-buffer replacement for hardware uv derivatives)."""
+    uv_area = jnp.abs(
+        (uv1[..., 0] - uv0[..., 0]) * (uv2[..., 1] - uv0[..., 1])
+        - (uv1[..., 1] - uv0[..., 1]) * (uv2[..., 0] - uv0[..., 0])
+    ) * tex_w.astype(jnp.float32) * tex_h.astype(jnp.float32)
+    px_area = jnp.abs((p1x - p0x) * (p2y - p0y) - (p1y - p0y) * (p2x - p0x))
+    ratio = uv_area / jnp.maximum(px_area, 1e-6)
+    return jnp.clip(0.5 * jnp.log2(jnp.maximum(ratio, 1.0)), 0, MAX_MIPS - 1).astype(jnp.int32)

@@ -226,6 +226,7 @@ class DeviceScene:
     mat_diffuse: np.ndarray = None  # f32 [NM,4]
     mat_specular: np.ndarray = None  # f32 [NM,4]
     mat_emissive: np.ndarray = None  # f32 [NM,3]
+    mat_textures: np.ndarray = None  # i32 [NM,4] albedo/normal/specular/emissive (+1-based into the texture table; 0 = none)
 
     meshlet_visibility_count: int = 0
 
@@ -253,6 +254,9 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
             "specular": np.array([[0.0, 0.0, 0.0, 0.0]], dtype=np.float32),
             "emissive": np.zeros((1, 3), dtype=np.float32),
         }
+    if "textures" not in materials:
+        nm = len(materials["diffuse"])
+        materials = dict(materials, textures=np.full((nm, 4), -1, dtype=np.int32))
 
     positions = geometry.vpos.astype(np.float32)
     normals = math3d.unpack_normal(geometry.vnorm)
@@ -307,5 +311,8 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
         mat_diffuse=materials["diffuse"].astype(np.float32),
         mat_specular=materials["specular"].astype(np.float32),
         mat_emissive=materials["emissive"].astype(np.float32),
+        # shift to 1-based table ids (0 = no texture, like the reference's
+        # id-0 convention, mesh.frag.glsl:63)
+        mat_textures=(materials["textures"].astype(np.int32) + 1),
         meshlet_visibility_count=vis_count,
     )

@@ -1,0 +1,171 @@
+import struct
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from niagara_tpu.cooker import bindings
+from niagara_tpu.render import textures as tex_mod
+
+
+def write_dds_bc1(path, blocks_wh, color565=(31, 63, 31)):
+    """Solid-color BC1 DDS: blocks_wh in 4px blocks; every block c0==c1==color,
+    all indices 0 -> every texel decodes to expand(color565)."""
+    bw, bh = blocks_wh
+    w, h = bw * 4, bh * 4
+    c = (color565[0] << 11) | (color565[1] << 5) | color565[2]
+    block = struct.pack("<HHI", c, c, 0)
+    header = bytearray(128)
+    header[0:4] = b"DDS "
+    struct.pack_into("<I", header, 4, 124)
+    struct.pack_into("<I", header, 8, 0x1007)  # caps|height|width|pixelformat
+    struct.pack_into("<I", header, 12, h)
+    struct.pack_into("<I", header, 16, w)
+    struct.pack_into("<I", header, 28, 1)  # mips
+    struct.pack_into("<I", header, 76, 32)
+    struct.pack_into("<I", header, 80, 0x4)  # FOURCC
+    header[84:88] = b"DXT1"
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(block * (bw * bh))
+    return w, h
+
+
+def write_dds_rgba(path, img):
+    h, w = img.shape[:2]
+    header = bytearray(128)
+    header[0:4] = b"DDS "
+    struct.pack_into("<I", header, 4, 124)
+    struct.pack_into("<I", header, 8, 0x1007)
+    struct.pack_into("<I", header, 12, h)
+    struct.pack_into("<I", header, 16, w)
+    struct.pack_into("<I", header, 28, 1)
+    struct.pack_into("<I", header, 76, 32)
+    struct.pack_into("<I", header, 80, 0x41)  # RGB | ALPHAPIXELS
+    struct.pack_into("<I", header, 88, 32)
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        f.write(np.ascontiguousarray(img, dtype=np.uint8).tobytes())
+
+
+def test_bc1_decode_solid(tmp_path):
+    path = str(tmp_path / "t.dds")
+    write_dds_bc1(path, (2, 2), color565=(31, 0, 0))  # pure red
+    mips, fmt = bindings.load_dds(path)
+    assert fmt == 1
+    img = mips[0]
+    assert img.shape == (8, 8, 4)
+    np.testing.assert_array_equal(img[..., 0], 255)
+    np.testing.assert_array_equal(img[..., 1], 0)
+    np.testing.assert_array_equal(img[..., 3], 255)
+
+
+def test_bc1_interpolated_colors(tmp_path):
+    # c0 = white > c1 = black; index pattern: texel i uses index i%4
+    path = str(tmp_path / "t2.dds")
+    c0 = 0xFFFF
+    c1 = 0x0000
+    idx = 0
+    for i in range(16):
+        idx |= (i % 4) << (2 * i)
+    header_img = struct.pack("<HHI", c0, c1, idx)
+    header = bytearray(128)
+    header[0:4] = b"DDS "
+    struct.pack_into("<I", header, 4, 124)
+    struct.pack_into("<I", header, 12, 4)
+    struct.pack_into("<I", header, 16, 4)
+    struct.pack_into("<I", header, 28, 1)
+    struct.pack_into("<I", header, 76, 32)
+    struct.pack_into("<I", header, 80, 0x4)
+    header[84:88] = b"DXT1"
+    open(path, "wb").write(bytes(header) + header_img)
+    mips, fmt = bindings.load_dds(path)
+    img = mips[0]
+    # row-major texels: index pattern 0,1,2,3 repeating
+    np.testing.assert_array_equal(img[0, 0], [255, 255, 255, 255])
+    np.testing.assert_array_equal(img[0, 1], [0, 0, 0, 255])
+    np.testing.assert_allclose(img[0, 2][:3], [170, 170, 170], atol=2)  # 2/3 white
+    np.testing.assert_allclose(img[0, 3][:3], [85, 85, 85], atol=2)  # 1/3 white
+
+
+def test_rgba_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(8, 16, 4), dtype=np.uint8)
+    path = str(tmp_path / "t3.dds")
+    write_dds_rgba(path, img)
+    mips, fmt = bindings.load_dds(path)
+    assert fmt == 6
+    np.testing.assert_array_equal(mips[0], img)
+
+
+def test_texture_table_sample(tmp_path):
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[:, :4] = [255, 0, 0, 255]
+    img[:, 4:] = [0, 0, 255, 255]
+    path = str(tmp_path / "t4.dds")
+    write_dds_rgba(path, img)
+
+    table = tex_mod.build_texture_table([path])
+    # id 0 = white dummy
+    white = tex_mod.sample(table, jnp.array([[0]]), jnp.array([[[0.5, 0.5]]]), jnp.array([[0]]))
+    np.testing.assert_allclose(np.asarray(white)[0, 0], [1, 1, 1, 1])
+    # id 1 = the texture: left half red, right half blue (nearest)
+    left = tex_mod.sample(table, jnp.array([[1]]), jnp.array([[[0.25, 0.5]]]), jnp.array([[0]]), bilinear=False)
+    right = tex_mod.sample(table, jnp.array([[1]]), jnp.array([[[0.75, 0.5]]]), jnp.array([[0]]), bilinear=False)
+    np.testing.assert_allclose(np.asarray(left)[0, 0], [1, 0, 0, 1])
+    np.testing.assert_allclose(np.asarray(right)[0, 0], [0, 0, 1, 1])
+    # repeat wrap
+    wrapped = tex_mod.sample(table, jnp.array([[1]]), jnp.array([[[1.25, 0.5]]]), jnp.array([[0]]), bilinear=False)
+    np.testing.assert_allclose(np.asarray(wrapped)[0, 0], [1, 0, 0, 1])
+
+
+def test_textured_render(tmp_path):
+    """glTF cube with a red BC1 base color texture renders red-ish."""
+    import jax
+    from test_gltf import make_test_gltf
+    import json
+
+    from niagara_tpu import scene as scene_mod
+    from niagara_tpu.cooker import gltf
+    from niagara_tpu.render import frame as frame_mod
+    from niagara_tpu.render.camera import Camera, RenderSettings
+    from niagara_tpu.ops.raster import INVALID_FRAG
+
+    dds_path = str(tmp_path / "red.dds")
+    write_dds_bc1(dds_path, (4, 4), color565=(31, 0, 0))
+
+    gltf_path = make_test_gltf(tmp_path)
+    doc = json.loads(open(gltf_path).read())
+    doc["images"] = [{"uri": "red.dds"}]
+    doc["textures"] = [{"source": 0}]
+    doc["materials"][0]["pbrMetallicRoughness"]["baseColorFactor"] = [1, 1, 1, 1]
+    doc["materials"][0]["pbrMetallicRoughness"]["baseColorTexture"] = {"index": 0}
+    # give the cube uvs: reuse normals accessor shape? simplest: set TEXCOORD_0
+    # to the normal accessor (vec3 sliced as vec2 is invalid) -> instead add a
+    # vec2 accessor aliasing positions xy normalized; easier: skip uvs — the
+    # loader leaves uv=0 and sampling still fetches texel (0,0), which is red.
+    open(gltf_path, "w").write(json.dumps(doc))
+
+    sd = gltf.load_scene(gltf_path)
+    assert sd.texture_paths == ["red.dds"]
+    ds = scene_mod.upload(sd.geometry, sd.draws, sd.materials)
+    table = tex_mod.build_texture_table(sd.texture_paths, base_dir=str(tmp_path))
+
+    cfg = frame_mod.FrameConfig(
+        width=128, height=128, max_groups=1,
+        cmd_capacity=64, cluster_capacity=64,
+        small_capacity=1 << 12, big_capacity=32, pair_capacity=1 << 12,
+        tri_capacity=1 << 10, late_cluster_capacity=64, late_tri_capacity=1 << 10,
+        raster_interpret=True, bloom=False,
+    )
+    cam = Camera(position=np.array(sd.camera_position, dtype=np.float32))
+    params, sp = frame_mod.make_frame_inputs(cam, RenderSettings(), cfg)
+    state = frame_mod.init_state(ds.num_draws, ds.meshlet_visibility_count)
+    image, fb, state, stats = frame_mod.render_frame(ds, state, params, sp, cfg, textures=table)
+    vis = np.asarray(fb.vis)
+    covered = vis != INVALID_FRAG
+    assert covered.sum() > 50
+    img = np.asarray(image)
+    # strongly red: red channel much greater than green/blue
+    assert img[covered][:, 0].mean() > 3 * img[covered][:, 1].mean()
