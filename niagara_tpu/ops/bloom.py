@@ -3,20 +3,78 @@
 Reference: bloom.comp.glsl (3 phases driven by niagara.cpp:1866-1904):
   phase 0: extract emissive-weighted color from the G-buffer to half res;
   phase 1: 13-tap Jimenez downsample per mip;
-  phase 2: 9-tap tent upsample accumulating up the chain (0.5 blend).
+  phase 2: 9-tap tent upsample accumulating up the chain.
 The composite applies `bloom * 0.1` (final.comp.glsl:76).
 
-TPU formulation: each tap pattern is a fixed small stencil -> implemented as
-gather-free shifted adds on dense images (XLA fuses the whole pyramid into a
-few kernels).  Mips are kept as a list of static-shape arrays.
+TPU formulation: on this hardware irregular gathers cost ~the same as
+scatters, so the bilinear tap patterns are expanded into *exact* fixed
+stencils (each half-texel bilinear tap is a 2x2 average) and evaluated with
+padded shifted slices — fully dense VPU work, zero gathers.  Odd mip sizes
+are edge-padded to even before each 2:1 step, which reproduces the sampler's
+clamp-to-edge behavior.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax.numpy as jnp
 
 from ..utils.math3d import image_mip_levels
 from . import cullmath
+
+# 13-tap Jimenez downsample: (dx, dy, weight) at half-texel bilinear positions
+_DOWN_TAPS = (
+    [(0, 0, 0.125)]
+    + [(dx, dy, 0.03125) for dx in (-2, 2) for dy in (-2, 2)]
+    + [(0, -2, 0.0625), (0, 2, 0.0625), (-2, 0, 0.0625), (2, 0, 0.0625)]
+    + [(dx, dy, 0.125) for dx in (-1, 1) for dy in (-1, 1)]
+)
+
+# 9-tap tent upsample
+_UP_TAPS = (
+    [(0, 0, 0.25)]
+    + [(d, 0, 0.125) for d in (-1, 1)]
+    + [(0, d, 0.125) for d in (-1, 1)]
+    + [(dx, dy, 0.0625) for dx in (-1, 1) for dy in (-1, 1)]
+)
+
+
+def _down_kernel():
+    """Expand the 13 bilinear taps into a 6x6 source-texel stencil for exact
+    2:1 downsampling (output texel (x,y) reads source (2x+i, 2y+j))."""
+    k = np.zeros((6, 6), np.float64)  # offsets i,j in [-2, 3] -> index i+2
+    for dx, dy, w in _DOWN_TAPS:
+        # tap at source coord (2x+1+dx, 2y+1+dy) - 0.5 => floor 2x+dx, frac .5
+        for i in (dx, dx + 1):
+            for j in (dy, dy + 1):
+                k[j + 2, i + 2] += w * 0.25
+    return k
+
+
+def _up_kernels():
+    """Phase kernels for exact 1:2 tent upsampling.  Output (x,y) with
+    parity (px,py) reads source texels around x//2."""
+    ks = {}
+    for px in (0, 1):
+        for py in (0, 1):
+            k = np.zeros((5, 5), np.float64)  # offsets in [-2, 2] -> index+2
+            for dx, dy, w in _UP_TAPS:
+                # source coord s = (x+0.5)/2 + d - 0.5; x = 2k+p
+                # => s = k + d + (p - 1)/2 + 0.25 ... compute fractional split
+                sx = (px + 0.5) / 2.0 + dx - 0.5
+                sy = (py + 0.5) / 2.0 + dy - 0.5
+                x0, fx = int(np.floor(sx)), sx - np.floor(sx)
+                y0, fy = int(np.floor(sy)), sy - np.floor(sy)
+                for i, wx in ((x0, 1 - fx), (x0 + 1, fx)):
+                    for j, wy in ((y0, 1 - fy), (y0 + 1, fy)):
+                        k[j + 2, i + 2] += w * wx * wy
+            ks[(py, px)] = k
+    return ks
+
+
+_DOWN_K = _down_kernel()
+_UP_K = _up_kernels()
 
 
 def bloom_levels(width: int, height: int) -> int:
@@ -24,94 +82,93 @@ def bloom_levels(width: int, height: int) -> int:
     return min(8, image_mip_levels(bw, bh))
 
 
-def _sample_bilinear(img, u, v):
-    """Bilinear sample of img [H,W,3] at texel-space coords (u,v) arrays."""
+def _pad_even(img):
     h, w = img.shape[:2]
-    x = u - 0.5
-    y = v - 0.5
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-
-    def at(yi, xi):
-        return img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
-
-    top = at(y0, x0) * (1 - fx) + at(y0, x0 + 1) * fx
-    bot = at(y0 + 1, x0) * (1 - fx) + at(y0 + 1, x0 + 1) * fx
-    return top * (1 - fy) + bot * fy
+    return jnp.pad(img, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
 
 
-def _grid(out_h, out_w, src_h, src_w):
-    """Texel coords in the source image for each output pixel center."""
-    u = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * src_w
-    v = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * src_h
-    return jnp.meshgrid(u, v)
+def _down2(src):
+    """Exact 13-tap downsample by 2 (stencil form)."""
+    src = _pad_even(src)
+    h, w = src.shape[:2]
+    oh, ow = h // 2, w // 2
+    p = jnp.pad(src, ((2, 3), (2, 3), (0, 0)), mode="edge")
+    out = jnp.zeros((oh, ow, src.shape[2]), src.dtype)
+    for j in range(6):
+        for i in range(6):
+            wgt = _DOWN_K[j, i]
+            if wgt == 0.0:
+                continue
+            out = out + wgt * p[j : j + h : 2, i : i + w : 2]
+    return out
+
+
+def _up2(src, oh, ow):
+    """Exact 9-tap tent upsample to (oh, ow) (stencil phase form)."""
+    h, w = src.shape[:2]
+    p = jnp.pad(src, ((2, 2), (2, 2), (0, 0)), mode="edge")
+    phases = {}
+    for (py, px), k in _UP_K.items():
+        acc = 0.0
+        for j in range(5):
+            for i in range(5):
+                wgt = k[j, i]
+                if wgt == 0.0:
+                    continue
+                acc = acc + wgt * p[j : j + h, i : i + w]
+        phases[(py, px)] = acc
+    out = jnp.zeros((h * 2, w * 2, src.shape[2]), src.dtype)
+    for (py, px), v in phases.items():
+        out = out.at[py::2, px::2].set(v)
+    return out[:oh, :ow]
 
 
 def extract_emissive(g0, width, height):
     """Phase 0: decode emissive from the G-buffer at half resolution
-    (bloom.comp.glsl pass 0: albedo * (exp2(a*5)-1))."""
+    (bloom.comp.glsl pass 0)."""
     albedo = cullmath.from_srgb(g0[..., :3])
     emissive = albedo * (jnp.exp2(g0[..., 3] * 5.0) - 1.0)[..., None]
-    bw, bh = (width + 1) // 2, (height + 1) // 2
-    u, v = _grid(bh, bw, height, width)
-    # note: u,v meshgrid ordering: u is x coord
-    return _sample_bilinear(emissive, u, v)
-
-
-def _downsample13(src, out_h, out_w):
-    """Jimenez 13-tap partial Karis average downsample."""
-    sh, sw = src.shape[:2]
-    u, v = _grid(out_h, out_w, sh, sw)
-
-    def s(dx, dy):
-        return _sample_bilinear(src, u + dx, v + dy)
-
-    center = s(0, 0) * 0.125
-    corners = (s(-2, -2) + s(2, -2) + s(-2, 2) + s(2, 2)) * 0.03125
-    edges = (s(0, -2) + s(-2, 0) + s(2, 0) + s(0, 2)) * 0.0625
-    inner = (s(-1, -1) + s(1, -1) + s(-1, 1) + s(1, 1)) * 0.125
-    return center + corners + edges + inner
-
-
-def _upsample_tent(src, out_h, out_w):
-    """9-tap tent filter upsample."""
-    sh, sw = src.shape[:2]
-    u, v = _grid(out_h, out_w, sh, sw)
-
-    def s(dx, dy):
-        return _sample_bilinear(src, u + dx, v + dy)
-
-    return (
-        s(0, 0) * 0.25
-        + (s(-1, 0) + s(1, 0) + s(0, -1) + s(0, 1)) * 0.125
-        + (s(-1, -1) + s(1, -1) + s(-1, 1) + s(1, 1)) * 0.0625
-    )
+    e = _pad_even(emissive)
+    h, w = e.shape[:2]
+    # box 2x2 (the reference's bilinear fetch at half res is an exact 2x2 avg)
+    return 0.25 * (e[0:h:2, 0:w:2] + e[1:h:2, 0:w:2] + e[0:h:2, 1:w:2] + e[1:h:2, 1:w:2])
 
 
 def compute_bloom(g0, width: int, height: int):
-    """Full bloom chain; returns the half-res bloom image [bh,bw,3] that the
-    composite upsamples (bilinearly) and adds with strength 0.1."""
+    """Full bloom chain; returns the half-res bloom image [bh,bw,3]."""
     levels = bloom_levels(width, height)
     mips = [extract_emissive(g0, width, height)]
-    h, w = mips[0].shape[:2]
     for _ in range(1, levels):
-        h2, w2 = max(h // 2, 1), max(w // 2, 1)
-        mips.append(_downsample13(mips[-1], h2, w2))
-        h, w = h2, w2
+        mips.append(_down2(mips[-1]))
 
-    # accumulate upward: mip[i] = mip[i] + tent_upsample(mip[i+1])
     acc = mips[-1]
     for i in range(levels - 2, -1, -1):
         oh, ow = mips[i].shape[:2]
-        acc = mips[i] + _upsample_tent(acc, oh, ow)
+        acc = mips[i] + _up2(acc, oh, ow)
     return acc
 
 
 def sample_bloom_fullres(bloom_half, width: int, height: int):
     """Bilinear expansion of the half-res bloom to full resolution (the
     composite samples it with a linear sampler, final.comp.glsl:76)."""
-    bh, bw = bloom_half.shape[:2]
-    u, v = _grid(height, width, bh, bw)
-    return _sample_bilinear(bloom_half, u, v)
+    return _bilinear_x2(bloom_half, height, width)
+
+
+def _bilinear_x2(src, oh, ow):
+    """Exact 1:2 bilinear upsample (phase weights 0.25/0.75)."""
+    h, w = src.shape[:2]
+    p = jnp.pad(src, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    out = jnp.zeros((h * 2, w * 2, src.shape[2]), src.dtype)
+    for py in (0, 1):
+        for px in (0, 1):
+            # output (2k+p): source coord k + (p+0.5)/2 - 0.5 -> offsets
+            sx = (px + 0.5) / 2.0 - 0.5
+            sy = (py + 0.5) / 2.0 - 0.5
+            x0, fx = int(np.floor(sx)), sx - np.floor(sx)
+            y0, fy = int(np.floor(sy)), sy - np.floor(sy)
+            v = 0.0
+            for i, wx in ((x0, 1 - fx), (x0 + 1, fx)):
+                for j, wy in ((y0, 1 - fy), (y0 + 1, fy)):
+                    v = v + wx * wy * p[1 + j : 1 + j + h, 1 + i : 1 + i + w]
+            out = out.at[py::2, px::2].set(v)
+    return out[:oh, :ow]

@@ -244,15 +244,23 @@ def cluster_cull(
         visible = visible & jnp.where(cluster_occ, ~occluded, True)
 
     # late-pass visibility write-back (reference clustercull.comp.glsl:125-131).
-    # Slot ranges are 64-aligned per draw, so each touched word belongs to one
-    # command; rebuild those words from scratch.
+    # Slot ranges are 64-aligned per draw, so each command owns exactly two
+    # u32 words: pack the 64 lane bits densely (VPU bit-weights) and scatter
+    # just 2 words per command — 32x fewer scatter updates than per-bit ops.
     new_vis_words = vis_words
     if late:
-        touched = valid & jnp.broadcast_to(cluster_occ, valid.shape)
-        w = jnp.where(touched, word_idx, vis_words.shape[0])  # OOB -> dropped
-        bits = jnp.where(touched & visible, bit, jnp.uint32(0))
-        cleared = vis_words.at[w.reshape(-1)].set(jnp.uint32(0), mode="drop")
-        new_vis_words = cleared.at[w.reshape(-1)].add(bits.reshape(-1), mode="drop")
+        bits64 = (valid & visible).astype(jnp.uint32)  # [C,64]
+        weights = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
+        word_lo = jnp.sum(bits64[:, :32] * weights[None, :], axis=1, dtype=jnp.uint32)
+        word_hi = jnp.sum(bits64[:, 32:] * weights[None, :], axis=1, dtype=jnp.uint32)
+        # only commands with any valid lane participate; dead command slots
+        # (task_count == 0) must not clobber word 0
+        cmd_live = (cmds.task_count > 0) & cluster_occ
+        base_word = cmds.vis_offset >> 5  # 64-aligned -> owns words base, base+1
+        w0 = jnp.where(cmd_live, base_word, vis_words.shape[0])
+        w1 = jnp.where(cmd_live, base_word + 1, vis_words.shape[0])
+        new_vis_words = vis_words.at[w0].set(word_lo, mode="drop")
+        new_vis_words = new_vis_words.at[w1].set(word_hi, mode="drop")
 
     # compaction (reference's atomicAdd cluster append, clustercull:133-139)
     emit = (visible & ~skip).reshape(-1)  # [C*64]

@@ -117,85 +117,6 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
     )
 
 
-def setup_triangles(tc, width, height, znear):
-    """Edge equations + screen-linear depth planes for all [K,96] triangles.
-
-    Returns flattened [T=K*96] arrays: valid, edge coeffs (e[3][3]), depth
-    plane (za, zb, zc), integer AABB (x0,y0,x1,y1 inclusive).
-    Convention: pixel (x, y) is evaluated at center (x+0.5, y+0.5); a pixel is
-    covered when all three edge functions are >= 0 (counter-clockwise in
-    y-down screen space after the projection flip).
-    """
-    tri = tc["tri"]  # [K,96,3]
-    K = tri.shape[0]
-    V = tc["sx"].shape[1]
-    # flat global indices: XLA lowers 1-D gathers orders of magnitude better
-    # than take_along_axis on a minor axis (measured on v5e)
-    base = (jnp.arange(K, dtype=jnp.int32) * V)[:, None]
-
-    def g(attr, c):
-        # gather corner c's per-vertex attribute: [K,64] -> [K,96]
-        return attr.reshape(-1)[base + tri[..., c]]
-
-    ax, ay, az = g(tc["sx"], 0), g(tc["sy"], 0), g(tc["zw"], 0)
-    bx, by, bz = g(tc["sx"], 1), g(tc["sy"], 1), g(tc["zw"], 1)
-    cx, cy, cz = g(tc["sx"], 2), g(tc["sy"], 2), g(tc["zw"], 2)
-    awz, bwz, cwz = g(tc["viewz"], 0), g(tc["viewz"], 1), g(tc["viewz"], 2)
-
-    # signed doubled area; cull backfaces and degenerates
-    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    front = area > 0.0
-
-    # all vertices must be in front of the near plane (v1: no near clipping;
-    # reference MESH_CULL guards the same way, meshlet.mesh.glsl:195)
-    in_front = (awz > znear * 0.5) & (bwz > znear * 0.5) & (cwz > znear * 0.5)
-
-    valid = tc["tri_valid"] & front & in_front
-
-    # edge functions E(x,y) = cross(w - v, p - v) for each directed edge
-    # v->w; >= 0 inside for triangles with positive signed area (matching the
-    # `front` test above), and E0+E1+E2 == area
-    def edge(vx, vy, wx, wy):
-        A = vy - wy
-        B = wx - vx
-        C = -(A * vx + B * vy)
-        return A, B, C
-
-    e0 = edge(ax, ay, bx, by)
-    e1 = edge(bx, by, cx, cy)
-    e2 = edge(cx, cy, ax, ay)
-
-    # depth plane: solve z = za*x + zb*y + zc through the three screen verts
-    inv_area = jnp.where(jnp.abs(area) < 1e-20, 0.0, 1.0 / area)
-    za = ((bz - az) * (cy - ay) - (cz - az) * (by - ay)) * inv_area
-    zb = ((cz - az) * (bx - ax) - (bz - az) * (cx - ax)) * inv_area
-    zc = az - za * ax - zb * ay
-
-    x0 = jnp.floor(jnp.minimum(jnp.minimum(ax, bx), cx)).astype(jnp.int32)
-    y0 = jnp.floor(jnp.minimum(jnp.minimum(ay, by), cy)).astype(jnp.int32)
-    x1 = jnp.ceil(jnp.maximum(jnp.maximum(ax, bx), cx)).astype(jnp.int32)
-    y1 = jnp.ceil(jnp.maximum(jnp.maximum(ay, by), cy)).astype(jnp.int32)
-    x0 = jnp.clip(x0, 0, width - 1)
-    y0 = jnp.clip(y0, 0, height - 1)
-    x1 = jnp.clip(x1, 0, width)
-    y1 = jnp.clip(y1, 0, height)
-
-    valid = valid & (x1 > x0) & (y1 > y0)
-
-    flat = lambda a: a.reshape(K * MESH_MAXTRI)
-    return dict(
-        valid=flat(valid),
-        e=[tuple(map(flat, e)) for e in (e0, e1, e2)],
-        za=flat(za),
-        zb=flat(zb),
-        zc=flat(zc),
-        x0=flat(x0),
-        y0=flat(y0),
-        x1=flat(x1),
-        y1=flat(y1),
-    )
-
-
 def compact_setup(tc, width, height, znear, capacity: int):
     """Validity-test all [K,96] triangles, stream-compact the survivors, and
     compute edge/depth coefficients only for them.
@@ -211,31 +132,77 @@ def compact_setup(tc, width, height, znear, capacity: int):
     tri = tc["tri"]  # [K,96,3]
     K = tri.shape[0]
     V = tc["sx"].shape[1]
-    base = (jnp.arange(K, dtype=jnp.int32) * V)[:, None]
 
-    sx_flat = tc["sx"].reshape(-1)
-    sy_flat = tc["sy"].reshape(-1)
-    zw_flat = tc["zw"].reshape(-1)
-    vz_flat = tc["viewz"].reshape(-1)
+    # Corner fetch as a batched one-hot matmul: triangles are matrix rows,
+    # the cluster's 64 vertices are the contraction axis.  On this TPU a
+    # [K,96,64]@[K,64,F] dot_general runs ~3 orders of magnitude faster than
+    # per-element gathers (see tools/microbench.py history), because the MXU
+    # does the permutation as dense FLOPs.
+    attrs = jnp.stack([tc["sx"], tc["sy"], tc["zw"], tc["viewz"]], axis=-1)  # [K,64,4]
+    # bit-exact MXU gather: split the f32 attributes into three bf16-exact
+    # components (8 mantissa bits each covers all 24); each dot's products
+    # are x*1.0 with bf16-representable x -> exact, and the f32 accumulation
+    # of disjoint mantissa segments reconstructs the original value exactly.
+    a1 = attrs.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = attrs - a1
+    a2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    a3 = (r1 - a2).astype(jnp.bfloat16).astype(jnp.float32)
 
-    def g(flat, c):
-        return flat[base + tri[..., c]]  # [K,96]
+    iota = jnp.arange(V, dtype=jnp.int32)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    corners = []
+    for c in range(3):
+        oh = (tri[:, :, c, None] == iota[None, None, :]).astype(jnp.float32)  # [K,96,64]
+        corners.append(
+            jax.lax.dot_general(oh, a1, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(oh, a2, dn, preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(oh, a3, dn, preferred_element_type=jnp.float32)
+        )  # [K,96,4]
 
-    ax, ay = g(sx_flat, 0), g(sy_flat, 0)
-    bx, by = g(sx_flat, 1), g(sy_flat, 1)
-    cx, cy = g(sx_flat, 2), g(sy_flat, 2)
+    ax, ay, az, avz = (corners[0][..., i] for i in range(4))
+    bx, by, bz, bvz = (corners[1][..., i] for i in range(4))
+    cx, cy, cz, cvz = (corners[2][..., i] for i in range(4))
 
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
     front = area > 0.0
-    in_front = (g(vz_flat, 0) > znear * 0.5) & (g(vz_flat, 1) > znear * 0.5) & (g(vz_flat, 2) > znear * 0.5)
+    in_front = (avz > znear * 0.5) & (bvz > znear * 0.5) & (cvz > znear * 0.5)
 
-    x0 = jnp.floor(jnp.minimum(jnp.minimum(ax, bx), cx))
-    y0 = jnp.floor(jnp.minimum(jnp.minimum(ay, by), cy))
-    x1 = jnp.ceil(jnp.maximum(jnp.maximum(ax, bx), cx))
-    y1 = jnp.ceil(jnp.maximum(jnp.maximum(ay, by), cy))
-    on_screen = (x1 > 0) & (y1 > 0) & (x0 < width) & (y0 < height)
+    x0f = jnp.floor(jnp.minimum(jnp.minimum(ax, bx), cx))
+    y0f = jnp.floor(jnp.minimum(jnp.minimum(ay, by), cy))
+    x1f = jnp.ceil(jnp.maximum(jnp.maximum(ax, bx), cx))
+    y1f = jnp.ceil(jnp.maximum(jnp.maximum(ay, by), cy))
+    on_screen = (x1f > 0) & (y1f > 0) & (x0f < width) & (y0f < height)
 
     valid = tc["tri_valid"] & front & in_front & on_screen
+
+    # full setup computed densely at [K,96] (cheap VPU work), then the
+    # survivors' packed records are compacted with one row gather
+    def edge(vx, vy, wx, wy):
+        A = vy - wy
+        B = wx - vx
+        C = -(A * vx + B * vy)
+        return A, B, C
+
+    e0 = edge(ax, ay, bx, by)
+    e1 = edge(bx, by, cx, cy)
+    e2 = edge(cx, cy, ax, ay)
+
+    inv_area = jnp.where(jnp.abs(area) < 1e-20, 0.0, 1.0 / area)
+    za = ((bz - az) * (cy - ay) - (cz - az) * (by - ay)) * inv_area
+    zb = ((cz - az) * (bx - ax) - (bz - az) * (cx - ax)) * inv_area
+    zc = az - za * ax - zb * ay
+
+    x0d = jnp.clip(x0f, 0, width - 1)
+    y0d = jnp.clip(y0f, 0, height - 1)
+    x1d = jnp.clip(x1f, 0, width)
+    y1d = jnp.clip(y1f, 0, height)
+    valid = valid & (x1d > x0d) & (y1d > y0d)
+
+    rec = jnp.stack(
+        [e0[0], e0[1], e0[2], e1[0], e1[1], e1[2], e2[0], e2[1], e2[2], za, zb, zc,
+         x0d, y0d, x1d, y1d],
+        axis=-1,
+    ).reshape(K * MESH_MAXTRI, 16)
 
     # compact the flat (cluster, tri) index of survivors
     mask = valid.reshape(-1)
@@ -245,58 +212,22 @@ def compact_setup(tc, width, height, znear, capacity: int):
     tidx = jnp.zeros(capacity, dtype=jnp.int32).at[slot].set(
         jnp.arange(K * MESH_MAXTRI, dtype=jnp.int32), mode="drop"
     )
-    tri_k = tidx // MESH_MAXTRI
-    tri_t = tidx % MESH_MAXTRI
 
-    # recompute per-survivor corner data with small gathers
-    loc = tri.reshape(-1, 3)[tidx]  # [cap, 3]
-    vidx = tri_k[:, None] * V + loc  # [cap,3] flat vertex indices
-
-    caxs = sx_flat[vidx]  # [cap,3]
-    cays = sy_flat[vidx]
-    czs = zw_flat[vidx]
-
-    axc, bxc, cxc = caxs[:, 0], caxs[:, 1], caxs[:, 2]
-    ayc, byc, cyc = cays[:, 0], cays[:, 1], cays[:, 2]
-    azc, bzc, czc = czs[:, 0], czs[:, 1], czs[:, 2]
-
-    areac = (bxc - axc) * (cyc - ayc) - (byc - ayc) * (cxc - axc)
-
-    def edge(vx, vy, wx, wy):
-        A = vy - wy
-        B = wx - vx
-        C = -(A * vx + B * vy)
-        return A, B, C
-
-    e0 = edge(axc, ayc, bxc, byc)
-    e1 = edge(bxc, byc, cxc, cyc)
-    e2 = edge(cxc, cyc, axc, ayc)
-
-    inv_area = jnp.where(jnp.abs(areac) < 1e-20, 0.0, 1.0 / areac)
-    za = ((bzc - azc) * (cyc - ayc) - (czc - azc) * (byc - ayc)) * inv_area
-    zb = ((czc - azc) * (bxc - axc) - (bzc - azc) * (cxc - axc)) * inv_area
-    zc = azc - za * axc - zb * ayc
-
-    x0c = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(axc, bxc), cxc)).astype(jnp.int32), 0, width - 1)
-    y0c = jnp.clip(jnp.floor(jnp.minimum(jnp.minimum(ayc, byc), cyc)).astype(jnp.int32), 0, height - 1)
-    x1c = jnp.clip(jnp.ceil(jnp.maximum(jnp.maximum(axc, bxc), cxc)).astype(jnp.int32), 0, width)
-    y1c = jnp.clip(jnp.ceil(jnp.maximum(jnp.maximum(ayc, byc), cyc)).astype(jnp.int32), 0, height)
-
+    out = rec[tidx]  # [cap, 16] row gather
     live = jnp.arange(capacity, dtype=jnp.int32) < count
-    live = live & (x1c > x0c) & (y1c > y0c)
 
     return dict(
         valid=live,
-        e=[e0, e1, e2],
-        za=za,
-        zb=zb,
-        zc=zc,
-        x0=x0c,
-        y0=y0c,
-        x1=x1c,
-        y1=y1c,
-        tri_k=tri_k,
-        tri_t=tri_t,
+        e=[(out[:, 0], out[:, 1], out[:, 2]), (out[:, 3], out[:, 4], out[:, 5]), (out[:, 6], out[:, 7], out[:, 8])],
+        za=out[:, 9],
+        zb=out[:, 10],
+        zc=out[:, 11],
+        x0=out[:, 12].astype(jnp.int32),
+        y0=out[:, 13].astype(jnp.int32),
+        x1=out[:, 14].astype(jnp.int32),
+        y1=out[:, 15].astype(jnp.int32),
+        tri_k=tidx // MESH_MAXTRI,
+        tri_t=tidx % MESH_MAXTRI,
         count=count,
     )
 
@@ -526,6 +457,6 @@ def rasterize_clusters(
     the deferred shading pass to fetch attributes for visible fragments.
     """
     tc = transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, view, p00, p11, znear, width, height)
-    st = setup_triangles(tc, width, height, znear)
+    st = compact_setup(tc, width, height, znear, small_capacity)
     fb = rasterize(st, width, height, small_capacity=small_capacity, big_capacity=big_capacity)
     return fb, tc

@@ -234,3 +234,40 @@ def composite(
     )
     deband = cullmath.gradient_noise(xy) * 2.0 - 1.0
     return cullmath.tonemap(color) + (deband * (0.5 / 255.0))[..., None]
+
+
+def _hash_color(h):
+    """Integer hash -> rgb in [0,1] (reference meshlet.mesh.glsl:74-83 hash)."""
+    h = (h + 0x7ED55D16) + (h << 12)
+    h = (h ^ 0xC761C23C) ^ (h >> 19)
+    h = (h + 0x165667B1) + (h << 5)
+    h = (h + 0xD3A2646C) ^ (h << 9)
+    h = (h + 0xFD7046C5) + (h << 3)
+    h = (h ^ 0xB55A4F09) ^ (h >> 16)
+    return jnp.stack(
+        [
+            (h & 255).astype(jnp.float32) / 255.0,
+            ((h >> 8) & 255).astype(jnp.float32) / 255.0,
+            ((h >> 16) & 255).astype(jnp.float32) / 255.0,
+        ],
+        axis=-1,
+    )
+
+
+def debug_visualize(fb, tc, setup, mode: str = "meshlet"):
+    """Debug color modes (reference DEBUG paths meshlet.mesh.glsl:118-121,
+    mesh.frag.glsl:91-94): 'meshlet' hashes the meshlet id, 'draw' hashes the
+    draw id, 'depth' shows the reverse-Z depth buffer."""
+    frag = fb.vis
+    valid = frag != INVALID_FRAG
+    if mode == "depth":
+        d = fb.depth / jnp.maximum(fb.depth.max(), 1e-8)
+        return jnp.where(valid[..., None], jnp.stack([d, d, d], axis=-1), 0.0)
+    f = jnp.where(valid, frag, 0)
+    k = setup["tri_k"][f]
+    if mode == "draw":
+        key = tc["draw_id"][k]
+    else:
+        key = tc["mi"][k]
+    color = _hash_color(key.astype(jnp.uint32))
+    return jnp.where(valid[..., None], color, 0.0)

@@ -17,6 +17,11 @@ import jax
 import numpy as np
 import pytest
 
+# The env var alone is NOT enough here: the axon PJRT plugin registers at
+# interpreter start (sitecustomize) and would win; the config flag forces the
+# CPU backend even then.
+jax.config.update("jax_platforms", "cpu")
+
 # Compilation in this environment can stall on an external service with
 # highly variable latency; a persistent on-disk cache makes reruns cheap.
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
