@@ -134,12 +134,19 @@ def draw_cull(scene, params: CullParams, draw_vis, pyramid_atlas, *, late: bool,
     return emit, lod_index.astype(jnp.int32), new_vis
 
 
-def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, capacity: int) -> TaskCommands:
+def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, capacity: int, multi_capacity: int = 1 << 15) -> TaskCommands:
     """Prefix-sum replacement for the reference's atomicAdd command emission
     (drawcull.comp.glsl:120-139): each emitted draw appends
     ceil(meshletCount/64) commands; draws overflowing `capacity` are dropped
-    whole, like the reference's TASK_WGLIMIT check."""
-    d = jnp.arange(scene.draw_mesh_index.shape[0], dtype=jnp.int32)
+    whole, like the reference's TASK_WGLIMIT check.
+
+    Scatter-cost note: with a deep LOD chain most emitted draws need exactly
+    one command, so the dense [D, max_groups] emission would waste ~90% of
+    its scatter updates on dead lanes.  Single-group draws scatter one packed
+    row each; the rare multi-group draws are compacted to [multi_capacity]
+    first and emit their dense group grid from there."""
+    D = scene.draw_mesh_index.shape[0]
+    d = jnp.arange(D, dtype=jnp.int32)
     meshlet_count = scene.lod_meshlet_count[scene.draw_mesh_index, lod_index]
     meshlet_offset = scene.lod_meshlet_offset[scene.draw_mesh_index, lod_index]
 
@@ -149,27 +156,58 @@ def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, ca
     groups = jnp.where(fits, groups, 0)
     count = jnp.sum(groups)
 
-    g = jnp.arange(max_groups, dtype=jnp.int32)[None, :]  # [1, G]
-    lane_valid = g < groups[:, None]  # [D, G]
-    slot = jnp.where(lane_valid, base[:, None] + g, capacity)  # OOB -> dropped
+    vis_i32 = draw_vis.astype(jnp.int32)
 
-    def scatter(values):
-        out = jnp.zeros(capacity, dtype=values.dtype)
-        return out.at[slot.reshape(-1)].set(values.reshape(-1), mode="drop")
+    # packed command rows: [draw_id, task_offset, task_count, late_vis, vis_off]
+    out = jnp.zeros((capacity, 5), dtype=jnp.int32)
 
-    draw_ids = jnp.broadcast_to(d[:, None], slot.shape)
-    task_offset = meshlet_offset[:, None] + g * TASK_WGSIZE
-    task_count = jnp.clip(meshlet_count[:, None] - g * TASK_WGSIZE, 0, TASK_WGSIZE)
-    task_count = jnp.where(lane_valid, task_count, 0)
-    late_vis = jnp.broadcast_to(draw_vis.astype(jnp.int32)[:, None], slot.shape)
-    vis_offset = scene.draw_vis_offset[:, None] + g * TASK_WGSIZE
+    # --- single-group draws: one row at base ---
+    single = groups == 1
+    slot1 = jnp.where(single, base, capacity)
+    rows1 = jnp.stack(
+        [d, meshlet_offset.astype(jnp.int32), jnp.minimum(meshlet_count, TASK_WGSIZE).astype(jnp.int32),
+         vis_i32, scene.draw_vis_offset.astype(jnp.int32)],
+        axis=-1,
+    )
+    out = out.at[slot1].set(rows1, mode="drop")
+
+    # --- multi-group draws: compact then dense [multi_capacity, max_groups] ---
+    multi = groups > 1
+    mpos = jnp.cumsum(multi) - multi
+    mslot = jnp.where(multi & (mpos < multi_capacity), mpos, multi_capacity)
+
+    def mcompact(arr):
+        return jnp.zeros(multi_capacity, dtype=arr.dtype).at[mslot].set(arr, mode="drop")
+
+    md = mcompact(d)
+    mgroups = mcompact(groups)
+    mbase = mcompact(base)
+    moff = mcompact(meshlet_offset.astype(jnp.int32))
+    mcount = mcompact(meshlet_count.astype(jnp.int32))
+    mvis = mcompact(vis_i32)
+    mvoff = mcompact(scene.draw_vis_offset.astype(jnp.int32))
+
+    g = jnp.arange(max_groups, dtype=jnp.int32)[None, :]
+    lane_valid = g < mgroups[:, None]
+    slotm = jnp.where(lane_valid, mbase[:, None] + g, capacity)
+    rowsm = jnp.stack(
+        [
+            jnp.broadcast_to(md[:, None], slotm.shape),
+            moff[:, None] + g * TASK_WGSIZE,
+            jnp.where(lane_valid, jnp.clip(mcount[:, None] - g * TASK_WGSIZE, 0, TASK_WGSIZE), 0),
+            jnp.broadcast_to(mvis[:, None], slotm.shape),
+            mvoff[:, None] + g * TASK_WGSIZE,
+        ],
+        axis=-1,
+    )
+    out = out.at[slotm.reshape(-1)].set(rowsm.reshape(-1, 5), mode="drop")
 
     return TaskCommands(
-        draw_id=scatter(draw_ids.astype(jnp.int32)),
-        task_offset=scatter(task_offset.astype(jnp.int32)),
-        task_count=scatter(task_count.astype(jnp.int32)),
-        late_draw_visibility=scatter(late_vis),
-        vis_offset=scatter(vis_offset.astype(jnp.int32)),
+        draw_id=out[:, 0],
+        task_offset=out[:, 1],
+        task_count=out[:, 2],
+        late_draw_visibility=out[:, 3],
+        vis_offset=out[:, 4],
         count=count.astype(jnp.int32),
     )
 

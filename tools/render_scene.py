@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--out", default="/tmp/niagara_frames")
     ap.add_argument("--orbit", action="store_true", help="orbit the camera around the scene")
     ap.add_argument("--camera", default=None, help="camera persistence file (.camera.json)")
+    ap.add_argument("--shadows", action="store_true", help="ray-traced sun shadows (scenes <= 200k world tris)")
+    ap.add_argument("--debug", default=None, choices=["meshlet", "draw", "depth"], help="debug visualization mode")
+    ap.add_argument("--downsample", type=int, default=1, help="downscale output PNGs by N (D2H is slow here)")
     args = ap.parse_args()
 
     width, height = map(int, args.size.split("x"))
@@ -76,6 +79,13 @@ def main():
         cam = load_camera(args.camera)
         print(f"loaded camera from {args.camera}")
 
+    bvh = None
+    if args.shadows:
+        from niagara_tpu.ops import shadow as shadow_mod
+
+        bvh = jax.device_put(shadow_mod.build_scene_bvh(geometry, draws))
+        print(f"shadow BVH: {bvh.nodes.shape[0]} nodes, {bvh.tri_v0.shape[0]} tris")
+
     scene = jax.device_put(upload(geometry, draws, materials))
 
     cfg = frame_mod.FrameConfig(
@@ -83,8 +93,11 @@ def main():
         height=height,
         max_groups=int(np.ceil(geometry.meshes.lod_meshlet_count.max() / 64)),
         cmd_capacity=1 << 16,
-        cluster_capacity=1 << 17,
-        pair_capacity=1 << 21,
+        cluster_capacity=1 << 16,
+        pair_capacity=1 << 20,
+        late_cluster_capacity=1 << 14,
+        late_tri_capacity=1 << 18,
+        shadows=args.shadows,
         raster_interpret=jax.default_backend() == "cpu",
     )
     settings = RenderSettings()
@@ -98,8 +111,15 @@ def main():
 
         params, sp = frame_mod.make_frame_inputs(cam, settings, cfg, sun_direction=sun)
         prof.begin_frame()
-        image, fb, state, stats = frame_mod.render_frame(scene, state, params, sp, cfg)
-        img = np.asarray(image)  # device->host sync
+        image, fb, state, stats = frame_mod.render_frame(scene, state, params, sp, cfg, bvh=bvh)
+        if args.debug:
+            from niagara_tpu.ops import shade as shade_mod
+
+            fb2, tc2, setup2, _, _ = frame_mod.frame_core(scene, state, params, cfg)
+            image = shade_mod.debug_visualize(fb2, tc2, setup2, args.debug)
+        if args.downsample > 1:
+            image = image[:: args.downsample, :: args.downsample]
+        img = np.asarray(image)  # device->host sync (slow through the relay)
         ms = prof.end_frame()
 
         img = np.asarray(
