@@ -102,7 +102,7 @@ def apply_to_draws(scene, anim: AnimationTable, time):
 
     return dataclasses.replace(
         scene,
-        draw_position=scene.draw_position.at[target].set(position, mode="drop"),
-        draw_scale=scene.draw_scale.at[target].set(scale, mode="drop"),
-        draw_orientation=scene.draw_orientation.at[target].set(orientation, mode="drop"),
+        draw_position=jnp.asarray(scene.draw_position).at[target].set(position, mode="drop"),
+        draw_scale=jnp.asarray(scene.draw_scale).at[target].set(scale, mode="drop"),
+        draw_orientation=jnp.asarray(scene.draw_orientation).at[target].set(orientation, mode="drop"),
     )

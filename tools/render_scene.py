@@ -1,9 +1,9 @@
 #!/usr/bin/env python
-"""Offline renderer: render frames of a scene to PPM images.
+"""Offline renderer: render frames of a scene to PNG images.
 
 The headless analog of the reference's interactive window — renders the
 synthetic kitten scene (or a .gltf/.obj) with the full pipeline and writes
-frame_NNN.ppm plus a HUD overlay with frame stats.
+frame_NNN.png plus a HUD overlay with frame stats.
 
 Usage:
   python tools/render_scene.py [scene.gltf|scene.obj ...] \
@@ -32,14 +32,6 @@ from niagara_tpu.scene import upload
 from niagara_tpu.utils import math3d
 from niagara_tpu.utils.profiling import FrameProfiler
 from niagara_tpu.utils.png import write_png
-
-
-def write_ppm(path: str, image: np.ndarray):
-    """image [H,W,3] float in [0,1] -> binary PPM."""
-    data = (np.clip(image, 0, 1) * 255).astype(np.uint8)
-    with open(path, "wb") as f:
-        f.write(b"P6\n%d %d\n255\n" % (data.shape[1], data.shape[0]))
-        f.write(data.tobytes())
 
 
 def main():
