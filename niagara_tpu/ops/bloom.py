@@ -82,31 +82,36 @@ def bloom_levels(width: int, height: int) -> int:
     return min(8, image_mip_levels(bw, bh))
 
 
+# All internals work channel-first [3, H, W]: a trailing 3-channel axis
+# would occupy only 3 of 128 VPU lanes; channel-first keeps the image width
+# on the lane dimension.
+
+
 def _pad_even(img):
-    h, w = img.shape[:2]
-    return jnp.pad(img, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+    h, w = img.shape[1:]
+    return jnp.pad(img, ((0, 0), (0, h % 2), (0, w % 2)), mode="edge")
 
 
 def _down2(src):
-    """Exact 13-tap downsample by 2 (stencil form)."""
+    """Exact 13-tap downsample by 2 (stencil form), [C,h,w] -> [C,h/2,w/2]."""
     src = _pad_even(src)
-    h, w = src.shape[:2]
+    h, w = src.shape[1:]
     oh, ow = h // 2, w // 2
-    p = jnp.pad(src, ((2, 3), (2, 3), (0, 0)), mode="edge")
-    out = jnp.zeros((oh, ow, src.shape[2]), src.dtype)
+    p = jnp.pad(src, ((0, 0), (2, 3), (2, 3)), mode="edge")
+    out = jnp.zeros((src.shape[0], oh, ow), src.dtype)
     for j in range(6):
         for i in range(6):
             wgt = _DOWN_K[j, i]
             if wgt == 0.0:
                 continue
-            out = out + wgt * p[j : j + h : 2, i : i + w : 2]
+            out = out + wgt * p[:, j : j + h : 2, i : i + w : 2]
     return out
 
 
 def _up2(src, oh, ow):
-    """Exact 9-tap tent upsample to (oh, ow) (stencil phase form)."""
-    h, w = src.shape[:2]
-    p = jnp.pad(src, ((2, 2), (2, 2), (0, 0)), mode="edge")
+    """Exact 9-tap tent upsample to (oh, ow) (stencil phase form), [C,h,w]."""
+    h, w = src.shape[1:]
+    p = jnp.pad(src, ((0, 0), (2, 2), (2, 2)), mode="edge")
     phases = {}
     for (py, px), k in _UP_K.items():
         acc = 0.0
@@ -115,27 +120,27 @@ def _up2(src, oh, ow):
                 wgt = k[j, i]
                 if wgt == 0.0:
                     continue
-                acc = acc + wgt * p[j : j + h, i : i + w]
+                acc = acc + wgt * p[:, j : j + h, i : i + w]
         phases[(py, px)] = acc
-    out = jnp.zeros((h * 2, w * 2, src.shape[2]), src.dtype)
+    out = jnp.zeros((src.shape[0], h * 2, w * 2), src.dtype)
     for (py, px), v in phases.items():
-        out = out.at[py::2, px::2].set(v)
-    return out[:oh, :ow]
+        out = out.at[:, py::2, px::2].set(v)
+    return out[:, :oh, :ow]
 
 
 def extract_emissive(g0, width, height):
     """Phase 0: decode emissive from the G-buffer at half resolution
-    (bloom.comp.glsl pass 0)."""
+    (bloom.comp.glsl pass 0).  Returns [3, bh, bw]."""
     albedo = cullmath.from_srgb(g0[..., :3])
-    emissive = albedo * (jnp.exp2(g0[..., 3] * 5.0) - 1.0)[..., None]
+    emissive = jnp.moveaxis(albedo * (jnp.exp2(g0[..., 3] * 5.0) - 1.0)[..., None], -1, 0)
     e = _pad_even(emissive)
-    h, w = e.shape[:2]
+    h, w = e.shape[1:]
     # box 2x2 (the reference's bilinear fetch at half res is an exact 2x2 avg)
-    return 0.25 * (e[0:h:2, 0:w:2] + e[1:h:2, 0:w:2] + e[0:h:2, 1:w:2] + e[1:h:2, 1:w:2])
+    return 0.25 * (e[:, 0:h:2, 0:w:2] + e[:, 1:h:2, 0:w:2] + e[:, 0:h:2, 1:w:2] + e[:, 1:h:2, 1:w:2])
 
 
 def compute_bloom(g0, width: int, height: int):
-    """Full bloom chain; returns the half-res bloom image [bh,bw,3]."""
+    """Full bloom chain; returns the half-res bloom image [3,bh,bw]."""
     levels = bloom_levels(width, height)
     mips = [extract_emissive(g0, width, height)]
     for _ in range(1, levels):
@@ -143,22 +148,22 @@ def compute_bloom(g0, width: int, height: int):
 
     acc = mips[-1]
     for i in range(levels - 2, -1, -1):
-        oh, ow = mips[i].shape[:2]
+        oh, ow = mips[i].shape[1:]
         acc = mips[i] + _up2(acc, oh, ow)
     return acc
 
 
 def sample_bloom_fullres(bloom_half, width: int, height: int):
-    """Bilinear expansion of the half-res bloom to full resolution (the
-    composite samples it with a linear sampler, final.comp.glsl:76)."""
-    return _bilinear_x2(bloom_half, height, width)
+    """Bilinear expansion of the half-res bloom to full resolution [H,W,3]
+    (the composite samples it with a linear sampler, final.comp.glsl:76)."""
+    return jnp.moveaxis(_bilinear_x2(bloom_half, height, width), 0, -1)
 
 
 def _bilinear_x2(src, oh, ow):
-    """Exact 1:2 bilinear upsample (phase weights 0.25/0.75)."""
-    h, w = src.shape[:2]
-    p = jnp.pad(src, ((1, 1), (1, 1), (0, 0)), mode="edge")
-    out = jnp.zeros((h * 2, w * 2, src.shape[2]), src.dtype)
+    """Exact 1:2 bilinear upsample (phase weights 0.25/0.75), [C,h,w]."""
+    h, w = src.shape[1:]
+    p = jnp.pad(src, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    out = jnp.zeros((src.shape[0], h * 2, w * 2), src.dtype)
     for py in (0, 1):
         for px in (0, 1):
             # output (2k+p): source coord k + (p+0.5)/2 - 0.5 -> offsets
@@ -169,6 +174,6 @@ def _bilinear_x2(src, oh, ow):
             v = 0.0
             for i, wx in ((x0, 1 - fx), (x0 + 1, fx)):
                 for j, wy in ((y0, 1 - fy), (y0 + 1, fy)):
-                    v = v + wx * wy * p[1 + j : 1 + j + h, 1 + i : 1 + i + w]
-            out = out.at[py::2, px::2].set(v)
-    return out[:oh, :ow]
+                    v = v + wx * wy * p[:, 1 + j : 1 + j + h, 1 + i : 1 + i + w]
+            out = out.at[:, py::2, px::2].set(v)
+    return out[:, :oh, :ow]

@@ -53,7 +53,7 @@ def up_oracle(src, oh, ow):
 
 def test_down2_matches_bilinear_oracle(rng):
     src = rng.uniform(size=(16, 24, 3)).astype(np.float32)
-    got = np.asarray(bloom._down2(jnp.array(src)))
+    got = np.moveaxis(np.asarray(bloom._down2(jnp.moveaxis(jnp.array(src), -1, 0))), 0, -1)
     want = down_oracle(src, 8, 12)
     # interior texels exact; borders differ only by clamp handling
     np.testing.assert_allclose(got[1:-1, 1:-1], want[1:-1, 1:-1], atol=1e-5)
@@ -61,14 +61,14 @@ def test_down2_matches_bilinear_oracle(rng):
 
 def test_up2_matches_bilinear_oracle(rng):
     src = rng.uniform(size=(8, 12, 3)).astype(np.float32)
-    got = np.asarray(bloom._up2(jnp.array(src), 16, 24))
+    got = np.moveaxis(np.asarray(bloom._up2(jnp.moveaxis(jnp.array(src), -1, 0), 16, 24)), 0, -1)
     want = up_oracle(src, 16, 24)
     np.testing.assert_allclose(got[2:-2, 2:-2], want[2:-2, 2:-2], atol=1e-5)
 
 
 def test_bilinear_x2(rng):
     src = rng.uniform(size=(6, 6, 3)).astype(np.float32)
-    got = np.asarray(bloom._bilinear_x2(jnp.array(src), 12, 12))
+    got = np.moveaxis(np.asarray(bloom._bilinear_x2(jnp.moveaxis(jnp.array(src), -1, 0), 12, 12)), 0, -1)
     for y in range(2, 10):
         for x in range(2, 10):
             u = (x + 0.5) / 12 * 6
@@ -83,7 +83,7 @@ def test_bloom_chain_energy(rng):
     g0 = np.zeros((H, W, 4), np.float32)
     g0[..., :3] = 0.5
     g0[64, 64, 3] = 1.0  # strong emissive at one pixel
-    out = np.asarray(bloom.compute_bloom(jnp.array(g0), W, H))
+    out = np.moveaxis(np.asarray(bloom.compute_bloom(jnp.array(g0), W, H)), 0, -1)
     assert out.shape == (64, 64, 3)
     assert np.isfinite(out).all()
     assert out.max() > 0
