@@ -91,31 +91,23 @@ def sample_pyramid_min(pyramid_atlas: jnp.ndarray, uv: jnp.ndarray, level: jnp.n
     """Emulates textureLod on a min-reduction sampler: min of the 2x2 bilinear
     footprint at `uv` in mip `level` of the pyramid atlas.
 
-    pyramid_atlas: [L, base_h, base_w] with mip l valid in [:h>>l, :w>>l].
+    pyramid_atlas: [L, base_h, base_w] built by ops.pyramid.build_pyramid,
+    whose texels are already 2x2-footprint-filtered — so the footprint min is
+    a single gather of the footprint's top-left texel.
     uv: [...,2] in [0,1]; level: [...] float mip index.
     """
     lvl = level.astype(jnp.int32)
     mip_w = jnp.maximum(base_w >> lvl, 1).astype(jnp.float32)
     mip_h = jnp.maximum(base_h >> lvl, 1).astype(jnp.float32)
 
-    # texel coords of the bilinear footprint
-    tx = uv[..., 0] * mip_w - 0.5
-    ty = uv[..., 1] * mip_h - 0.5
-    x0 = jnp.floor(tx).astype(jnp.int32)
-    y0 = jnp.floor(ty).astype(jnp.int32)
+    # top-left texel of the bilinear footprint
+    x0 = jnp.floor(uv[..., 0] * mip_w - 0.5).astype(jnp.int32)
+    y0 = jnp.floor(uv[..., 1] * mip_h - 0.5).astype(jnp.int32)
 
     flat = pyramid_atlas.reshape(-1)
-
-    def fetch(xi, yi):
-        xc = jnp.clip(xi, 0, jnp.maximum(mip_w.astype(jnp.int32) - 1, 0))
-        yc = jnp.clip(yi, 0, jnp.maximum(mip_h.astype(jnp.int32) - 1, 0))
-        return flat[(lvl * base_h + yc) * base_w + xc]
-
-    d00 = fetch(x0, y0)
-    d10 = fetch(x0 + 1, y0)
-    d01 = fetch(x0, y0 + 1)
-    d11 = fetch(x0 + 1, y0 + 1)
-    return jnp.minimum(jnp.minimum(d00, d10), jnp.minimum(d01, d11))
+    xc = jnp.clip(x0, 0, jnp.maximum(mip_w.astype(jnp.int32) - 1, 0))
+    yc = jnp.clip(y0, 0, jnp.maximum(mip_h.astype(jnp.int32) - 1, 0))
+    return flat[(lvl * base_h + yc) * base_w + xc]
 
 
 # --- shading helpers (used by ops/shade.py) ---

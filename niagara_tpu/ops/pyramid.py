@@ -55,13 +55,24 @@ def _min_sample_reduce(src: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 
 def build_pyramid(depth: jnp.ndarray, levels: int, ph: int, pw: int) -> jnp.ndarray:
-    """depth [H,W] -> atlas [levels, ph, pw] of min-reduced mips."""
+    """depth [H,W] -> atlas [levels, ph, pw] of min-reduced mips.
+
+    The atlas stores *footprint-filtered* texels: entry (x, y) holds
+    min(mip[y:y+2, x:x+2]) (clamped), so the occlusion test's min-reduction
+    2x2 sample becomes a single gather (cullmath.sample_pyramid_min).
+    Per-element gathers dominate cull cost on this TPU; the extra dense
+    shifted-min here is nearly free."""
     mips = []
     src = depth
     h, w = ph, pw
     for lvl in range(levels):
         mip = _min_sample_reduce(src, h, w)
-        mips.append(jnp.pad(mip, ((0, ph - h), (0, pw - w))))
+        # 2x2 footprint min with clamp-to-edge semantics
+        right = jnp.concatenate([mip[:, 1:], mip[:, -1:]], axis=1)
+        down = jnp.concatenate([mip[1:, :], mip[-1:, :]], axis=0)
+        downright = jnp.concatenate([right[1:, :], right[-1:, :]], axis=0)
+        filtered = jnp.minimum(jnp.minimum(mip, right), jnp.minimum(down, downright))
+        mips.append(jnp.pad(filtered, ((0, ph - h), (0, pw - w))))
         src = mip
         h = max(h // 2, 1)
         w = max(w // 2, 1)

@@ -79,6 +79,7 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
 
     # one contiguous row per meshlet (768 B) instead of 64 element gathers
     pos = scene.meshlet_vpos[mi]  # [K,64,3]
+    vattr = scene.meshlet_vattr[mi]  # [K,64,5] (object normal xyz, uv)
     q = scene.draw_orientation[draw_id][:, None, :]  # [K,1,4]
     s = scene.draw_scale[draw_id][:, None, None]
     t = scene.draw_position[draw_id][:, None, :]
@@ -87,6 +88,12 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
     qw = q[..., 3:4]
     tmp = jnp.cross(qv, pos) + qw * pos
     world = (pos + 2.0 * jnp.cross(qv, tmp)) * s + t  # [K,64,3]
+
+    # world-space normals baked here so the shading record needs no
+    # per-pixel orientation gather
+    nrm = vattr[..., :3]
+    tmpn = jnp.cross(qv, nrm) + qw * nrm
+    world_nrm = nrm + 2.0 * jnp.cross(qv, tmpn)  # [K,64,3]
 
     cam = world @ view[:3, :3].T + view[:3, 3]  # camera space, z forward
     viewz = cam[..., 2]
@@ -111,8 +118,12 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
         sy=sy,
         zw=zw,
         viewz=viewz,
+        normal=world_nrm,
+        uv=vattr[..., 3:5],
         tri=tri,
         draw_id=draw_id,
+        mat_index=scene.draw_material_index[draw_id],
+        post_pass=scene.draw_post_pass[draw_id],
         mi=mi,
     )
 
@@ -138,7 +149,12 @@ def compact_setup(tc, width, height, znear, capacity: int):
     # [K,96,64]@[K,64,F] dot_general runs ~3 orders of magnitude faster than
     # per-element gathers (see tools/microbench.py history), because the MXU
     # does the permutation as dense FLOPs.
-    attrs = jnp.stack([tc["sx"], tc["sy"], tc["zw"], tc["viewz"]], axis=-1)  # [K,64,4]
+    nrm = tc.get("normal", jnp.zeros(tc["sx"].shape + (3,), jnp.float32))
+    uv = tc.get("uv", jnp.zeros(tc["sx"].shape + (2,), jnp.float32))
+    attrs = jnp.concatenate(
+        [jnp.stack([tc["sx"], tc["sy"], tc["zw"], tc["viewz"]], axis=-1), nrm, uv],
+        axis=-1,
+    )  # [K,64,9]: raster inputs + shading attributes in one MXU pass
     # bit-exact MXU gather: split the f32 attributes into three bf16-exact
     # components (8 mantissa bits each covers all 24); each dot's products
     # are x*1.0 with bf16-representable x -> exact, and the f32 accumulation
@@ -204,6 +220,29 @@ def compact_setup(tc, width, height, znear, capacity: int):
         axis=-1,
     ).reshape(K * MESH_MAXTRI, 16)
 
+    # packed per-triangle shading record: per-corner (x, y, viewz, world
+    # normal, uv) + vertex ids + material/post/draw ids.  Shading then needs
+    # exactly one row gather per pixel instead of ~15 element gathers
+    # (see ops/shade.py).  Integer ids ride as f32 (exact below 2^24).
+    def b96(a):
+        return jnp.broadcast_to(a[:, None], (K, MESH_MAXTRI)).astype(jnp.float32)
+
+    vid_f = tc["vid"].astype(jnp.float32)  # [K,64]
+    iota_f = jnp.arange(V, dtype=jnp.int32)
+    shade_cols = []
+    for c in range(3):
+        cc = corners[c]
+        shade_cols += [cc[..., 0], cc[..., 1], cc[..., 3], cc[..., 4], cc[..., 5], cc[..., 6], cc[..., 7], cc[..., 8]]
+    # corner vertex ids via the same exact one-hot trick
+    for c in range(3):
+        oh = (tri[:, :, c, None] == iota_f[None, None, :]).astype(jnp.float32)
+        shade_cols.append(
+            jax.lax.dot_general(oh, vid_f[..., None], dn, preferred_element_type=jnp.float32)[..., 0]
+        )
+    shade_cols += [b96(tc["draw_id"]), b96(tc.get("mat_index", jnp.zeros(K, jnp.int32))),
+                   b96(tc.get("post_pass", jnp.zeros(K, jnp.int32)))]
+    rec_shade = jnp.stack(shade_cols, axis=-1).reshape(K * MESH_MAXTRI, 30)
+
     # compact the flat (cluster, tri) index of survivors
     mask = valid.reshape(-1)
     pos = jnp.cumsum(mask) - mask
@@ -214,6 +253,7 @@ def compact_setup(tc, width, height, znear, capacity: int):
     )
 
     out = rec[tidx]  # [cap, 16] row gather
+    shade_rec = rec_shade[tidx]  # [cap, 25] row gather
     live = jnp.arange(capacity, dtype=jnp.int32) < count
 
     return dict(
@@ -226,6 +266,7 @@ def compact_setup(tc, width, height, znear, capacity: int):
         y0=out[:, 13].astype(jnp.int32),
         x1=out[:, 14].astype(jnp.int32),
         y1=out[:, 15].astype(jnp.int32),
+        shade_rec=shade_rec,
         tri_k=tidx // MESH_MAXTRI,
         tri_t=tidx % MESH_MAXTRI,
         count=count,

@@ -37,22 +37,27 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
     frag = fb.vis
     valid = frag != INVALID_FRAG
     f = jnp.where(valid, frag, 0)
-    k = setup["tri_k"][f]  # cluster index
-    t = setup["tri_t"][f]  # triangle within cluster
 
-    # flat 1-D gathers (fast path on TPU; see ops/raster.py note)
-    nvtx = tc["sx"].shape[1]
-    loc = tc["tri"].reshape(-1, 3)[k * MESH_MAXTRI + t]  # [H,W,3] local corner ids
-    draw_id = tc["draw_id"][k]  # [H,W]
-    vbase = k * nvtx
+    # ONE row gather per pixel: the packed per-triangle shading record
+    # (corner screen pos + viewz + world normal + uv, vertex/draw/material
+    # ids) built by compact_setup.  Per-element gathers cost ~20ns each on
+    # this TPU, so folding ~15 of them into one 120B row fetch is the
+    # difference between ~400ms and ~70ms of shading at 1080p.
+    rec = setup["shade_rec"][f]  # [H,W,30]
 
-    def corner(attr, c):
-        return attr.reshape(-1)[vbase + loc[..., c]]  # [H,W]
+    def corner(c):
+        o = c * 8
+        return rec[..., o], rec[..., o + 1], rec[..., o + 2], rec[..., o + 3 : o + 6], rec[..., o + 6 : o + 8]
 
-    sx = [corner(tc["sx"], c) for c in range(3)]
-    sy = [corner(tc["sy"], c) for c in range(3)]
-    viewz = [corner(tc["viewz"], c) for c in range(3)]
-    vids = [corner(tc["vid"], c) for c in range(3)]
+    x0c, y0c, vz0, n0, uv0 = corner(0)
+    x1c, y1c, vz1, n1, uv1 = corner(1)
+    x2c, y2c, vz2, n2, uv2 = corner(2)
+    sx = [x0c, x1c, x2c]
+    sy = [y0c, y1c, y2c]
+    vids = [rec[..., 24].astype(jnp.int32), rec[..., 25].astype(jnp.int32), rec[..., 26].astype(jnp.int32)]
+    draw_id = rec[..., 27].astype(jnp.int32)
+    mat = rec[..., 28].astype(jnp.int32)
+    post = rec[..., 29].astype(jnp.int32)
 
     # screen-space barycentrics at the pixel center
     px = jnp.arange(width, dtype=jnp.float32)[None, :] + 0.5
@@ -61,41 +66,30 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
     def edge_at(axp, ayp, bxp, byp):
         return (px - axp) * (byp - ayp) - (py - ayp) * (bxp - axp)
 
-    w0 = edge_at(sx[1], sy[1], sx[2], sy[2])  # opposite corner 0
-    w1 = edge_at(sx[2], sy[2], sx[0], sy[0])
-    w2 = edge_at(sx[0], sy[0], sx[1], sy[1])
+    w0 = edge_at(x1c, y1c, x2c, y2c)  # opposite corner 0
+    w1 = edge_at(x2c, y2c, x0c, y0c)
+    w2 = edge_at(x0c, y0c, x1c, y1c)
     wsum = w0 + w1 + w2
     inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
     b0, b1, b2 = w0 * inv, w1 * inv, w2 * inv
 
     # perspective correction: weights divided by view-space z
-    iz = [1.0 / jnp.maximum(z, 1e-12) for z in viewz]
-    pw0, pw1, pw2 = b0 * iz[0], b1 * iz[1], b2 * iz[2]
+    pw0 = b0 / jnp.maximum(vz0, 1e-12)
+    pw1 = b1 / jnp.maximum(vz1, 1e-12)
+    pw2 = b2 / jnp.maximum(vz2, 1e-12)
     pws = pw0 + pw1 + pw2
     pinv = jnp.where(jnp.abs(pws) < 1e-20, 0.0, 1.0 / pws)
 
-    def interp(attr_per_vertex):
-        a0 = attr_per_vertex[vids[0]]
-        a1 = attr_per_vertex[vids[1]]
-        a2 = attr_per_vertex[vids[2]]
-        if a0.ndim == 3:  # vector attribute [V,C]
-            return (pw0[..., None] * a0 + pw1[..., None] * a1 + pw2[..., None] * a2) * pinv[..., None]
-        return (pw0 * a0 + pw1 * a1 + pw2 * a2) * pinv
+    def interp3(a0, a1, a2):
+        return (pw0[..., None] * a0 + pw1[..., None] * a1 + pw2[..., None] * a2) * pinv[..., None]
 
-    normal = interp(scene.normals)  # [H,W,3] object space
-    tangent = interp(scene.tangents)  # [H,W,4]
-    uv = interp(scene.uvs)  # [H,W,2]
-
-    # rotate into world space by the draw orientation
-    q = scene.draw_orientation[draw_id]  # [H,W,4]
-    normal = cullmath.rotate_quat(normal, q)
-    tangent_xyz = cullmath.rotate_quat(tangent[..., :3], q)
+    normal = interp3(n0, n1, n2)  # world space (rotated at transform time)
+    uv = interp3(uv0, uv1, uv2)
 
     nlen = jnp.sqrt(jnp.sum(normal * normal, axis=-1, keepdims=True))
     normal = normal / jnp.maximum(nlen, 1e-20)
 
     # material sample (reference mesh.frag.glsl:62-80)
-    mat = scene.draw_material_index[draw_id]  # [H,W]
     albedo = scene.mat_diffuse[mat]  # [H,W,4]
     specgloss = scene.mat_specular[mat]  # [H,W,4]
     emissive = scene.mat_emissive[mat]  # [H,W,3]
@@ -106,9 +100,11 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
 
         tex_ids = scene.mat_textures[mat]  # [H,W,4]
         # per-fragment mip from the triangle's texel/pixel area ratio
-        u0 = scene.uvs[vids[0]]
-        u1 = scene.uvs[vids[1]]
-        u2 = scene.uvs[vids[2]]
+        u0, u1, u2 = uv0, uv1, uv2
+        # tangents fetched lazily (texture path only): 3 row gathers + quat
+        q = scene.draw_orientation[draw_id]
+        tangent = interp3(scene.tangents[vids[0]], scene.tangents[vids[1]], scene.tangents[vids[2]])
+        tangent_xyz = cullmath.rotate_quat(tangent[..., :3], q)
         albedo_id = tex_ids[..., 0]
         tw = textures.mip_w[jnp.clip(albedo_id, 0, textures.mip_count.shape[0] - 1), 0]
         th = textures.mip_h[jnp.clip(albedo_id, 0, textures.mip_count.shape[0] - 1), 0]
@@ -139,7 +135,6 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
         nrm = jnp.where((tex_ids[..., 1] > 0)[..., None], mapped, nrm)
 
         # alpha test for postPass>0 draws (shade-time discard)
-        post = scene.draw_post_pass[draw_id]
         valid = valid & ~((post > 0) & (albedo[..., 3] < 0.5))
 
     lum = jnp.array([0.3, 0.6, 0.1], dtype=jnp.float32)

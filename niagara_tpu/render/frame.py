@@ -227,6 +227,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         setup_all = dict(
             tri_k=jnp.concatenate([st_e["tri_k"], st_l["tri_k"] + cfg.cluster_capacity]),
             tri_t=jnp.concatenate([st_e["tri_t"], st_l["tri_t"]]),
+            shade_rec=jnp.concatenate([st_e["shade_rec"], st_l["shade_rec"]]),
         )
         # --- post passes: alpha-test (1) / transmission (2) draw classes,
         # late-path cull + additive raster (reference niagara.cpp:1781-1788)
@@ -266,6 +267,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             setup_all = dict(
                 tri_k=jnp.concatenate([setup_all["tri_k"], st_p["tri_k"] + k_off]),
                 tri_t=jnp.concatenate([setup_all["tri_t"], st_p["tri_t"]]),
+                shade_rec=jnp.concatenate([setup_all["shade_rec"], st_p["shade_rec"]]),
             )
 
         new_state = FrameState(draw_vis=new_draw_vis.astype(jnp.int32), vis_words=new_words)
@@ -278,7 +280,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         )
     else:
         tc = tc_e
-        setup_all = dict(tri_k=st_e["tri_k"], tri_t=st_e["tri_t"])
+        setup_all = dict(tri_k=st_e["tri_k"], tri_t=st_e["tri_t"], shade_rec=st_e["shade_rec"])
         new_state = state
         stats = FrameStats(
             early_commands=cmds_e.count,
