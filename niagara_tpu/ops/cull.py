@@ -240,15 +240,17 @@ def cluster_cull(
     scale = scene.draw_scale[draw_id][:, None]  # [C,1]
     position = scene.draw_position[draw_id][:, None, :]
 
-    center_local = scene.meshlet_center[mi_safe]  # [C,64,3]
-    radius = scene.meshlet_radius[mi_safe] * scale  # [C,64]
+    # one 32B row per meshlet (center, radius, cone axis, cutoff) — a single
+    # gather instead of four (per-element gathers dominate cull cost here)
+    rows = scene.meshlet_cull_rows[mi_safe]  # [C,64,8]
+    center_local = rows[..., 0:3]
+    radius = rows[..., 3] * scale  # [C,64]
 
     world = cullmath.rotate_quat(center_local, orientation) * scale[..., None] + position
     center = world @ params.view[:3, :3].T + params.view[:3, 3]
 
-    cone_axis_local = scene.meshlet_cone_axis[mi_safe]  # [C,64,3]
-    cone_axis = cullmath.rotate_quat(cone_axis_local, orientation) @ params.view[:3, :3].T
-    cone_cutoff = scene.meshlet_cone_cutoff[mi_safe]
+    cone_axis = cullmath.rotate_quat(rows[..., 4:7], orientation) @ params.view[:3, :3].T
+    cone_cutoff = rows[..., 7]
 
     visible = valid
     skip = jnp.zeros_like(valid)

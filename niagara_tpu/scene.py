@@ -201,6 +201,9 @@ class DeviceScene:
     meshlet_radius: np.ndarray  # f32 [M]
     meshlet_cone_axis: np.ndarray  # f32 [M,3] (snorm8 / 127)
     meshlet_cone_cutoff: np.ndarray  # f32 [M]
+    # packed cull row (center, radius, cone axis, cutoff): one 32B gather in
+    # cluster_cull instead of four separate ones
+    meshlet_cull_rows: np.ndarray  # f32 [M,8]
     meshlet_vertex_count: np.ndarray  # i32 [M]
     meshlet_triangle_count: np.ndarray  # i32 [M]
 
@@ -295,6 +298,15 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
         meshlet_cone_cutoff=(geometry.meshlets.cone_cutoff.astype(np.float32) / 127.0),
         meshlet_vertex_count=geometry.meshlets.vertex_count.astype(np.int32),
         meshlet_triangle_count=geometry.meshlets.triangle_count.astype(np.int32),
+        meshlet_cull_rows=np.concatenate(
+            [
+                geometry.meshlets.center.astype(np.float32),
+                geometry.meshlets.radius.astype(np.float32)[:, None],
+                geometry.meshlets.cone_axis.astype(np.float32) / 127.0,
+                geometry.meshlets.cone_cutoff.astype(np.float32)[:, None] / 127.0,
+            ],
+            axis=-1,
+        ),
         mesh_center=geometry.meshes.center.astype(np.float32),
         mesh_radius=geometry.meshes.radius.astype(np.float32),
         mesh_lod_count=geometry.meshes.lod_count.astype(np.int32),
