@@ -122,10 +122,19 @@ def _up2(src, oh, ow):
                     continue
                 acc = acc + wgt * p[:, j : j + h, i : i + w]
         phases[(py, px)] = acc
-    out = jnp.zeros((src.shape[0], h * 2, w * 2), src.dtype)
-    for (py, px), v in phases.items():
-        out = out.at[:, py::2, px::2].set(v)
-    return out[:, :oh, :ow]
+    return _interleave_phases(phases, h, w)[:, :oh, :ow]
+
+
+def _interleave_phases(phases, h, w):
+    """Assemble out[:, 2y+py, 2x+px] = phases[(py,px)][:, y, x] with dense
+    stack+reshape (strided `.at[::2]` writes lower to scatters on TPU, which
+    cost ~20ms at 1080p; this is a free layout shuffle instead)."""
+    c = phases[(0, 0)].shape[0]
+    rows = [
+        jnp.stack([phases[(py, 0)], phases[(py, 1)]], axis=-1).reshape(c, h, w * 2)
+        for py in (0, 1)
+    ]
+    return jnp.stack(rows, axis=2).reshape(c, h * 2, w * 2)
 
 
 def extract_emissive(g0, width, height):
@@ -163,7 +172,7 @@ def _bilinear_x2(src, oh, ow):
     """Exact 1:2 bilinear upsample (phase weights 0.25/0.75), [C,h,w]."""
     h, w = src.shape[1:]
     p = jnp.pad(src, ((0, 0), (1, 1), (1, 1)), mode="edge")
-    out = jnp.zeros((src.shape[0], h * 2, w * 2), src.dtype)
+    phases = {}
     for py in (0, 1):
         for px in (0, 1):
             # output (2k+p): source coord k + (p+0.5)/2 - 0.5 -> offsets
@@ -175,5 +184,5 @@ def _bilinear_x2(src, oh, ow):
             for i, wx in ((x0, 1 - fx), (x0 + 1, fx)):
                 for j, wy in ((y0, 1 - fy), (y0 + 1, fy)):
                     v = v + wx * wy * p[:, 1 + j : 1 + j + h, 1 + i : 1 + i + w]
-            out = out.at[:, py::2, px::2].set(v)
-    return out[:, :oh, :ow]
+            phases[(py, px)] = v
+    return _interleave_phases(phases, h, w)[:, :oh, :ow]

@@ -252,8 +252,11 @@ def compact_setup(tc, width, height, znear, capacity: int):
         jnp.arange(K * MESH_MAXTRI, dtype=jnp.int32), mode="drop"
     )
 
-    out = rec[tidx]  # [cap, 16] row gather
-    shade_rec = rec_shade[tidx]  # [cap, 25] row gather
+    # one wide row gather for both records (gather setup cost is per-row,
+    # so 16+30 columns in a single pass beats two separate gathers)
+    both = jnp.concatenate([rec, rec_shade], axis=-1)[tidx]  # [cap, 46]
+    out = both[:, :16]
+    shade_rec = both[:, 16:]
     live = jnp.arange(capacity, dtype=jnp.int32) < count
 
     return dict(
