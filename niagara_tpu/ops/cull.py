@@ -308,10 +308,12 @@ def cluster_cull(
     cluster_count = jnp.sum(emit)
     slot = jnp.where(emit & (pos < cluster_capacity), pos, cluster_capacity)
 
-    cmd_ids = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, TASK_WGSIZE)).reshape(-1)
-    lane_ids = jnp.broadcast_to(lanes, (C, TASK_WGSIZE)).reshape(-1)
-
-    cluster_cmd = jnp.zeros(cluster_capacity, dtype=jnp.int32).at[slot].set(cmd_ids, mode="drop")
-    cluster_lane = jnp.zeros(cluster_capacity, dtype=jnp.int32).at[slot].set(lane_ids, mode="drop")
+    # (cmd, lane) = divmod(flat index, 64), so ONE scatter of the flat index
+    # carries both (scatter cost scales with the C*64 update count)
+    flat = jnp.zeros(cluster_capacity, dtype=jnp.int32).at[slot].set(
+        jnp.arange(C * TASK_WGSIZE, dtype=jnp.int32), mode="drop"
+    )
+    cluster_cmd = flat // TASK_WGSIZE
+    cluster_lane = flat % TASK_WGSIZE
 
     return cluster_cmd, cluster_lane, jnp.minimum(cluster_count, cluster_capacity).astype(jnp.int32), new_vis_words

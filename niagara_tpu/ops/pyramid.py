@@ -35,23 +35,29 @@ def _min_sample_reduce(src: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
         # reshape-min, no gather (the hot path: all mips of a pow2 pyramid)
         return src.reshape(out_h, 2, out_w, 2).min(axis=(1, 3))
 
+    # non-pow2 step (only the base level of a non-pow2 framebuffer): take a
+    # dense 3x3 shifted-min prefilter, then ONE nearest gather per texel.
+    # f[y,x] = min(src[y:y+3, x:x+3]) covers the 2x2 bilinear footprint at
+    # (y,x) as a superset, so the result is <= the sampler's value — strictly
+    # conservative for the reverse-Z occlusion test (never over-culls).
+    def shift_min(a, axis):
+        def sh(b):
+            head = [slice(None)] * b.ndim
+            head[axis] = slice(1, None)
+            tail = [slice(None)] * b.ndim
+            tail[axis] = slice(-1, None)
+            return jnp.concatenate([b[tuple(head)], b[tuple(tail)]], axis=axis)
+
+        s1 = sh(a)
+        return jnp.minimum(a, jnp.minimum(s1, sh(s1)))
+
+    f = shift_min(shift_min(src, 0), 1)
+
     xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * in_w - 0.5
     ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * in_h - 0.5
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-
-    flat = src.reshape(-1)
-
-    def fetch(yi, xi):
-        yc = jnp.clip(yi, 0, in_h - 1)
-        xc = jnp.clip(xi, 0, in_w - 1)
-        return flat[yc[:, None] * in_w + xc[None, :]]
-
-    d00 = fetch(y0, x0)
-    d10 = fetch(y0, x0 + 1)
-    d01 = fetch(y0 + 1, x0)
-    d11 = fetch(y0 + 1, x0 + 1)
-    return jnp.minimum(jnp.minimum(d00, d10), jnp.minimum(d01, d11))
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, in_w - 1)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, in_h - 1)
+    return f.reshape(-1)[y0[:, None] * in_w + x0[None, :]]
 
 
 def build_pyramid(depth: jnp.ndarray, levels: int, ph: int, pw: int) -> jnp.ndarray:
