@@ -77,9 +77,10 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
     tri = scene.meshlet_tris[mi]  # [K,96,3]
     tri_count = scene.meshlet_triangle_count[mi]  # [K]
 
-    # one contiguous row per meshlet (768 B) instead of 64 element gathers
-    pos = scene.meshlet_vpos[mi]  # [K,64,3]
-    vattr = scene.meshlet_vattr[mi]  # [K,64,5] (object normal xyz, uv)
+    # one contiguous 2 KB row per meshlet instead of 64 element gathers
+    vdata = scene.meshlet_vdata[mi]  # [K,64,8] (position, object normal, uv)
+    pos = vdata[..., 0:3]
+    vattr = vdata[..., 3:8]
     q = scene.draw_orientation[draw_id][:, None, :]  # [K,1,4]
     s = scene.draw_scale[draw_id][:, None, None]
     t = scene.draw_position[draw_id][:, None, :]

@@ -195,8 +195,9 @@ class DeviceScene:
     # per meshlet slot at upload.  TPU-first layout: element gathers from
     # global vertex arrays are slow; one contiguous row per meshlet makes the
     # hot raster path a coarse row gather (see ops/raster.py).
-    meshlet_vpos: np.ndarray  # f32 [M, MESH_MAXVTX, 3]
-    meshlet_vattr: np.ndarray  # f32 [M, MESH_MAXVTX, 5] (normal xyz, uv)
+    # one [M,64,8] row (position, object normal, uv) so transform_clusters
+    # fetches all per-vertex data with a single row gather
+    meshlet_vdata: np.ndarray  # f32 [M, MESH_MAXVTX, 8]
     meshlet_center: np.ndarray  # f32 [M,3]
     meshlet_radius: np.ndarray  # f32 [M]
     meshlet_cone_axis: np.ndarray  # f32 [M,3] (snorm8 / 127)
@@ -278,10 +279,10 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
     tan_sign = np.where((geometry.vnorm & np.uint32(1 << 30)) != 0, -1.0, 1.0).astype(np.float32)
     tangents = np.concatenate([tan_xyz, tan_sign[:, None]], axis=-1)
 
-    meshlet_vpos = positions[vertex_ids]  # [M, 64, 3]
-    meshlet_vattr = np.concatenate(
-        [normals[vertex_ids], geometry.vuv.astype(np.float32)[vertex_ids]], axis=-1
-    )  # [M, 64, 5]
+    meshlet_vdata = np.concatenate(
+        [positions[vertex_ids], normals[vertex_ids],
+         geometry.vuv.astype(np.float32)[vertex_ids]], axis=-1
+    )  # [M, 64, 8]
 
     return DeviceScene(
         positions=positions,
@@ -290,8 +291,7 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
         tangents=tangents,
         meshlet_vertices=vertex_ids,
         meshlet_tris=tris,
-        meshlet_vpos=meshlet_vpos,
-        meshlet_vattr=meshlet_vattr,
+        meshlet_vdata=meshlet_vdata,
         meshlet_center=geometry.meshlets.center.astype(np.float32),
         meshlet_radius=geometry.meshlets.radius.astype(np.float32),
         meshlet_cone_axis=(geometry.meshlets.cone_axis.astype(np.float32) / 127.0),
