@@ -38,10 +38,13 @@ TILE_W = 128
 # the aligned offset below each tile's range and mask out-of-range records
 REC_CHUNK = 128
 
-# pair-emission footprint caps (in tiles): small path emits densely from
-# [T, SMALL_TX*SMALL_TY]; mid path compacts then emits from
-# [mid_capacity, MID_TX*MID_TY]
+# pair-emission footprint classes (in tiles).  Triangles touching <= 2 tiles
+# (the vast majority once LOD keeps screen sizes small) emit densely from
+# [T, 2]; the larger classes are compacted first so their dense emission
+# grids stay tiny.  Sort cost scales with total emitted slots, so the class
+# split cuts it ~3x vs a single dense footprint.
 SMALL_TX, SMALL_TY = 2, 3  # up to 256 x 24 px
+MIDA_TX, MIDA_TY = 5, 8  # up to 640 x 64 px
 MID_TX, MID_TY = 15, 32  # up to 1920 x 256 px
 
 
@@ -62,11 +65,13 @@ def tiles_to_image(tiles, height, width):
     return t.reshape((height, width) + rest)
 
 
-def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int, mid_capacity: int = 8192):
+def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
+               mid_capacity: int = 8192, small_capacity: int = 1 << 15,
+               midb_capacity: int = 1 << 10):
     """(tile, tri) pair list sorted by tile.
 
     Returns (pair_tri [P] i32 sorted, tile_start [n_tiles+1] i32, pair_count,
-    huge_dropped)."""
+    dropped — triangles lost to the huge cutoff or class-capacity overflow)."""
     n_tiles = tiles_x * tiles_y
     valid = setup["valid"]
     T = valid.shape[0]
@@ -76,9 +81,25 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int, mid_cap
     txs = (setup["x1"] - 1) // TILE_W - tx0 + 1
     tys = (setup["y1"] - 1) // TILE_H - ty0 + 1
 
-    is_small = valid & (txs <= SMALL_TX) & (tys <= SMALL_TY)
-    is_mid = valid & ~is_small & (txs <= MID_TX) & (tys <= MID_TY)
-    huge_dropped = jnp.sum(valid & ~is_small & ~is_mid)
+    is_tiny = valid & (txs * tys <= 2)  # 1x1, 2x1, 1x2 — the common case
+    fits_small = (txs <= SMALL_TX) & (tys <= SMALL_TY)
+    fits_mida = (txs <= MIDA_TX) & (tys <= MIDA_TY)
+    fits_midb = (txs <= MID_TX) & (tys <= MID_TY)
+    is_small = valid & ~is_tiny & fits_small
+    is_mida = valid & ~is_tiny & ~fits_small & fits_mida
+    is_midb = valid & ~is_tiny & ~fits_small & ~fits_mida & fits_midb
+    dropped = jnp.sum(valid & ~fits_midb)
+
+    def compact_idx(mask, cap):
+        """Compact the indices where mask is set (one scatter; per-triangle
+        fields are then fetched with cap-sized gathers)."""
+        pos = jnp.cumsum(mask) - mask
+        slot = jnp.where(mask & (pos < cap), pos, cap)
+        idx = jnp.zeros(cap, dtype=jnp.int32).at[slot].set(
+            jnp.arange(mask.shape[0], dtype=jnp.int32), mode="drop"
+        )
+        n = jnp.sum(mask)
+        return idx, jnp.minimum(n, cap), jnp.maximum(n - cap, 0)
 
     def emit(tri_idx, sel, tx0s, ty0s, txss, tyss, cap_x, cap_y):
         """Dense [N, cap_x*cap_y] (tile, tri) emission; returns flat arrays."""
@@ -91,17 +112,28 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int, mid_cap
         tri = jnp.broadcast_to(tri_idx[:, None], tile.shape)
         return tile.reshape(-1), tri.reshape(-1)
 
+    def emit_compacted(mask, cap, cap_x, cap_y):
+        idx, n, over = compact_idx(mask, cap)
+        sel = jnp.arange(cap, dtype=jnp.int32) < n
+        t, r = emit(idx, sel, tx0[idx], ty0[idx], txs[idx], tys[idx], cap_x, cap_y)
+        return t, r, over
+
+    # tiny: 2 dense slots per triangle; slot 1 steps in whichever axis spans 2
     tri_idx = jnp.arange(T, dtype=jnp.int32)
-    tile_s, tri_s = emit(tri_idx, is_small, tx0, ty0, txs, tys, SMALL_TX, SMALL_TY)
+    s2 = jnp.arange(2, dtype=jnp.int32)[None, :]
+    dx2 = jnp.where(txs[:, None] == 2, s2, 0)
+    dy2 = jnp.where(tys[:, None] == 2, s2, 0)
+    live2 = is_tiny[:, None] & (s2 < (txs * tys)[:, None])
+    tile_t = jnp.where(live2, (ty0[:, None] + dy2) * tiles_x + tx0[:, None] + dx2, n_tiles)
+    tri_t = jnp.broadcast_to(tri_idx[:, None], tile_t.shape)
 
-    mid, n_mid = _compact(
-        is_mid, dict(tri=tri_idx, tx0=tx0, ty0=ty0, txs=txs, tys=tys), mid_capacity
-    )
-    mid_live = jnp.arange(mid_capacity, dtype=jnp.int32) < n_mid
-    tile_m, tri_m = emit(mid["tri"], mid_live, mid["tx0"], mid["ty0"], mid["txs"], mid["tys"], MID_TX, MID_TY)
+    tile_s, tri_s, over_s = emit_compacted(is_small, small_capacity, SMALL_TX, SMALL_TY)
+    tile_a, tri_a, over_a = emit_compacted(is_mida, mid_capacity, MIDA_TX, MIDA_TY)
+    tile_b, tri_b, over_b = emit_compacted(is_midb, midb_capacity, MID_TX, MID_TY)
+    dropped = dropped + over_s + over_a + over_b
 
-    tiles_all = jnp.concatenate([tile_s, tile_m])
-    tris_all = jnp.concatenate([tri_s, tri_m])
+    tiles_all = jnp.concatenate([tile_t.reshape(-1), tile_s, tile_a, tile_b])
+    tris_all = jnp.concatenate([tri_t.reshape(-1), tri_s, tri_a, tri_b])
 
     # sort by tile; dead pairs (tile == n_tiles) sort to the end.  Secondary
     # order = emission order (stable sort) -> deterministic.
@@ -112,7 +144,7 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int, mid_cap
     tiles_sorted = tiles_sorted[:pair_capacity]
 
     tile_start = jnp.searchsorted(tiles_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left")
-    return pair_tri, tile_start.astype(jnp.int32), jnp.minimum(pair_count, pair_capacity), huge_dropped
+    return pair_tri, tile_start.astype(jnp.int32), jnp.minimum(pair_count, pair_capacity), dropped
 
 
 def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
