@@ -86,7 +86,9 @@ def _build_library() -> None:
     ]
     if os.path.exists(_LIB_PATH):
         lib_mtime = os.path.getmtime(_LIB_PATH)
-        if all(os.path.getmtime(s) <= lib_mtime for s in sources):
+        # strict comparison: equal mtimes (fresh checkout) force a rebuild so
+        # we never trust a binary whose provenance we can't verify
+        if all(os.path.getmtime(s) < lib_mtime for s in sources):
             return
     subprocess.run(["make", "-s"], cwd=_NATIVE_DIR, check=True)
 

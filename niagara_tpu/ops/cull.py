@@ -262,11 +262,16 @@ def cluster_cull(
     word_idx_safe = jnp.clip(word_idx, 0, vis_words.shape[0] - 1)
     vis_bit = (vis_words[word_idx_safe] & bit) != 0
 
-    cluster_occ = (params.cluster_occlusion_enabled == 1) & (params.post_pass == 0)
+    # the two-pass early-skip protocol only applies to the opaque pass
+    # (reference clustercull.comp.glsl:86 gates on postPass == 0), but the
+    # late occlusion test and visibility write-back below apply whenever
+    # cluster occlusion is enabled (reference :111, :125)
+    cluster_occ = params.cluster_occlusion_enabled == 1
+    occ_proto = cluster_occ & (params.post_pass == 0)
     if not late:
-        visible = visible & jnp.where(cluster_occ, vis_bit, True)
+        visible = visible & jnp.where(occ_proto, vis_bit, True)
     else:
-        skip = cluster_occ & (cmds.late_draw_visibility[:, None] == 1) & vis_bit & valid
+        skip = occ_proto & (cmds.late_draw_visibility[:, None] == 1) & vis_bit & valid
 
     # backface cone cull (camera at origin in view space)
     cone = cullmath.cone_cull(center, radius, cone_axis, cone_cutoff, jnp.zeros(3))

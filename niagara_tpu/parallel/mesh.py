@@ -72,7 +72,13 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
     Returns fn(stacked_scene, stacked_state, params, shade_params)
     -> (image [H,W,3] replicated, new stacked_state, stats summed).
     """
-    frag_stride = 2 * cfg.tri_capacity
+    # Fragment ids within one device span [0, tri_capacity) for the early
+    # pass plus [tri_capacity + (pp-0)*late_tri_cap, ...) for the late pass
+    # (pp=0) and each post pass (pp>=1) — see frame_core's frag_offset math.
+    # The stride must cover the whole range so per-device id ranges are
+    # disjoint for every FrameConfig (post_passes>1, late_tri_capacity !=
+    # tri_capacity included).
+    frag_stride = cfg.tri_capacity + cfg.post_passes * cfg.late_tri_cap
 
     def per_device(scene, state, params, sp):
         # shard_map passes [1, ...] blocks along the draw axis
@@ -124,5 +130,12 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
 
 
 def make_mesh(n_devices: int, axis: str = "draws") -> Mesh:
-    devices = np.array(jax.devices()[:n_devices])
-    return Mesh(devices, (axis,))
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"make_mesh({n_devices}) needs {n_devices} devices but the "
+            f"{jax.default_backend()!r} backend only has {len(devices)}; "
+            "set XLA_FLAGS=--xla_force_host_platform_device_count and "
+            "JAX_PLATFORMS=cpu before JAX initializes to get a virtual mesh"
+        )
+    return Mesh(np.array(devices[:n_devices]), (axis,))

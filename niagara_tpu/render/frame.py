@@ -145,14 +145,23 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
     empty_atlas = jnp.zeros((levels, ph, pw), dtype=jnp.float32)
 
     # --- early pass: frustum-cull, render last-frame-visible ---
-    emit_e, lod_e, _ = cull.draw_cull(
-        scene, params, state.draw_vis, empty_atlas, late=False, pyramid_shape=pyr_hw
+    # In single-pass mode (no occlusion) there is no late pass to render
+    # newly-visible draws, so the emit predicate must not depend on the
+    # carried dvb (which would otherwise start — and stay — all-invisible).
+    if cfg.occlusion_two_pass:
+        early_dvb = state.draw_vis
+        early_words = state.vis_words
+    else:
+        early_dvb = jnp.ones_like(state.draw_vis)
+        early_words = jnp.full_like(state.vis_words, 0xFFFFFFFF)
+    emit_e, lod_e, vis_e = cull.draw_cull(
+        scene, params, early_dvb, empty_atlas, late=False, pyramid_shape=pyr_hw
     )
     cmds_e = cull.build_task_commands(
-        scene, emit_e, lod_e, state.draw_vis, max_groups=cfg.max_groups, capacity=cfg.cmd_capacity
+        scene, emit_e, lod_e, early_dvb, max_groups=cfg.max_groups, capacity=cfg.cmd_capacity
     )
     ccount_e, tc_e, _ = _render_pass(
-        scene, params, cmds_e, state.vis_words, empty_atlas, cfg, late=False, pyr_hw=pyr_hw
+        scene, params, cmds_e, early_words, empty_atlas, cfg, late=False, pyr_hw=pyr_hw
     )
     st_e = raster.compact_setup(tc_e, cfg.width, cfg.height, params.znear, cfg.tri_capacity)
 
@@ -281,7 +290,8 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
     else:
         tc = tc_e
         setup_all = dict(tri_k=st_e["tri_k"], tri_t=st_e["tri_t"], shade_rec=st_e["shade_rec"])
-        new_state = state
+        # keep the carried state meaningful even without a late pass
+        new_state = FrameState(draw_vis=vis_e.astype(jnp.int32), vis_words=state.vis_words)
         stats = FrameStats(
             early_commands=cmds_e.count,
             late_commands=jnp.int32(0),

@@ -29,16 +29,27 @@ from niagara_tpu.render.camera import Camera, RenderSettings
 from niagara_tpu.scene import upload
 
 
-def timed(name, fn, *args, n=3, **kwargs):
+def _sync(out):
+    """Hard sync: block_until_ready is unreliable through the chip relay
+    (it can return before execution), so read one element back to host."""
+    leaves = jax.tree.leaves(out)
+    for leaf in leaves:
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.device_get(leaf.ravel()[:1]))
+    return out
+
+
+def timed(name, fn, *args, n=10, **kwargs):
     out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
-    ts = []
+    _sync(out)
+    # issue n dependent-free calls back to back (they serialize on the device
+    # stream), sync once; per-call time amortizes the relay round-trip
+    t0 = time.time()
     for _ in range(n):
-        t0 = time.time()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
-        ts.append(time.time() - t0)
-    print(f"{name:28s} {1000*np.median(ts):9.2f} ms", flush=True)
+    _sync(out)
+    ms = 1000 * (time.time() - t0) / n
+    print(f"{name:28s} {ms:9.2f} ms", flush=True)
     return out
 
 
