@@ -61,7 +61,7 @@ def main():
         max_groups=int(np.ceil(geometry.meshes.lod_meshlet_count.max() / 64)),
         cmd_capacity=int(os.environ.get("BENCH_CMD_CAP", 1 << 16 if big else 1 << 14)),
         cluster_capacity=int(os.environ.get("BENCH_CLUSTER_CAP", 1 << 16)),
-        tri_capacity=int(os.environ.get("BENCH_TRI_CAP", 1 << 20)),
+        tri_capacity=int(os.environ.get("BENCH_TRI_CAP", 1 << 19)),
         pair_capacity=int(os.environ.get("BENCH_PAIR_CAP", 1 << 20)),
         late_cluster_capacity=int(os.environ.get("BENCH_LATE_CLUSTER_CAP", 1 << 14)),
         late_tri_capacity=int(os.environ.get("BENCH_LATE_TRI_CAP", 1 << 18)),

@@ -83,8 +83,10 @@ def draw_cull(scene, params: CullParams, draw_vis, pyramid_atlas, *, late: bool,
     `visible` is the new draw-visibility state (written back in the late pass,
     reference drawcull.comp.glsl:154-155).
     """
-    center_local = scene.mesh_center[scene.draw_mesh_index]
-    radius_local = scene.mesh_radius[scene.draw_mesh_index]
+    # baked per-draw mesh rows (scene.py): stream, don't gather
+    row = scene.draw_mesh_row  # [D, 5+MAX_LODS]
+    center_local = row[:, 0:3]
+    radius_local = row[:, 3]
     center, radius = transform_sphere_to_view(
         center_local, radius_local, scene.draw_orientation, scene.draw_scale, scene.draw_position, params.view
     )
@@ -122,8 +124,8 @@ def draw_cull(scene, params: CullParams, draw_vis, pyramid_atlas, *, late: bool,
     # LOD selection from screen-space error (reference drawcull.comp.glsl:106-117)
     dist = jnp.maximum(jnp.sqrt(jnp.sum(center * center, axis=-1)) - radius, 0.0)
     threshold = dist * params.lod_target / scene.draw_scale
-    lod_count = scene.mesh_lod_count[scene.draw_mesh_index]
-    errors = scene.lod_error[scene.draw_mesh_index]  # [D, MAX_LODS]
+    lod_count = row[:, 4].astype(jnp.int32)
+    errors = row[:, 5:]  # [D, MAX_LODS]
     lod_valid = jnp.arange(errors.shape[1])[None, :] < lod_count[:, None]
     passes = (errors < threshold[:, None]) & lod_valid
     # highest index i>=1 with error < threshold, else 0
@@ -147,8 +149,11 @@ def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, ca
     first and emit their dense group grid from there."""
     D = scene.draw_mesh_index.shape[0]
     d = jnp.arange(D, dtype=jnp.int32)
-    meshlet_count = scene.lod_meshlet_count[scene.draw_mesh_index, lod_index]
-    meshlet_offset = scene.lod_meshlet_offset[scene.draw_mesh_index, lod_index]
+    # one-hot select over the baked per-draw LOD tables: dense VPU work
+    # instead of a [D]-element gather per field
+    lod_oh = jnp.arange(scene.draw_lod_meshlet_count.shape[1], dtype=jnp.int32)[None, :] == lod_index[:, None]
+    meshlet_count = jnp.sum(jnp.where(lod_oh, scene.draw_lod_meshlet_count, 0), axis=1)
+    meshlet_offset = jnp.sum(jnp.where(lod_oh, scene.draw_lod_meshlet_offset, 0), axis=1)
 
     groups = jnp.where(emit, (meshlet_count + TASK_WGSIZE - 1) // TASK_WGSIZE, 0)
     base = jnp.cumsum(groups) - groups  # exclusive prefix sum
@@ -156,22 +161,21 @@ def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, ca
     groups = jnp.where(fits, groups, 0)
     count = jnp.sum(groups)
 
-    vis_i32 = draw_vis.astype(jnp.int32)
+    # Scatter ONE packed code per command — (draw * G + group) + 1, 0 = dead
+    # slot — then decode every command field at [capacity] scale with cheap
+    # small gathers.  Row scatters at draw-count scale cost ~85ns/row on this
+    # chip; a single int scatter plus capacity-scale gathers is ~6x cheaper.
+    gbits = max(max_groups, 2).bit_length()  # code = (d << gbits | g) + 1
+    assert (D << gbits) < (1 << 31), "draw count too large for packed command codes"
 
-    # packed command rows: [draw_id, task_offset, task_count, late_vis, vis_off]
-    out = jnp.zeros((capacity, 5), dtype=jnp.int32)
+    out_code = jnp.zeros(capacity, dtype=jnp.int32)
 
-    # --- single-group draws: one row at base ---
+    # --- single-group draws: one code at base ---
     single = groups == 1
     slot1 = jnp.where(single, base, capacity)
-    rows1 = jnp.stack(
-        [d, meshlet_offset.astype(jnp.int32), jnp.minimum(meshlet_count, TASK_WGSIZE).astype(jnp.int32),
-         vis_i32, scene.draw_vis_offset.astype(jnp.int32)],
-        axis=-1,
-    )
-    out = out.at[slot1].set(rows1, mode="drop")
+    out_code = out_code.at[slot1].set((d << gbits) + 1, mode="drop")
 
-    # --- multi-group draws: compact then dense [multi_capacity, max_groups] ---
+    # --- multi-group draws (rare): compact then dense [multi_capacity, G] ---
     multi = groups > 1
     mpos = jnp.cumsum(multi) - multi
     mslot = jnp.where(multi & (mpos < multi_capacity), mpos, multi_capacity)
@@ -182,32 +186,30 @@ def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, ca
     md = mcompact(d)
     mgroups = mcompact(groups)
     mbase = mcompact(base)
-    moff = mcompact(meshlet_offset.astype(jnp.int32))
-    mcount = mcompact(meshlet_count.astype(jnp.int32))
-    mvis = mcompact(vis_i32)
-    mvoff = mcompact(scene.draw_vis_offset.astype(jnp.int32))
 
     g = jnp.arange(max_groups, dtype=jnp.int32)[None, :]
     lane_valid = g < mgroups[:, None]
     slotm = jnp.where(lane_valid, mbase[:, None] + g, capacity)
-    rowsm = jnp.stack(
-        [
-            jnp.broadcast_to(md[:, None], slotm.shape),
-            moff[:, None] + g * TASK_WGSIZE,
-            jnp.where(lane_valid, jnp.clip(mcount[:, None] - g * TASK_WGSIZE, 0, TASK_WGSIZE), 0),
-            jnp.broadcast_to(mvis[:, None], slotm.shape),
-            mvoff[:, None] + g * TASK_WGSIZE,
-        ],
-        axis=-1,
+    codem = ((md[:, None] << gbits) | g) + 1
+    out_code = out_code.at[slotm.reshape(-1)].set(codem.reshape(-1), mode="drop")
+
+    # --- decode at capacity scale ---
+    live = out_code > 0
+    cd = jnp.where(live, (out_code - 1) >> gbits, 0)
+    cg = jnp.where(live, (out_code - 1) & ((1 << gbits) - 1), 0)
+    c_off = meshlet_offset.astype(jnp.int32)[cd] + cg * TASK_WGSIZE
+    c_count = jnp.where(
+        live,
+        jnp.clip(meshlet_count.astype(jnp.int32)[cd] - cg * TASK_WGSIZE, 0, TASK_WGSIZE),
+        0,
     )
-    out = out.at[slotm.reshape(-1)].set(rowsm.reshape(-1, 5), mode="drop")
 
     return TaskCommands(
-        draw_id=out[:, 0],
-        task_offset=out[:, 1],
-        task_count=out[:, 2],
-        late_draw_visibility=out[:, 3],
-        vis_offset=out[:, 4],
+        draw_id=cd,
+        task_offset=c_off,
+        task_count=c_count,
+        late_draw_visibility=draw_vis.astype(jnp.int32)[cd] * live,
+        vis_offset=scene.draw_vis_offset.astype(jnp.int32)[cd] + cg * TASK_WGSIZE,
         count=count.astype(jnp.int32),
     )
 
@@ -232,17 +234,23 @@ def cluster_cull(
     lanes = jnp.arange(TASK_WGSIZE, dtype=jnp.int32)[None, :]  # [1,64]
 
     valid = lanes < cmds.task_count[:, None]  # [C,64]
-    mi = cmds.task_offset[:, None] + lanes  # absolute meshlet index
-    mi_safe = jnp.clip(mi, 0, scene.meshlet_radius.shape[0] - 1)
     draw_id = cmds.draw_id  # [C]
 
-    orientation = scene.draw_orientation[draw_id][:, None, :]  # [C,1,4]
-    scale = scene.draw_scale[draw_id][:, None]  # [C,1]
-    position = scene.draw_position[draw_id][:, None, :]
+    # one 32B row gather for the whole transform (pos, scale, quat)
+    xf = scene.draw_xform_row[draw_id]  # [C,8]
+    position = xf[:, None, 0:3]
+    scale = xf[:, None, 3]
+    orientation = xf[:, None, 4:8]
 
-    # one 32B row per meshlet (center, radius, cone axis, cutoff) — a single
-    # gather instead of four (per-element gathers dominate cull cost here)
-    rows = scene.meshlet_cull_rows[mi_safe]  # [C,64,8]
+    # A command's 64 meshlets are CONSECUTIVE (task_offset + lane), so the
+    # cull rows come as one 2KB block slice per command instead of 64
+    # independent 32B row gathers — ~50x cheaper on this chip.  The table is
+    # padded by TASK_WGSIZE rows at upload so tail slices never clamp.
+    rows = jax.vmap(
+        lambda off: jax.lax.dynamic_slice(
+            scene.meshlet_cull_rows, (jnp.maximum(off, 0), 0), (TASK_WGSIZE, 8)
+        )
+    )(cmds.task_offset)  # [C,64,8]
     center_local = rows[..., 0:3]
     radius = rows[..., 3] * scale  # [C,64]
 
@@ -255,12 +263,17 @@ def cluster_cull(
     visible = valid
     skip = jnp.zeros_like(valid)
 
-    # visibility-bit protocol (reference clustercull.comp.glsl:86-99)
-    mvi = cmds.vis_offset[:, None] + lanes  # [C,64]
-    word_idx = mvi >> 5
-    bit = jnp.left_shift(jnp.uint32(1), (mvi & 31).astype(jnp.uint32))
-    word_idx_safe = jnp.clip(word_idx, 0, vis_words.shape[0] - 1)
-    vis_bit = (vis_words[word_idx_safe] & bit) != 0
+    # visibility-bit protocol (reference clustercull.comp.glsl:86-99).
+    # Slot ranges are 64-aligned per draw (scene.py), so a command's 64 bits
+    # live in exactly 2 consecutive words: one 8-byte slice per command
+    # replaces a [C,64] element gather (vis_words is padded by 2 words).
+    base_word_r = jnp.maximum(cmds.vis_offset >> 5, 0)
+    words2 = jax.vmap(
+        lambda w: jax.lax.dynamic_slice(vis_words, (w,), (2,))
+    )(base_word_r)  # [C,2] u32
+    lane_word = jnp.where(lanes < 32, words2[:, 0:1], words2[:, 1:2])  # [C,64]
+    bit = jnp.left_shift(jnp.uint32(1), (lanes & 31).astype(jnp.uint32))
+    vis_bit = (lane_word & bit) != 0
 
     # the two-pass early-skip protocol only applies to the opaque pass
     # (reference clustercull.comp.glsl:86 gates on postPass == 0), but the

@@ -81,9 +81,10 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
     vdata = scene.meshlet_vdata[mi]  # [K,64,8] (position, object normal, uv)
     pos = vdata[..., 0:3]
     vattr = vdata[..., 3:8]
-    q = scene.draw_orientation[draw_id][:, None, :]  # [K,1,4]
-    s = scene.draw_scale[draw_id][:, None, None]
-    t = scene.draw_position[draw_id][:, None, :]
+    xf = scene.draw_xform_row[draw_id]  # [K,8] — one row gather
+    q = xf[:, None, 4:8]  # [K,1,4]
+    s = xf[:, None, None, 3]
+    t = xf[:, None, 0:3]
 
     qv = q[..., :3]
     qw = q[..., 3:4]
@@ -148,37 +149,59 @@ def compact_setup(tc, width, height, znear, capacity: int):
     # Corner fetch as a batched one-hot matmul: triangles are matrix rows,
     # the cluster's 64 vertices are the contraction axis.  On this TPU a
     # [K,96,64]@[K,64,F] dot_general runs ~3 orders of magnitude faster than
-    # per-element gathers (see tools/microbench.py history), because the MXU
-    # does the permutation as dense FLOPs.
+    # per-element gathers, because the MXU does the permutation as dense
+    # FLOPs.  All channels ride ONE dot per corner; exactness comes from
+    # bf16-split encoding:
+    #   * positions (sx, sy, viewz): 3 bf16 components each (8 mantissa bits
+    #     x3 covers all 24) — each product is x_part * 1.0 with a one-hot row
+    #     selecting exactly one vertex, so every term and the f32 sum of the
+    #     disjoint mantissa segments is exact;
+    #   * normals/uvs: 2 components (16 mantissa bits — G-buffer encodings
+    #     keep 10, so this is lossless end to end);
+    #   * vertex ids: 3 byte-sized integer pieces (exact in bf16).
     nrm = tc.get("normal", jnp.zeros(tc["sx"].shape + (3,), jnp.float32))
     uv = tc.get("uv", jnp.zeros(tc["sx"].shape + (2,), jnp.float32))
-    attrs = jnp.concatenate(
-        [jnp.stack([tc["sx"], tc["sy"], tc["zw"], tc["viewz"]], axis=-1), nrm, uv],
-        axis=-1,
-    )  # [K,64,9]: raster inputs + shading attributes in one MXU pass
-    # bit-exact MXU gather: split the f32 attributes into three bf16-exact
-    # components (8 mantissa bits each covers all 24); each dot's products
-    # are x*1.0 with bf16-representable x -> exact, and the f32 accumulation
-    # of disjoint mantissa segments reconstructs the original value exactly.
-    a1 = attrs.astype(jnp.bfloat16).astype(jnp.float32)
-    r1 = attrs - a1
-    a2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
-    a3 = (r1 - a2).astype(jnp.bfloat16).astype(jnp.float32)
+
+    pos = jnp.stack([tc["sx"], tc["sy"], tc["viewz"], tc["zw"]], axis=-1)  # [K,64,4]
+    p1 = pos.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = pos - p1
+    p2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    p3 = r1 - p2
+
+    att = jnp.concatenate([nrm, uv], axis=-1)  # [K,64,5]
+    q1 = att.astype(jnp.bfloat16).astype(jnp.float32)
+    q2 = att - q1
+
+    vid32 = tc["vid"].astype(jnp.int32)
+    v0 = (vid32 & 255).astype(jnp.float32)
+    v1 = ((vid32 >> 8) & 255).astype(jnp.float32)
+    v2 = (vid32 >> 16).astype(jnp.float32)
+
+    channels = jnp.concatenate(
+        [p1, p2, p3, q1, q2, jnp.stack([v0, v1, v2], axis=-1)], axis=-1
+    ).astype(jnp.bfloat16)  # [K,64,25]
 
     iota = jnp.arange(V, dtype=jnp.int32)
     dn = (((2,), (1,)), ((0,), (0,)))
     corners = []
     for c in range(3):
-        oh = (tri[:, :, c, None] == iota[None, None, :]).astype(jnp.float32)  # [K,96,64]
+        oh = (tri[:, :, c, None] == iota[None, None, :]).astype(jnp.bfloat16)
+        co = jax.lax.dot_general(oh, channels, dn, preferred_element_type=jnp.float32)
         corners.append(
-            jax.lax.dot_general(oh, a1, dn, preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(oh, a2, dn, preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(oh, a3, dn, preferred_element_type=jnp.float32)
-        )  # [K,96,4]
+            dict(
+                x=co[..., 0] + co[..., 4] + co[..., 8],
+                y=co[..., 1] + co[..., 5] + co[..., 9],
+                vz=co[..., 2] + co[..., 6] + co[..., 10],
+                z=co[..., 3] + co[..., 7] + co[..., 11],
+                n=co[..., 12:15] + co[..., 17:20],
+                uv=co[..., 15:17] + co[..., 20:22],
+                vid=co[..., 22] + co[..., 23] * 256.0 + co[..., 24] * 65536.0,
+            )
+        )
 
-    ax, ay, az, avz = (corners[0][..., i] for i in range(4))
-    bx, by, bz, bvz = (corners[1][..., i] for i in range(4))
-    cx, cy, cz, cvz = (corners[2][..., i] for i in range(4))
+    ax, ay, az, avz = (corners[0][k] for k in ("x", "y", "z", "vz"))
+    bx, by, bz, bvz = (corners[1][k] for k in ("x", "y", "z", "vz"))
+    cx, cy, cz, cvz = (corners[2][k] for k in ("x", "y", "z", "vz"))
 
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
     front = area > 0.0
@@ -228,21 +251,19 @@ def compact_setup(tc, width, height, znear, capacity: int):
     def b96(a):
         return jnp.broadcast_to(a[:, None], (K, MESH_MAXTRI)).astype(jnp.float32)
 
-    vid_f = tc["vid"].astype(jnp.float32)  # [K,64]
-    iota_f = jnp.arange(V, dtype=jnp.int32)
     shade_cols = []
     for c in range(3):
         cc = corners[c]
-        shade_cols += [cc[..., 0], cc[..., 1], cc[..., 3], cc[..., 4], cc[..., 5], cc[..., 6], cc[..., 7], cc[..., 8]]
-    # corner vertex ids via the same exact one-hot trick
-    for c in range(3):
-        oh = (tri[:, :, c, None] == iota_f[None, None, :]).astype(jnp.float32)
-        shade_cols.append(
-            jax.lax.dot_general(oh, vid_f[..., None], dn, preferred_element_type=jnp.float32)[..., 0]
-        )
+        shade_cols += [cc["x"], cc["y"], cc["vz"],
+                       cc["n"][..., 0], cc["n"][..., 1], cc["n"][..., 2],
+                       cc["uv"][..., 0], cc["uv"][..., 1]]
+    shade_cols += [corners[c]["vid"] for c in range(3)]
     shade_cols += [b96(tc["draw_id"]), b96(tc.get("mat_index", jnp.zeros(K, jnp.int32))),
                    b96(tc.get("post_pass", jnp.zeros(K, jnp.int32)))]
-    rec_shade = jnp.stack(shade_cols, axis=-1).reshape(K * MESH_MAXTRI, 30)
+    # pad to 32 columns: 48-wide combined rows gather ~5x faster than 46-wide
+    # (row gathers off the aligned-size fast path are element-rate slow)
+    shade_cols += [jnp.zeros((K, MESH_MAXTRI), jnp.float32)] * 2
+    rec_shade = jnp.stack(shade_cols, axis=-1).reshape(K * MESH_MAXTRI, 32)
 
     # compact the flat (cluster, tri) index of survivors
     mask = valid.reshape(-1)
@@ -254,14 +275,15 @@ def compact_setup(tc, width, height, znear, capacity: int):
     )
 
     # one wide row gather for both records (gather setup cost is per-row,
-    # so 16+30 columns in a single pass beats two separate gathers)
-    both = jnp.concatenate([rec, rec_shade], axis=-1)[tidx]  # [cap, 46]
+    # so 16+32 columns in a single pass beats two separate gathers)
+    both = jnp.concatenate([rec, rec_shade], axis=-1)[tidx]  # [cap, 48]
     out = both[:, :16]
     shade_rec = both[:, 16:]
     live = jnp.arange(capacity, dtype=jnp.int32) < count
 
     return dict(
         valid=live,
+        rec16=out,
         e=[(out[:, 0], out[:, 1], out[:, 2]), (out[:, 3], out[:, 4], out[:, 5]), (out[:, 6], out[:, 7], out[:, 8])],
         za=out[:, 9],
         zb=out[:, 10],

@@ -100,9 +100,12 @@ def apply_to_draws(scene, anim: AnimationTable, time):
 
     import dataclasses
 
+    xform = jnp.concatenate([position, scale[:, None], orientation], axis=-1)
     return dataclasses.replace(
         scene,
         draw_position=jnp.asarray(scene.draw_position).at[target].set(position, mode="drop"),
         draw_scale=jnp.asarray(scene.draw_scale).at[target].set(scale, mode="drop"),
         draw_orientation=jnp.asarray(scene.draw_orientation).at[target].set(orientation, mode="drop"),
+        # keep the baked transform rows (the hot-path copy) in sync
+        draw_xform_row=jnp.asarray(scene.draw_xform_row).at[target].set(xform, mode="drop"),
     )

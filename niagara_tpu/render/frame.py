@@ -112,7 +112,9 @@ def init_state(num_draws: int, vis_slot_count: int) -> FrameState:
     dvb/mvb, niagara.cpp:1455-1468)."""
     return FrameState(
         draw_vis=jnp.zeros(num_draws, dtype=jnp.int32),
-        vis_words=jnp.zeros((max(vis_slot_count, 64) + 31) // 32, dtype=jnp.uint32),
+        # +2 words of padding so cluster_cull's per-command 2-word slice
+        # never clamps at the tail
+        vis_words=jnp.zeros((max(vis_slot_count, 64) + 31) // 32 + 2, dtype=jnp.uint32),
     )
 
 

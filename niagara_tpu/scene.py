@@ -225,6 +225,19 @@ class DeviceScene:
     draw_post_pass: np.ndarray  # i32 [D]
     draw_material_index: np.ndarray  # i32 [D]
 
+    # Baked per-draw tables (TPU-first layout): the reference's shaders
+    # gather mesh[draw.meshIndex] per thread (drawcull.comp.glsl:58), which
+    # is free on a GPU but costs ~10ns/element through XLA's gather on TPU.
+    # Meshes are static, so the per-draw mesh data is expanded once at
+    # upload; the cull pass then *streams* these rows with zero gathers.
+    # draw_mesh_row: [0:3] bound center, [3] radius, [4] lod_count,
+    #                [5:5+MAX_LODS] lod errors
+    draw_mesh_row: np.ndarray = None  # f32 [D, 5+MAX_LODS]
+    draw_lod_meshlet_count: np.ndarray = None  # i32 [D, MAX_LODS]
+    draw_lod_meshlet_offset: np.ndarray = None  # i32 [D, MAX_LODS]
+    # transform row (pos, scale, quat): ONE 32B row gather per command/cluster
+    draw_xform_row: np.ndarray = None  # f32 [D, 8]
+
     # material factors (reference Material, scene.h:25-37; texture indices
     # join when the bindless texture table lands)
     mat_diffuse: np.ndarray = None  # f32 [NM,4]
@@ -298,14 +311,22 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
         meshlet_cone_cutoff=(geometry.meshlets.cone_cutoff.astype(np.float32) / 127.0),
         meshlet_vertex_count=geometry.meshlets.vertex_count.astype(np.int32),
         meshlet_triangle_count=geometry.meshlets.triangle_count.astype(np.int32),
+        # padded by MESH_MAXVTX rows so cluster_cull's per-command 64-row
+        # block slice never clamps at the table tail
         meshlet_cull_rows=np.concatenate(
             [
-                geometry.meshlets.center.astype(np.float32),
-                geometry.meshlets.radius.astype(np.float32)[:, None],
-                geometry.meshlets.cone_axis.astype(np.float32) / 127.0,
-                geometry.meshlets.cone_cutoff.astype(np.float32)[:, None] / 127.0,
+                np.concatenate(
+                    [
+                        geometry.meshlets.center.astype(np.float32),
+                        geometry.meshlets.radius.astype(np.float32)[:, None],
+                        geometry.meshlets.cone_axis.astype(np.float32) / 127.0,
+                        geometry.meshlets.cone_cutoff.astype(np.float32)[:, None] / 127.0,
+                    ],
+                    axis=-1,
+                ),
+                np.zeros((MESH_MAXVTX, 8), dtype=np.float32),
             ],
-            axis=-1,
+            axis=0,
         ),
         mesh_center=geometry.meshes.center.astype(np.float32),
         mesh_radius=geometry.meshes.radius.astype(np.float32),
@@ -320,6 +341,25 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
         draw_vis_offset=draws.meshlet_visibility_offset.astype(np.int32),
         draw_post_pass=draws.post_pass.astype(np.int32),
         draw_material_index=draws.material_index.astype(np.int32),
+        draw_mesh_row=np.concatenate(
+            [
+                geometry.meshes.center.astype(np.float32)[draws.mesh_index],
+                geometry.meshes.radius.astype(np.float32)[draws.mesh_index, None],
+                geometry.meshes.lod_count.astype(np.float32)[draws.mesh_index, None],
+                geometry.meshes.lod_error.astype(np.float32)[draws.mesh_index],
+            ],
+            axis=-1,
+        ),
+        draw_lod_meshlet_count=geometry.meshes.lod_meshlet_count.astype(np.int32)[draws.mesh_index],
+        draw_lod_meshlet_offset=geometry.meshes.lod_meshlet_offset.astype(np.int32)[draws.mesh_index],
+        draw_xform_row=np.concatenate(
+            [
+                draws.position.astype(np.float32),
+                draws.scale.astype(np.float32)[:, None],
+                draws.orientation.astype(np.float32),
+            ],
+            axis=-1,
+        ),
         mat_diffuse=materials["diffuse"].astype(np.float32),
         mat_specular=materials["specular"].astype(np.float32),
         mat_emissive=materials["emissive"].astype(np.float32),

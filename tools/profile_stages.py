@@ -63,7 +63,7 @@ def main():
 
     cfg = frame_mod.FrameConfig(
         width=width, height=height, max_groups=8,
-        cmd_capacity=1 << 16, cluster_capacity=1 << 17,
+        cmd_capacity=1 << 16, cluster_capacity=1 << 16,
         small_capacity=1 << 21, big_capacity=512,
         pair_capacity=1 << 21, tri_capacity=1 << 20,
     )
@@ -72,7 +72,7 @@ def main():
     pyr_hw = (ph, pw)
     atlas0 = jnp.zeros((levels, ph, pw), dtype=jnp.float32)
     dvb = jnp.ones(scene.num_draws, dtype=jnp.int32)
-    vis_words = jnp.full((max(scene.meshlet_visibility_count, 64) + 31) // 32, 0xFFFFFFFF, dtype=jnp.uint32)
+    vis_words = jnp.full((max(scene.meshlet_visibility_count, 64) + 31) // 32 + 2, 0xFFFFFFFF, dtype=jnp.uint32)
 
     dc = partial(jax.jit, static_argnames=("late", "pyramid_shape"))(cull.draw_cull)
     emit, lod, vis = timed("drawcull", dc, scene, params, dvb, atlas0, late=False, pyramid_shape=pyr_hw)
@@ -104,6 +104,40 @@ def main():
         "emit_pairs(sort)", ep, st, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=cfg.pair_capacity)
     print(f"{'':28s} [pairs={int(pair_count)} huge_dropped={int(huge)}]", flush=True)
 
+    # record row-gather alone
+    rg = jax.jit(lambda rec16, pt: rec16[pt].T)
+    timed("rec row gather+T", rg, st["rec16"], pair_tri)
+
+    # the Pallas kernel alone (pairs/records precomputed)
+    import functools as _ft
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    recs0 = jnp.concatenate([st["rec16"][pair_tri].T, jnp.zeros((16, 2 * raster_tile.REC_CHUNK), jnp.float32)], axis=1)
+    frag0 = jnp.zeros((8, recs0.shape[1]), jnp.int32).at[0, : pair_tri.shape[0]].set(pair_tri)
+
+    def kernel_only(tile_start, recs, frag):
+        depth_t = jnp.zeros((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32)
+        vis_t = jnp.full((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), 0x7FFFFFFF, jnp.int32)
+        kernel = _ft.partial(raster_tile._raster_kernel, tiles_x=tiles_x)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec((1, raster_tile.TILE_H, raster_tile.TILE_W), lambda i, *_: (i, 0, 0)),
+                      pl.BlockSpec((1, raster_tile.TILE_H, raster_tile.TILE_W), lambda i, *_: (i, 0, 0))],
+            out_specs=[pl.BlockSpec((1, raster_tile.TILE_H, raster_tile.TILE_W), lambda i, *_: (i, 0, 0)),
+                       pl.BlockSpec((1, raster_tile.TILE_H, raster_tile.TILE_W), lambda i, *_: (i, 0, 0))],
+            scratch_shapes=[pltpu.SMEM((2, 16, raster_tile.REC_CHUNK), jnp.float32),
+                            pltpu.SMEM((2, 8, raster_tile.REC_CHUNK), jnp.int32),
+                            pltpu.SemaphoreType.DMA((2, 2))],
+        )
+        return pl.pallas_call(kernel, out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.int32)),
+            grid_spec=grid_spec)(tile_start, recs, frag, depth_t, vis_t)
+
+    timed("raster kernel alone", jax.jit(kernel_only), tile_start, recs0, frag0)
+
     def tile_raster(st):
         depth_t = jnp.zeros((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32)
         vis_t = jnp.full((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), 0x7FFFFFFF, jnp.int32)
@@ -119,11 +153,11 @@ def main():
     pj = partial(jax.jit, static_argnames=("levels", "ph", "pw"))(pyramid.build_pyramid)
     timed("depth_pyramid", pj, fb.depth, levels, ph, pw)
 
-    setup_all = dict(tri_k=st["tri_k"], tri_t=st["tri_t"])
+    setup_all = dict(tri_k=st["tri_k"], tri_t=st["tri_t"], shade_rec=st["shade_rec"])
     sg = partial(jax.jit, static_argnames=("width", "height"))(shade.shade_gbuffer)
     g0, g1, valid = timed("shade_gbuffer", sg, fb, tc, setup_all, scene, width=cfg.width, height=cfg.height)
 
-    co = partial(jax.jit, static_argnames=("width", "height"))(
+    co = jax.jit(
         lambda g0, g1, d, v, sp: shade.composite(
             g0, g1, d, v,
             camera_position=sp.camera_position, sun_direction=sp.sun_direction,
@@ -136,6 +170,12 @@ def main():
     from niagara_tpu.ops import bloom as bloom_mod
     bl = partial(jax.jit, static_argnames=("width", "height"))(bloom_mod.compute_bloom)
     timed("bloom", bl, g0, width=cfg.width, height=cfg.height)
+
+    # whole frame (same config as the stages above), for reconciliation
+    state = frame_mod.init_state(scene.num_draws, scene.meshlet_visibility_count)
+    out = frame_mod.render_frame(scene, state, params, sp, cfg)
+    state = out[2]
+    timed("FULL render_frame", lambda s: frame_mod.render_frame(scene, s, params, sp, cfg), state, n=5)
 
 
 if __name__ == "__main__":
