@@ -93,18 +93,26 @@ def _pad_even(img):
 
 
 def _down2(src):
-    """Exact 13-tap downsample by 2 (stencil form), [C,h,w] -> [C,h/2,w/2]."""
+    """Exact 13-tap downsample by 2 (stencil form), [C,h,w] -> [C,h/2,w/2].
+
+    Strided (::2) slices cost ~6x a dense slice on TPU (cross-lane
+    shuffles), so the padded source is de-interleaved ONCE into 2x2 parity
+    planes and every stencil tap becomes a dense shifted slice of a plane."""
     src = _pad_even(src)
     h, w = src.shape[1:]
     oh, ow = h // 2, w // 2
-    p = jnp.pad(src, ((0, 0), (2, 3), (2, 3)), mode="edge")
-    out = jnp.zeros((src.shape[0], oh, ow), src.dtype)
+    p = jnp.pad(src, ((0, 0), (2, 4), (2, 4)), mode="edge")
+    c, ph2, pw2 = p.shape
+    planes = p.reshape(c, ph2 // 2, 2, pw2 // 2, 2)
+    plane = [[planes[:, :, a, :, b] for b in (0, 1)] for a in (0, 1)]
+    out = jnp.zeros((c, oh, ow), src.dtype)
     for j in range(6):
         for i in range(6):
             wgt = _DOWN_K[j, i]
             if wgt == 0.0:
                 continue
-            out = out + wgt * p[:, j : j + h : 2, i : i + w : 2]
+            sp = plane[j % 2][i % 2]
+            out = out + wgt * sp[:, j // 2 : j // 2 + oh, i // 2 : i // 2 + ow]
     return out
 
 
@@ -143,9 +151,10 @@ def extract_emissive(g0, width, height):
     albedo = cullmath.from_srgb(g0[..., :3])
     emissive = jnp.moveaxis(albedo * (jnp.exp2(g0[..., 3] * 5.0) - 1.0)[..., None], -1, 0)
     e = _pad_even(emissive)
-    h, w = e.shape[1:]
-    # box 2x2 (the reference's bilinear fetch at half res is an exact 2x2 avg)
-    return 0.25 * (e[:, 0:h:2, 0:w:2] + e[:, 1:h:2, 0:w:2] + e[:, 0:h:2, 1:w:2] + e[:, 1:h:2, 1:w:2])
+    c, h, w = e.shape
+    # box 2x2 (the reference's bilinear fetch at half res is an exact 2x2
+    # avg); reshape-reduce instead of strided slices (lane-shuffle cost)
+    return 0.25 * e.reshape(c, h // 2, 2, w // 2, 2).sum(axis=(2, 4))
 
 
 def compute_bloom(g0, width: int, height: int):

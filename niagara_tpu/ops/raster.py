@@ -284,6 +284,7 @@ def compact_setup(tc, width, height, znear, capacity: int):
     return dict(
         valid=live,
         rec16=out,
+        rec48=both,
         e=[(out[:, 0], out[:, 1], out[:, 2]), (out[:, 3], out[:, 4], out[:, 5]), (out[:, 6], out[:, 7], out[:, 8])],
         za=out[:, 9],
         zb=out[:, 10],

@@ -259,22 +259,24 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
         setup, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=pair_capacity
     )
 
-    # per-pair records: ONE row gather of the packed 16-float record
+    # per-pair records: ONE row gather of the packed 48-float record
     # (element-wise column gathers cost ~10ns/element on this chip — 12 of
     # them at pair capacity was the single largest frame cost), then
-    # transpose to [16, P]: HBM chunk DMAs slice 128 lanes at a time, which
-    # Mosaic requires to be lane-dim slices
-    if "rec16" in setup:
-        rows = setup["rec16"][pair_tri]  # [P, 16]
+    # transpose to [48, P]: HBM chunk DMAs slice 128 lanes at a time, which
+    # Mosaic requires to be lane-dim slices.  The 48 rows carry both the
+    # raster coefficients (rows 0-15) and the shading attributes (rows
+    # 16-47), so the same stream feeds the raster and shade kernels.
+    if "rec48" in setup:
+        rows = setup["rec48"][pair_tri]  # [P, 48]
     else:
         a0, b0, c0 = setup["e"][0]
         a1, b1, c1 = setup["e"][1]
         a2, b2, c2 = setup["e"][2]
         cols = [a0, b0, c0, a1, b1, c1, a2, b2, c2, setup["za"], setup["zb"], setup["zc"]]
-        rows = jnp.stack(cols + [jnp.zeros_like(a0)] * 4, axis=-1)[pair_tri]
+        rows = jnp.stack(cols + [jnp.zeros_like(a0)] * 36, axis=-1)[pair_tri]
     recs = rows.T
     # pad columns so the kernel's fixed-size chunk DMA never reads OOB
-    recs = jnp.concatenate([recs, jnp.zeros((16, 2 * REC_CHUNK), recs.dtype)], axis=1)
+    recs = jnp.concatenate([recs, jnp.zeros((48, 2 * REC_CHUNK), recs.dtype)], axis=1)
     # fragment ids ride in their own [8, R] i32 array (row 0) so DMA slices
     # stay tile-aligned without f32-bitcast denormal hazards
     frag = jnp.zeros((8, recs.shape[1]), jnp.int32)
@@ -295,7 +297,7 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
             pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, 16, REC_CHUNK), jnp.float32),
+            pltpu.SMEM((2, 48, REC_CHUNK), jnp.float32),
             pltpu.SMEM((2, 8, REC_CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -311,4 +313,158 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
         interpret=interpret,
     )(tile_start, recs, frag, depth_tiles, vis_tiles)
 
-    return depth_out, vis_out, dict(pair_count=pair_count, huge_dropped=huge_dropped)
+    stream = dict(tile_start=tile_start, recs=recs, frag=frag)
+    return depth_out, vis_out, dict(pair_count=pair_count, huge_dropped=huge_dropped, stream=stream)
+
+
+# attribute-plane channel layout produced by the shade kernel
+ATTR_CHANNELS = 12  # nx ny nz u v vz draw mat post vid0 vid1 vid2
+
+
+def _shade_kernel(tile_start_ref, recs_ref, frag_ref, vis_ref, attr_in_ref,
+                  attr_out_ref, recs_smem, frag_smem, sems, *, tiles_x):
+    """Winners-only attribute interpolation over the visibility buffer.
+
+    Streams the same per-tile record chunks as the raster kernel; for each
+    record whose fragment id wins any pixel of the tile, evaluates the edge
+    functions (rows 0-8 of the record) as barycentric weights and
+    perspective-correct-interpolates the corner attributes (rows 16-47) into
+    dense per-pixel attribute planes.  Replaces a per-pixel [H,W]->32 row
+    gather that ran at ~40ns/pixel in XLA."""
+    i = pl.program_id(0)
+    start = tile_start_ref[i]
+    end = tile_start_ref[i + 1]
+
+    a0_off = (start // REC_CHUNK) * REC_CHUNK
+    n_chunks = (end - a0_off + REC_CHUNK - 1) // REC_CHUNK
+    rmax = recs_ref.shape[1] - REC_CHUNK
+
+    # pixel centers in screen space (records hold screen-space coefficients)
+    ox = (i % tiles_x) * TILE_W
+    oy = (i // tiles_x) * TILE_H
+    fx = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
+          + (jnp.float32(0.5) + ox.astype(jnp.float32)))
+    fy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
+          + (jnp.float32(0.5) + oy.astype(jnp.float32)))
+
+    def dma(slot, c):
+        off = jnp.minimum(a0_off + c * REC_CHUNK, rmax)
+        off = pl.multiple_of(off, REC_CHUNK)
+        return (
+            pltpu.make_async_copy(recs_ref.at[:, pl.ds(off, REC_CHUNK)], recs_smem.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(frag_ref.at[:, pl.ds(off, REC_CHUNK)], frag_smem.at[slot], sems.at[slot, 1]),
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        a, b = dma(0, 0)
+        a.start()
+        b.start()
+
+    vis = vis_ref[0]
+
+    def chunk_body(c, attrs):
+        slot = c % 2
+
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            a, b = dma((c + 1) % 2, c + 1)
+            a.start()
+            b.start()
+
+        a, b = dma(slot, c)
+        a.wait()
+        b.wait()
+
+        def rec_body(j, attrs):
+            frag = frag_smem[slot, 0, j]
+            gidx = a0_off + c * REC_CHUNK + j
+            live = (gidx >= start) & (gidx < end)
+            mask = (vis == frag) & live
+            hit = jnp.any(mask)
+
+            def shade(attrs):
+                r = lambda k: recs_smem[slot, k, j]
+                # edge functions: e0 through (A,B) -> bary C, e1 (B,C) ->
+                # bary A, e2 (C,A) -> bary B (see compact_setup edge order)
+                e0 = r(0) * fx + r(1) * fy + r(2)
+                e1 = r(3) * fx + r(4) * fy + r(5)
+                e2 = r(6) * fx + r(7) * fy + r(8)
+                wsum = e0 + e1 + e2
+                inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
+                bA = e1 * inv
+                bB = e2 * inv
+                bC = e0 * inv
+                vz0, vz1, vz2 = r(18), r(26), r(34)
+                pw0 = bA / jnp.maximum(vz0, 1e-12)
+                pw1 = bB / jnp.maximum(vz1, 1e-12)
+                pw2 = bC / jnp.maximum(vz2, 1e-12)
+                pws = pw0 + pw1 + pw2
+                pinv = jnp.where(jnp.abs(pws) < 1e-20, 0.0, 1.0 / pws)
+                pw0 = pw0 * pinv
+                pw1 = pw1 * pinv
+                pw2 = pw2 * pinv
+
+                def interp(o):
+                    return pw0 * r(16 + o) + pw1 * r(24 + o) + pw2 * r(32 + o)
+
+                vz = pw0 * vz0 + pw1 * vz1 + pw2 * vz2
+                vals = [interp(3), interp(4), interp(5),   # normal
+                        interp(6), interp(7),              # uv
+                        vz,
+                        r(43), r(44), r(45),               # draw, mat, post
+                        r(40), r(41), r(42)]               # vids
+                new = [jnp.where(mask, v, attrs[k]) for k, v in enumerate(vals)]
+                return tuple(new)
+
+            return jax.lax.cond(hit, shade, lambda a: a, attrs)
+
+        return jax.lax.fori_loop(0, REC_CHUNK, rec_body, attrs)
+
+    attrs0 = tuple(attr_in_ref[0, k] for k in range(ATTR_CHANNELS))
+    attrs = jax.lax.fori_loop(0, n_chunks, chunk_body, attrs0)
+    for k in range(ATTR_CHANNELS):
+        attr_out_ref[0, k] = attrs[k]
+
+
+def shade_tiles(stream, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool = False):
+    """Interpolate per-pixel attributes for one pass's records.
+
+    attr_tiles [n_tiles, ATTR_CHANNELS, TILE_H, TILE_W] carries planes from
+    earlier passes (pass chaining mirrors the raster kernel's depth/vis
+    chaining); returns the updated planes."""
+    n_tiles = vis_tiles.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # recs [48, R]
+            pl.BlockSpec(memory_space=pl.ANY),  # frag [8, R]
+            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, ATTR_CHANNELS, TILE_H, TILE_W), lambda i, *_: (i, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ATTR_CHANNELS, TILE_H, TILE_W), lambda i, *_: (i, 0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2, 48, REC_CHUNK), jnp.float32),
+            pltpu.SMEM((2, 8, REC_CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    (attr_out,) = pl.pallas_call(
+        functools.partial(_shade_kernel, tiles_x=tiles_x),
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, ATTR_CHANNELS, TILE_H, TILE_W), jnp.float32),),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(stream["tile_start"], stream["recs"], stream["frag"], vis_tiles, attr_tiles)
+    return attr_out
+
+
+def attr_tiles_to_image(attr_tiles, height, width):
+    """[n_tiles, C, TILE_H, TILE_W] -> [H, W, C]."""
+    ty, tx = height // TILE_H, width // TILE_W
+    c = attr_tiles.shape[1]
+    t = attr_tiles.reshape(ty, tx, c, TILE_H, TILE_W)
+    t = jnp.transpose(t, (0, 3, 1, 4, 2))  # [ty, TILE_H, tx, TILE_W, C]
+    return t.reshape(height, width, c)

@@ -162,6 +162,50 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
     return g0, g1, valid
 
 
+def gbuffer_from_attrs(attrs_img, valid, scene, textures=None):
+    """Dense G-buffer encode from per-pixel attribute planes produced by the
+    Pallas shade kernel (ops/raster_tile.shade_tiles) — no per-pixel record
+    gather.  Channel layout: 0-2 world normal, 3-4 uv, 5 viewz, 6 draw id,
+    7 material, 8 postPass, 9-11 corner vertex ids.
+
+    The textured path (mip selection needs per-triangle derivatives) still
+    goes through shade_gbuffer; this fast path covers untextured scenes
+    (reference OBJ mode) where materials are per-draw factors only."""
+    normal = attrs_img[..., 0:3]
+    mat = attrs_img[..., 7].astype(jnp.int32)
+
+    nlen = jnp.sqrt(jnp.sum(normal * normal, axis=-1, keepdims=True))
+    nrm = normal / jnp.maximum(nlen, 1e-20)
+
+    nm = scene.mat_diffuse.shape[0]
+    if nm == 1:
+        albedo = jnp.broadcast_to(scene.mat_diffuse[0], nrm.shape[:-1] + (4,))
+        specgloss = jnp.broadcast_to(scene.mat_specular[0], nrm.shape[:-1] + (4,))
+        emissive = jnp.broadcast_to(scene.mat_emissive[0], nrm.shape[:-1] + (3,))
+    else:
+        albedo = scene.mat_diffuse[mat]
+        specgloss = scene.mat_specular[mat]
+        emissive = scene.mat_emissive[mat]
+
+    lum = jnp.array([0.3, 0.6, 0.1], dtype=jnp.float32)
+    emissivef = jnp.sum(emissive * lum, axis=-1) / (jnp.sum(albedo[..., :3] * lum, axis=-1) + 1e-3)
+
+    g0 = jnp.concatenate(
+        [cullmath.to_srgb(albedo[..., :3]), (jnp.log2(1.0 + emissivef) / 5.0)[..., None]],
+        axis=-1,
+    )
+    g1 = jnp.concatenate(
+        [
+            cullmath.oct_encode(nrm) * 0.5 + 0.5,
+            specgloss[..., 3:4],
+            jnp.zeros_like(specgloss[..., :1]),
+        ],
+        axis=-1,
+    )
+    valid4 = valid[..., None]
+    return jnp.where(valid4, g0, 0.0), jnp.where(valid4, g1, 0.0), valid
+
+
 def composite(
     g0,
     g1,

@@ -88,7 +88,7 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
         dev = jax.lax.axis_index(axis).astype(jnp.int32)
         offset = dev * frag_stride
 
-        fb, tc, setup_all, new_state, stats = frame_mod.frame_core(scene, state, params, cfg, frag_offset=offset)
+        fb, tc, setup_all, new_state, stats, _ = frame_mod.frame_core(scene, state, params, cfg, frag_offset=offset)
 
         # ---- sort-last composite over ICI ----
         gdepth = jax.lax.pmax(fb.depth, axis)

@@ -112,9 +112,8 @@ def init_state(num_draws: int, vis_slot_count: int) -> FrameState:
     dvb/mvb, niagara.cpp:1455-1468)."""
     return FrameState(
         draw_vis=jnp.zeros(num_draws, dtype=jnp.int32),
-        # +2 words of padding so cluster_cull's per-command 2-word slice
-        # never clamps at the tail
-        vis_words=jnp.zeros((max(vis_slot_count, 64) + 31) // 32 + 2, dtype=jnp.uint32),
+        # even length: cluster_cull reads the bitfield as aligned word pairs
+        vis_words=jnp.zeros(-(-max(vis_slot_count, 64) // 64) * 2, dtype=jnp.uint32),
     )
 
 
@@ -137,11 +136,15 @@ def _render_pass(scene, params, cmds, state_vis_words, atlas, cfg: FrameConfig, 
 
 
 def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: int = 0):
-    """Cull + raster for one frame (everything except shading).
+    """Cull + raster for one frame (everything except material shading).
 
-    Returns (fb, tc, new_state, stats).  `frag_offset` shifts fragment ids,
-    which lets multi-chip compositing give every device a disjoint id range.
+    Returns (fb, tc, setup_all, new_state, stats, attrs_img).  attrs_img is
+    the per-pixel interpolated attribute planes [H,W,ATTR_CHANNELS] from the
+    Pallas shade kernel (None on the scatter-merge fallback path);
+    `frag_offset` shifts fragment ids, which lets multi-chip compositing
+    give every device a disjoint id range.
     """
+    streams = []
     levels, ph, pw = cfg.pyramid_levels_shape
     pyr_hw = (ph, pw)
     empty_atlas = jnp.zeros((levels, ph, pw), dtype=jnp.float32)
@@ -177,11 +180,12 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         n_tiles = tiles_x * tiles_y
         depth_t = jnp.zeros((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32)
         vis_t = jnp.full((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), raster.INVALID_FRAG, jnp.int32)
-        depth_t, vis_t, _ = raster_tile.rasterize_tiles(
+        depth_t, vis_t, rst_e = raster_tile.rasterize_tiles(
             st_e, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
             pair_capacity=cfg.pair_capacity, frag_offset=frag_offset,
             interpret=cfg.raster_interpret,
         )
+        streams.append(rst_e["stream"])
         fb = raster.Framebuffer(
             depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
             vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
@@ -211,12 +215,13 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         # merge late-pass fragments into the early framebuffer; fragment ids
         # are offset so both passes shade from concatenated cluster arrays
         if use_tiles:
-            depth_t, vis_t, _ = raster_tile.rasterize_tiles(
+            depth_t, vis_t, rst_l = raster_tile.rasterize_tiles(
                 st_l, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
                 pair_capacity=cfg.pair_capacity,
                 frag_offset=frag_offset + cfg.tri_capacity,
                 interpret=cfg.raster_interpret,
             )
+            streams.append(rst_l["stream"])
             fb = raster.Framebuffer(
                 depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
                 vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
@@ -259,11 +264,12 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             st_p = raster.compact_setup(tc_p, cfg.width, cfg.height, params.znear, cfg.late_tri_cap)
             off_p = frag_offset + cfg.tri_capacity + pp * cfg.late_tri_cap
             if use_tiles:
-                depth_t, vis_t, _ = raster_tile.rasterize_tiles(
+                depth_t, vis_t, rst_p = raster_tile.rasterize_tiles(
                     st_p, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
                     pair_capacity=cfg.pair_capacity, frag_offset=off_p,
                     interpret=cfg.raster_interpret,
                 )
+                streams.append(rst_p["stream"])
                 fb = raster.Framebuffer(
                     depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
                     vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
@@ -302,7 +308,22 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             visible_draws=jnp.sum(emit_e),
         )
 
-    return fb, tc, setup_all, new_state, stats
+    attrs_img = None
+    if use_tiles:
+        # winners-only attribute interpolation over the final visibility
+        # buffer, one kernel pass per raster pass (disjoint fragment-id
+        # ranges let every pass claim exactly its own pixels)
+        attr_t = jnp.zeros(
+            (n_tiles, raster_tile.ATTR_CHANNELS, raster_tile.TILE_H, raster_tile.TILE_W),
+            jnp.float32,
+        )
+        for s in streams:
+            attr_t = raster_tile.shade_tiles(
+                s, vis_t, attr_t, tiles_x=tiles_x, interpret=cfg.raster_interpret
+            )
+        attrs_img = raster_tile.attr_tiles_to_image(attr_t, cfg.height, cfg.width)
+
+    return fb, tc, setup_all, new_state, stats, attrs_img
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -311,9 +332,15 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
 
     `bvh` (ops.shadow.ShadowBVH) enables ray-traced sun shadows when
     cfg.shadows is set (reference shadow pipeline niagara.cpp:1792-1855)."""
-    fb, tc, setup_all, new_state, stats = frame_core(scene, state, params, cfg)
+    fb, tc, setup_all, new_state, stats, attrs_img = frame_core(scene, state, params, cfg)
 
-    g0, g1, valid = shade.shade_gbuffer(fb, tc, setup_all, scene, cfg.width, cfg.height, textures=textures)
+    if attrs_img is not None and textures is None:
+        # fast path: attributes already interpolated per pixel by the Pallas
+        # shade kernel; only dense material math remains
+        valid_px = fb.vis != raster.INVALID_FRAG
+        g0, g1, valid = shade.gbuffer_from_attrs(attrs_img, valid_px, scene)
+    else:
+        g0, g1, valid = shade.shade_gbuffer(fb, tc, setup_all, scene, cfg.width, cfg.height, textures=textures)
     bloom_img = None
     if cfg.bloom:
         bloom_half = bloom.compute_bloom(g0, cfg.width, cfg.height)
