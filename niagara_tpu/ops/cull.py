@@ -227,7 +227,8 @@ def cluster_cull(
     # cheaper than a [C,64] row gather and ~20x cheaper than vmapped dynamic
     # slices.  All block values are f16-exact by construction (fp16-quantized
     # bounds, integer cone bytes), so upcasting loses nothing.
-    blocks = scene.meshlet_cull_blocks[jnp.maximum(cmds.task_offset, 0)]  # [C,64,8] f16
+    off_safe = jnp.clip(cmds.task_offset, 0, scene.meshlet_cull_blocks.shape[0] - 1)
+    blocks = scene.meshlet_cull_blocks[off_safe]  # [C,64,8] f16
     blocks = blocks.astype(jnp.float32)
     rows = jnp.concatenate(
         [blocks[..., 0:4], blocks[..., 4:8] * (1.0 / 127.0)], axis=-1

@@ -101,12 +101,16 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
     viewz = cam[..., 2]
 
     safe_z = jnp.where(jnp.abs(viewz) < 1e-12, 1e-12, viewz)
-    ndc_x = p00 * cam[..., 0] / safe_z
-    ndc_y = p11 * cam[..., 1] / safe_z
     zw = znear / safe_z
 
-    sx = (ndc_x * 0.5 + 0.5) * width
-    sy = (0.5 - ndc_y * 0.5) * height  # image y down; matches projectSphere's uv flip
+    # homogeneous pixel coordinates (hx/w, hy/w) = screen position, computed
+    # WITHOUT the perspective division so vertices on or behind the near
+    # plane stay well-defined; triangle setup (compact_setup) builds edge
+    # equations directly from (hx, hy, w) Olano-Greer style, which gives
+    # exact near-plane clipping through the per-pixel 0 < z <= 1 depth test
+    # (reference relies on HW clipping, meshlet.mesh.glsl:175-197)
+    hx = (p00 * cam[..., 0] * 0.5 + 0.5 * viewz) * width
+    hy = (0.5 * viewz - p11 * cam[..., 1] * 0.5) * height  # image y down
 
     tri_valid = (
         live[:, None]
@@ -116,8 +120,8 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
     return dict(
         tri_valid=tri_valid,
         vid=vid,
-        sx=sx,
-        sy=sy,
+        hx=hx,
+        hy=hy,
         zw=zw,
         viewz=viewz,
         normal=world_nrm,
@@ -127,6 +131,31 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
         mat_index=scene.draw_material_index[draw_id],
         post_pass=scene.draw_post_pass[draw_id],
         mi=mi,
+    )
+
+
+def transform_meta(scene, cluster_cmd, cluster_lane, cluster_count, cmds):
+    """Gather-only cluster data for the fused setup kernel (setup_fused.py):
+    bf16 corner channels, triangle indices, transform rows, ids.  The
+    world/camera transform itself happens inside the kernel — no [K,64]
+    transformed intermediates ever touch HBM."""
+    K = cluster_cmd.shape[0]
+    cmd = cluster_cmd
+    draw_id = cmds.draw_id[cmd]
+    mi = cmds.task_offset[cmd] + cluster_lane
+    mi = jnp.clip(mi, 0, scene.meshlet_tris.shape[0] - 1)
+
+    return dict(
+        chan=scene.meshlet_channels[mi],  # [K,64,20] bf16 — one 2.5KB row gather
+        tri=scene.meshlet_tris[mi],  # [K,96,3]
+        tri_count=scene.meshlet_triangle_count[mi],  # [K]
+        xform=scene.draw_xform_row[draw_id],  # [K,8]
+        draw_id=draw_id,
+        mat_index=scene.draw_material_index[draw_id],
+        post_pass=scene.draw_post_pass[draw_id],
+        mi=mi,
+        # shape (1,): 0-d arrays break the frame's cross-pass tree concat
+        count=jnp.reshape(cluster_count, (1,)),
     )
 
 
@@ -144,7 +173,7 @@ def compact_setup(tc, width, height, znear, capacity: int):
     """
     tri = tc["tri"]  # [K,96,3]
     K = tri.shape[0]
-    V = tc["sx"].shape[1]
+    V = tc["hx"].shape[1]
 
     # Corner fetch as a batched one-hot matmul: triangles are matrix rows,
     # the cluster's 64 vertices are the contraction axis.  On this TPU a
@@ -159,10 +188,10 @@ def compact_setup(tc, width, height, znear, capacity: int):
     #   * normals/uvs: 2 components (16 mantissa bits — G-buffer encodings
     #     keep 10, so this is lossless end to end);
     #   * vertex ids: 3 byte-sized integer pieces (exact in bf16).
-    nrm = tc.get("normal", jnp.zeros(tc["sx"].shape + (3,), jnp.float32))
-    uv = tc.get("uv", jnp.zeros(tc["sx"].shape + (2,), jnp.float32))
+    nrm = tc.get("normal", jnp.zeros(tc["hx"].shape + (3,), jnp.float32))
+    uv = tc.get("uv", jnp.zeros(tc["hx"].shape + (2,), jnp.float32))
 
-    pos = jnp.stack([tc["sx"], tc["sy"], tc["viewz"], tc["zw"]], axis=-1)  # [K,64,4]
+    pos = jnp.stack([tc["hx"], tc["hy"], tc["viewz"], tc["zw"]], axis=-1)  # [K,64,4]
     p1 = pos.astype(jnp.bfloat16).astype(jnp.float32)
     r1 = pos - p1
     p2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
@@ -199,38 +228,56 @@ def compact_setup(tc, width, height, znear, capacity: int):
             )
         )
 
-    ax, ay, az, avz = (corners[0][k] for k in ("x", "y", "z", "vz"))
-    bx, by, bz, bvz = (corners[1][k] for k in ("x", "y", "z", "vz"))
-    cx, cy, cz, cvz = (corners[2][k] for k in ("x", "y", "z", "vz"))
+    ahx, ahy, aw, azw = (corners[0][k] for k in ("x", "y", "vz", "z"))
+    bhx, bhy, bw, bzw = (corners[1][k] for k in ("x", "y", "vz", "z"))
+    chx, chy, cw, czw = (corners[2][k] for k in ("x", "y", "vz", "z"))
 
-    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    front = area > 0.0
-    in_front = (avz > znear * 0.5) & (bvz > znear * 0.5) & (cvz > znear * 0.5)
+    # Olano-Greer homogeneous triangle setup: edge functions are the rows of
+    # adj([[hx0,hy0,w0],[hx1,hy1,w1],[hx2,hy2,w2]]) evaluated at (px,py,1).
+    # Works for vertices on/behind the near plane with NO clipping stage —
+    # the per-pixel 0 < z <= 1 test in the raster kernels clips exactly.
+    # At w==1 this reduces bit-for-bit to the screen-space edge equations.
+    def cross_rows(px, py, pw, qx, qy, qw):
+        return (py * qw - pw * qy, pw * qx - px * qw, px * qy - py * qx)
 
-    x0f = jnp.floor(jnp.minimum(jnp.minimum(ax, bx), cx))
-    y0f = jnp.floor(jnp.minimum(jnp.minimum(ay, by), cy))
-    x1f = jnp.ceil(jnp.maximum(jnp.maximum(ax, bx), cx))
-    y1f = jnp.ceil(jnp.maximum(jnp.maximum(ay, by), cy))
+    eAB = cross_rows(ahx, ahy, aw, bhx, bhy, bw)  # adj row 2 (weight of C)
+    eBC = cross_rows(bhx, bhy, bw, chx, chy, cw)  # adj row 0 (weight of A)
+    eCA = cross_rows(chx, chy, cw, ahx, ahy, aw)  # adj row 1 (weight of B)
+    det = ahx * eBC[0] + ahy * eBC[1] + aw * eBC[2]
+    front = det > 0.0
+
+    # affine depth plane: z(p) = sum_j (zw_j * w_j) * adj_j(p) / det —
+    # evaluates to zw_j exactly at corner j and equals znear*(sum u)/det for
+    # the production zw = znear/viewz (perspective-exact reverse-Z depth)
+    inv_det = jnp.where(jnp.abs(det) < 1e-30, 0.0, 1.0 / det)
+    ka, kb, kc = azw * aw, bzw * bw, czw * cw
+    za = (ka * eBC[0] + kb * eCA[0] + kc * eAB[0]) * inv_det
+    zb = (ka * eBC[1] + kb * eCA[1] + kc * eAB[1]) * inv_det
+    zc = (ka * eBC[2] + kb * eCA[2] + kc * eAB[2]) * inv_det
+
+    # screen-space corners (guarded division) for the AABB and the fallback
+    # shading record; triangles with any corner at w<=0 get a conservative
+    # full-screen AABB (their projected corners are meaningless, but edge +
+    # depth tests stay exact)
+    def sdiv(h, w):
+        return h / jnp.where(w > 1e-9, w, 1e-9)
+
+    ax, ay = sdiv(ahx, aw), sdiv(ahy, aw)
+    bx, by = sdiv(bhx, bw), sdiv(bhy, bw)
+    cx, cy = sdiv(chx, cw), sdiv(chy, cw)
+
+    behind_any = (aw <= 1e-9) | (bw <= 1e-9) | (cw <= 1e-9)
+    all_behind = (aw < znear) & (bw < znear) & (cw < znear)
+
+    x0f = jnp.where(behind_any, 0.0, jnp.floor(jnp.minimum(jnp.minimum(ax, bx), cx)))
+    y0f = jnp.where(behind_any, 0.0, jnp.floor(jnp.minimum(jnp.minimum(ay, by), cy)))
+    x1f = jnp.where(behind_any, float(width), jnp.ceil(jnp.maximum(jnp.maximum(ax, bx), cx)))
+    y1f = jnp.where(behind_any, float(height), jnp.ceil(jnp.maximum(jnp.maximum(ay, by), cy)))
     on_screen = (x1f > 0) & (y1f > 0) & (x0f < width) & (y0f < height)
 
-    valid = tc["tri_valid"] & front & in_front & on_screen
+    valid = tc["tri_valid"] & front & ~all_behind & on_screen
 
-    # full setup computed densely at [K,96] (cheap VPU work), then the
-    # survivors' packed records are compacted with one row gather
-    def edge(vx, vy, wx, wy):
-        A = vy - wy
-        B = wx - vx
-        C = -(A * vx + B * vy)
-        return A, B, C
-
-    e0 = edge(ax, ay, bx, by)
-    e1 = edge(bx, by, cx, cy)
-    e2 = edge(cx, cy, ax, ay)
-
-    inv_area = jnp.where(jnp.abs(area) < 1e-20, 0.0, 1.0 / area)
-    za = ((bz - az) * (cy - ay) - (cz - az) * (by - ay)) * inv_area
-    zb = ((cz - az) * (bx - ax) - (bz - az) * (cx - ax)) * inv_area
-    zc = az - za * ax - zb * ay
+    e0, e1, e2 = eAB, eBC, eCA
 
     x0d = jnp.clip(x0f, 0, width - 1)
     y0d = jnp.clip(y0f, 0, height - 1)
@@ -252,9 +299,11 @@ def compact_setup(tc, width, height, znear, capacity: int):
         return jnp.broadcast_to(a[:, None], (K, MESH_MAXTRI)).astype(jnp.float32)
 
     shade_cols = []
+    screen_xy = [(ax, ay), (bx, by), (cx, cy)]
     for c in range(3):
         cc = corners[c]
-        shade_cols += [cc["x"], cc["y"], cc["vz"],
+        sx_c, sy_c = screen_xy[c]
+        shade_cols += [sx_c, sy_c, cc["vz"],
                        cc["n"][..., 0], cc["n"][..., 1], cc["n"][..., 2],
                        cc["uv"][..., 0], cc["uv"][..., 1]]
     shade_cols += [corners[c]["vid"] for c in range(3)]
@@ -314,7 +363,8 @@ def _compact(mask, payload_arrays, capacity):
     return out, jnp.minimum(count, capacity)
 
 
-def _emit_windows(setup, *, small_tiles: int, mid_tiles: int, mid_capacity: int, window_capacity: int):
+def _emit_windows(setup, *, small_tiles: int, mid_tiles: int, mid_capacity: int, window_capacity: int,
+                  giant_x: int = 0, giant_y: int = 0, giant_capacity: int = 16):
     """Emit 8x8-pixel raster-window records (tri_ref, wx, wy) for every
     surviving triangle, bounded-memory:
 
@@ -341,15 +391,16 @@ def _emit_windows(setup, *, small_tiles: int, mid_tiles: int, mid_capacity: int,
     is_mid = valid & ~is_small & (wspan <= mid_tiles) & (hspan <= mid_tiles)
     huge_dropped = jnp.sum(valid & ~is_small & ~is_mid)
 
-    def emit(tri_idx, sel, wx0s, wy0s, wss, hss, tiles, capacity, base):
-        """Dense [N, tiles^2] window emission with prefix-sum placement."""
+    def emit(tri_idx, sel, wx0s, wy0s, wss, hss, tiles, capacity, base, tiles_y=None):
+        """Dense [N, tiles*tiles_y] window emission with prefix-sum placement."""
+        tiles_y = tiles if tiles_y is None else tiles_y
         n_win = jnp.where(sel, wss * hss, 0)
         start = jnp.cumsum(n_win) - n_win + base
         fits = start + n_win <= capacity
         n_win = jnp.where(fits, n_win, 0)
         total = jnp.sum(n_win)
 
-        s = jnp.arange(tiles * tiles, dtype=jnp.int32)[None, :]
+        s = jnp.arange(tiles * tiles_y, dtype=jnp.int32)[None, :]
         sx = s % tiles
         sy = s // tiles
         live = (sx < wss[:, None]) & (sy < hss[:, None]) & (n_win > 0)[:, None]
@@ -383,8 +434,28 @@ def _emit_windows(setup, *, small_tiles: int, mid_tiles: int, mid_capacity: int,
     win_tri = win_tri.at[slot_m].set(tri_m, mode="drop")
     win_x = win_x.at[slot_m].set(wx_m, mode="drop")
     win_y = win_y.at[slot_m].set(wy_m, mode="drop")
+    total = total_s + total_m
 
-    window_count = jnp.minimum(total_s + total_m, window_capacity)
+    if giant_x > 0 and giant_y > 0:
+        # giant path (near-plane straddlers with conservative full-screen
+        # AABBs): emit the full window grid for a tiny compacted set
+        is_giant = valid & ~is_small & ~is_mid
+        huge_dropped = jnp.maximum(jnp.sum(is_giant) - giant_capacity, 0)
+        gi, n_g = _compact(
+            is_giant, dict(tri=tri_idx, wx0=wx0, wy0=wy0, ws=wspan, hs=hspan), giant_capacity
+        )
+        g_live = jnp.arange(giant_capacity, dtype=jnp.int32) < n_g
+        slot_g, tri_g, wx_g, wy_g, total_g = emit(
+            gi["tri"], g_live, gi["wx0"], gi["wy0"],
+            jnp.minimum(gi["ws"], giant_x), jnp.minimum(gi["hs"], giant_y),
+            giant_x, window_capacity, total, tiles_y=giant_y,
+        )
+        win_tri = win_tri.at[slot_g].set(tri_g, mode="drop")
+        win_x = win_x.at[slot_g].set(wx_g, mode="drop")
+        win_y = win_y.at[slot_g].set(wy_g, mode="drop")
+        total = total + total_g
+
+    window_count = jnp.minimum(total, window_capacity)
     return win_tri, win_x, win_y, window_count, huge_dropped
 
 
@@ -429,6 +500,8 @@ def rasterize(
         mid_tiles=MID_TILES,
         mid_capacity=mid_capacity,
         window_capacity=window_capacity,
+        giant_x=-(-width // WIN),
+        giant_y=-(-height // WIN),
     )
 
     if fb is None:

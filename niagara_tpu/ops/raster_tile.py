@@ -96,7 +96,10 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     is_small = valid & ~is_tiny & fits_small
     is_mida = valid & ~is_tiny & ~fits_small & fits_mida
     is_midb = valid & ~is_tiny & ~fits_small & ~fits_mida & fits_midb
-    dropped = jnp.sum(valid & ~fits_midb)
+    # giant class: up to the whole screen (near-plane straddlers get a
+    # conservative full-screen AABB in compact_setup); rare, tiny capacity
+    is_giant = valid & ~is_tiny & ~fits_small & ~fits_mida & ~fits_midb
+    dropped = jnp.int32(0)
 
     def compact_idx(mask, cap):
         """Compact the indices where mask is set (one scatter; per-triangle
@@ -138,10 +141,11 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     tile_s, tri_s, over_s = emit_compacted(is_small, small_capacity, SMALL_TX, SMALL_TY)
     tile_a, tri_a, over_a = emit_compacted(is_mida, mid_capacity, MIDA_TX, MIDA_TY)
     tile_b, tri_b, over_b = emit_compacted(is_midb, midb_capacity, MID_TX, MID_TY)
-    dropped = dropped + over_s + over_a + over_b
+    tile_g, tri_g, over_g = emit_compacted(is_giant, 64, tiles_x, tiles_y)
+    dropped = dropped + over_s + over_a + over_b + over_g
 
-    tiles_all = jnp.concatenate([tile_t.reshape(-1), tile_s, tile_a, tile_b])
-    tris_all = jnp.concatenate([tri_t.reshape(-1), tri_s, tri_a, tri_b])
+    tiles_all = jnp.concatenate([tile_t.reshape(-1), tile_s, tile_a, tile_b, tile_g])
+    tris_all = jnp.concatenate([tri_t.reshape(-1), tri_s, tri_a, tri_b, tri_g])
 
     # pack (tile, tri) into one u32 and sort; dead pairs (tile == n_tiles)
     # sort to the end.  Key order (tile, tri) is total, so the result is
@@ -385,30 +389,24 @@ def _shade_kernel(tile_start_ref, recs_ref, frag_ref, vis_ref, attr_in_ref,
 
             def shade(attrs):
                 r = lambda k: recs_smem[slot, k, j]
-                # edge functions: e0 through (A,B) -> bary C, e1 (B,C) ->
-                # bary A, e2 (C,A) -> bary B (see compact_setup edge order)
+                # Olano-Greer: the homogeneous edge functions ARE the
+                # perspective-correct interpolation weights — attr(p) =
+                # sum_j f_j u_j / sum u_j, no per-vertex division needed.
+                # e0 is through (A,B) -> weight of C; e1 (B,C) -> A;
+                # e2 (C,A) -> B (see compact_setup edge order).
                 e0 = r(0) * fx + r(1) * fy + r(2)
                 e1 = r(3) * fx + r(4) * fy + r(5)
                 e2 = r(6) * fx + r(7) * fy + r(8)
                 wsum = e0 + e1 + e2
                 inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
-                bA = e1 * inv
-                bB = e2 * inv
-                bC = e0 * inv
-                vz0, vz1, vz2 = r(18), r(26), r(34)
-                pw0 = bA / jnp.maximum(vz0, 1e-12)
-                pw1 = bB / jnp.maximum(vz1, 1e-12)
-                pw2 = bC / jnp.maximum(vz2, 1e-12)
-                pws = pw0 + pw1 + pw2
-                pinv = jnp.where(jnp.abs(pws) < 1e-20, 0.0, 1.0 / pws)
-                pw0 = pw0 * pinv
-                pw1 = pw1 * pinv
-                pw2 = pw2 * pinv
+                pw0 = e1 * inv
+                pw1 = e2 * inv
+                pw2 = e0 * inv
 
                 def interp(o):
                     return pw0 * r(16 + o) + pw1 * r(24 + o) + pw2 * r(32 + o)
 
-                vz = pw0 * vz0 + pw1 * vz1 + pw2 * vz2
+                vz = interp(2)
                 vals = [interp(3), interp(4), interp(5),   # normal
                         interp(6), interp(7),              # uv
                         vz,

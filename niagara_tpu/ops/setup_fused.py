@@ -1,0 +1,405 @@
+"""Fused triangle transform + setup + stream-compaction Pallas kernel.
+
+This is the TPU answer to the reference's mesh-shader vertex/triangle stage
+(meshlet.mesh.glsl:125-205): for every visible cluster, transform its
+corners, build homogeneous (Olano-Greer) edge equations and the affine
+reverse-Z depth plane, validity-test, and append the survivors' packed
+records to a compacted output array.
+
+Why a kernel: the XLA formulation materialized ~2 GB of [K,96,*]
+intermediates per pass (dot outputs, the 48-column record stack, the
+6M-element compaction scatter) and cost ~220 ms/frame at 1M draws.  Here
+every intermediate lives in VMEM; HBM sees only the bf16 corner channels in
+and the compacted records out.
+
+Pipeline (per 8-cluster grid step, sequential TPU grid):
+  1. reconstruct f32 object position/normal/uv/vid from exact bf16-split
+     channels (scene.meshlet_channels via one one-hot MXU dot per corner,
+     done in XLA by `corner_dots`);
+  2. object -> world -> camera -> homogeneous pixel coords per corner,
+     edges = adjugate rows, depth plane, conservative AABB, validity
+     (ops/raster.py compact_setup semantics, bit-identical math);
+  3. in-block compaction: ranks via cumsum, records placed into a
+     128-aligned window by an exact one-hot matmul, carried write cursor in
+     SMEM (grid steps run sequentially), full 128-record groups DMA'd to
+     HBM row-major.
+
+Record layout matches ops/raster.compact_setup's rec48 exactly
+(cols 0-15 raster: e0 e1 e2 zplane aabb; 16-47 shading: per-corner
+screen x/y, viewz, world normal, uv; vids; draw/mat/post; col 46 = flat
+(cluster*96+tri) index).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import MESH_MAXTRI, MESH_MAXVTX
+
+BLOCK = 8  # clusters per grid step
+TRIS = BLOCK * MESH_MAXTRI  # 768 triangle slots per step
+REC = 48  # record row width (f32)
+WINDOW = 1024  # placement window (128-aligned, >= 128 + TRIS + slack)
+GROUPS = WINDOW // 128
+
+
+def corner_dots(chan, tri):
+    """One-hot corner fetch on the MXU: [K,64,20] bf16 channels x [K,96,3]
+    corner indices -> 3x [K,96,20] bf16 (exact: each output selects exactly
+    one bf16 channel value)."""
+    iota = jnp.arange(MESH_MAXVTX, dtype=jnp.int32)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    outs = []
+    for c in range(3):
+        oh = (tri[:, :, c, None] == iota[None, None, :]).astype(jnp.bfloat16)
+        outs.append(
+            jax.lax.dot_general(oh, chan, dn, preferred_element_type=jnp.bfloat16)
+        )
+    return outs
+
+
+def _setup_kernel(
+    cnt_ref,  # scalar prefetch: [1] i32 live cluster count
+    c0_ref, c1_ref, c2_ref,  # [BLOCK, 96, 20] bf16 corner channels
+    xform_ref,  # [BLOCK, 8] f32 (pos, scale, quat)
+    meta_ref,  # [BLOCK, 4] i32 (draw, mat, post, tri_count)
+    prm_ref,  # [1, 24] f32 params (view rows, p00, p11, znear, w, h)
+    rec_out,  # HBM [cap_pad, REC] f32 (manual DMA)
+    aabb_out,  # HBM [8, cap_pad] f32 (manual DMA, channel-major)
+    count_out,  # [1, 1] i32
+    window, awindow, pending, apending, staging, cursor, sems,
+):
+    bi = pl.program_id(0)
+    nb = pl.num_programs(0)
+    base_cluster = bi * BLOCK
+
+    @pl.when(bi == 0)
+    def _():
+        cursor[0] = 0  # flushed rows
+        cursor[1] = 0  # pending records (0..127)
+        pending[...] = jnp.zeros_like(pending)
+        apending[...] = jnp.zeros_like(apending)
+
+    live_block = base_cluster < cnt_ref[0]
+
+    @pl.when(live_block)
+    def _process():
+
+        def ch(ref, hi, lo=None):
+            v = ref[:, :, hi].astype(jnp.float32)
+            if lo is not None:
+                v = v + ref[:, :, lo].astype(jnp.float32)
+            return v  # [BLOCK, 96]
+
+        # per-cluster transform scalars broadcast over the 96 tri lanes
+        tx = xform_ref[:, 0:1]
+        ty = xform_ref[:, 1:2]
+        tz = xform_ref[:, 2:3]
+        sc = xform_ref[:, 3:4]
+        qx = xform_ref[:, 4:5]
+        qy = xform_ref[:, 5:6]
+        qz = xform_ref[:, 6:7]
+        qw = xform_ref[:, 7:8]
+
+        p = lambda i: prm_ref[0, i]
+        v00, v01, v02, v03 = p(0), p(1), p(2), p(3)
+        v10, v11, v12, v13 = p(4), p(5), p(6), p(7)
+        v20, v21, v22, v23 = p(8), p(9), p(10), p(11)
+        p00, p11, znear = p(12), p(13), p(14)
+        width, height = p(15), p(16)
+
+        def rot_quat(px, py, pz):
+            # tmp = cross(qv, p) + qw*p ; out = p + 2*cross(qv, tmp)
+            txq = qy * pz - qz * py + qw * px
+            tyq = qz * px - qx * pz + qw * py
+            tzq = qx * py - qy * px + qw * pz
+            ox = px + 2.0 * (qy * tzq - qz * tyq)
+            oy = py + 2.0 * (qz * txq - qx * tzq)
+            oz = pz + 2.0 * (qx * tyq - qy * txq)
+            return ox, oy, oz
+
+        corners = []
+        for ref in (c0_ref, c1_ref, c2_ref):
+            px = ch(ref, 0, 1)
+            py = ch(ref, 2, 3)
+            pz = ch(ref, 4, 5)
+            wx, wy, wz = rot_quat(px, py, pz)
+            wx = wx * sc + tx
+            wy = wy * sc + ty
+            wz = wz * sc + tz
+            camx = v00 * wx + v01 * wy + v02 * wz + v03
+            camy = v10 * wx + v11 * wy + v12 * wz + v13
+            viewz = v20 * wx + v21 * wy + v22 * wz + v23
+            safe_z = jnp.where(jnp.abs(viewz) < 1e-12, 1e-12, viewz)
+            zw = znear / safe_z
+            hx = (p00 * camx * 0.5 + 0.5 * viewz) * width
+            hy = (0.5 * viewz - p11 * camy * 0.5) * height
+            nx = ch(ref, 6, 7)
+            ny = ch(ref, 8, 9)
+            nz = ch(ref, 10, 11)
+            wnx, wny, wnz = rot_quat(nx, ny, nz)
+            corners.append(
+                dict(
+                    hx=hx, hy=hy, w=viewz, zw=zw,
+                    n=(wnx, wny, wnz),
+                    u=ch(ref, 12, 13), v=ch(ref, 14, 15),
+                    vid=ch(ref, 16) + ch(ref, 17) * 256.0 + ch(ref, 18) * 65536.0,
+                )
+            )
+
+        A, B, C = corners
+
+        def cross_rows(p, q):
+            return (
+                p["hy"] * q["w"] - p["w"] * q["hy"],
+                p["w"] * q["hx"] - p["hx"] * q["w"],
+                p["hx"] * q["hy"] - p["hy"] * q["hx"],
+            )
+
+        eAB = cross_rows(A, B)
+        eBC = cross_rows(B, C)
+        eCA = cross_rows(C, A)
+        det = A["hx"] * eBC[0] + A["hy"] * eBC[1] + A["w"] * eBC[2]
+        front = det > 0.0
+
+        inv_det = jnp.where(jnp.abs(det) < 1e-30, 0.0, 1.0 / det)
+        ka = A["zw"] * A["w"]
+        kb = B["zw"] * B["w"]
+        kc = C["zw"] * C["w"]
+        za = (ka * eBC[0] + kb * eCA[0] + kc * eAB[0]) * inv_det
+        zb = (ka * eBC[1] + kb * eCA[1] + kc * eAB[1]) * inv_det
+        zc = (ka * eBC[2] + kb * eCA[2] + kc * eAB[2]) * inv_det
+
+        def sdiv(h, w):
+            return h / jnp.where(w > 1e-9, w, 1e-9)
+
+        sx = [sdiv(c["hx"], c["w"]) for c in (A, B, C)]
+        sy = [sdiv(c["hy"], c["w"]) for c in (A, B, C)]
+
+        behind_any = (A["w"] <= 1e-9) | (B["w"] <= 1e-9) | (C["w"] <= 1e-9)
+        all_behind = (A["w"] < znear) & (B["w"] < znear) & (C["w"] < znear)
+
+        x0f = jnp.where(behind_any, 0.0, jnp.floor(jnp.minimum(jnp.minimum(sx[0], sx[1]), sx[2])))
+        y0f = jnp.where(behind_any, 0.0, jnp.floor(jnp.minimum(jnp.minimum(sy[0], sy[1]), sy[2])))
+        x1f = jnp.where(behind_any, width, jnp.ceil(jnp.maximum(jnp.maximum(sx[0], sx[1]), sx[2])))
+        y1f = jnp.where(behind_any, height, jnp.ceil(jnp.maximum(jnp.maximum(sy[0], sy[1]), sy[2])))
+        on_screen = (x1f > 0) & (y1f > 0) & (x0f < width) & (y0f < height)
+
+        lane_t = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, MESH_MAXTRI), 1)
+        lane_k = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, MESH_MAXTRI), 0)
+        tri_count = meta_ref[:, 3:4]
+        cluster_live = (base_cluster + lane_k) < cnt_ref[0]
+        tri_live = (lane_t < tri_count) & cluster_live
+
+        x0d = jnp.clip(x0f, 0.0, width - 1.0)
+        y0d = jnp.clip(y0f, 0.0, height - 1.0)
+        x1d = jnp.clip(x1f, 0.0, width)
+        y1d = jnp.clip(y1f, 0.0, height)
+        valid = tri_live & front & ~all_behind & on_screen & (x1d > x0d) & (y1d > y0d)
+
+        flat = ((base_cluster + lane_k) * MESH_MAXTRI + lane_t).astype(jnp.float32)
+        drawf = meta_ref[:, 0:1].astype(jnp.float32) + jnp.zeros_like(flat)
+        matf = meta_ref[:, 1:2].astype(jnp.float32) + jnp.zeros_like(flat)
+        postf = meta_ref[:, 2:3].astype(jnp.float32) + jnp.zeros_like(flat)
+
+        cols = [
+            eAB[0], eAB[1], eAB[2], eBC[0], eBC[1], eBC[2], eCA[0], eCA[1], eCA[2],
+            za, zb, zc, x0d, y0d, x1d, y1d,
+        ]
+        for ci, c in enumerate((A, B, C)):
+            cols += [sx[ci], sy[ci], c["w"], c["n"][0], c["n"][1], c["n"][2], c["u"], c["v"]]
+        cols += [A["vid"], B["vid"], C["vid"], drawf, matf, postf, flat, jnp.zeros_like(flat)]
+
+        # records channel-major [REC, TRIS] (all 2D: TPU dislikes 1D shapes)
+        rec = jnp.concatenate([x.reshape(1, TRIS) for x in cols], axis=0)
+
+        # in-block ranks (flat row-major order = the XLA compaction order)
+        v6 = valid.reshape(6, 128).astype(jnp.int32)
+        within = jnp.cumsum(v6, axis=1) - v6
+        row_tot = jnp.sum(v6, axis=1, keepdims=True)
+        row_off = jnp.cumsum(row_tot, axis=0) - row_tot
+        rank_col = (within + row_off).reshape(TRIS, 1)
+        valid_col = v6.reshape(TRIS, 1) > 0
+        cnt = jnp.sum(v6)
+
+        p_off = cursor[1]
+        # exact placement matmul: P[i, j] = valid_i & (rank_i + p_off == j);
+        # each output column has at most one source -> bf16-split products
+        # reconstruct f32 exactly
+        j_ids = jax.lax.broadcasted_iota(jnp.int32, (TRIS, WINDOW), 1)
+        P = ((rank_col + p_off) == j_ids) & valid_col
+        Pb = P.astype(jnp.bfloat16)
+
+        r1 = rec.astype(jnp.bfloat16)
+        r1f = r1.astype(jnp.float32)
+        r2 = (rec - r1f).astype(jnp.bfloat16)
+        r2f = r2.astype(jnp.float32)
+        r3 = (rec - r1f - r2f).astype(jnp.bfloat16)
+        placed = (
+            jax.lax.dot_general(r1, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(r2, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(r3, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        )  # [REC, WINDOW]
+
+        window[...] = placed
+        window[:, 0:128] = window[:, 0:128] + pending[...]
+
+        # aabb/meta side channel (channel-major out): x0 y0 x1 y1 valid flat
+        acols = jnp.concatenate(
+            [x0d.reshape(1, TRIS), y0d.reshape(1, TRIS), x1d.reshape(1, TRIS),
+             y1d.reshape(1, TRIS), valid.astype(jnp.float32).reshape(1, TRIS),
+             flat.reshape(1, TRIS),
+             jnp.zeros((2, TRIS), jnp.float32)],
+            axis=0,
+        )
+        a1 = acols.astype(jnp.bfloat16)
+        a1f = a1.astype(jnp.float32)
+        a2 = (acols - a1f).astype(jnp.bfloat16)
+        a2f = a2.astype(jnp.float32)
+        a3 = (acols - a1f - a2f).astype(jnp.bfloat16)
+        aplaced = (
+            jax.lax.dot_general(a1, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(a2, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(a3, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        )
+        awindow[...] = aplaced
+        awindow[:, 0:128] = awindow[:, 0:128] + apending[...]
+
+        total = p_off + cnt
+        n_flush = total // 128
+
+        for g in range(GROUPS):  # static unroll: slices stay static
+            @pl.when(g < n_flush)
+            def _(g=g):
+                staging[...] = window[:, g * 128 : (g + 1) * 128].T  # [128, REC]
+                dst = pl.multiple_of((cursor[0] + g) * 128, 128)
+                dma = pltpu.make_async_copy(staging, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
+                dma.start()
+                dma.wait()
+                adma = pltpu.make_async_copy(
+                    awindow.at[:, g * 128 : (g + 1) * 128],
+                    aabb_out.at[:, pl.ds(dst, 128)],
+                    sems.at[1],
+                )
+                adma.start()
+                adma.wait()
+
+        # new pending = the first partial group after the flushed ones
+        newp = jnp.zeros((REC, 128), jnp.float32)
+        newap = jnp.zeros((8, 128), jnp.float32)
+        for g in range(GROUPS):
+            sel = g == n_flush
+            newp = jnp.where(sel, window[:, g * 128 : (g + 1) * 128], newp)
+            newap = jnp.where(sel, awindow[:, g * 128 : (g + 1) * 128], newap)
+        pending[...] = newp
+        apending[...] = newap
+
+        cursor[0] = cursor[0] + n_flush
+        cursor[1] = total - n_flush * 128
+
+    @pl.when(bi == nb - 1)
+    def _finalize():
+        # flush the trailing partial group (padded with zero records)
+        staging[...] = pending[...].T
+        dst = pl.multiple_of(cursor[0] * 128, 128)
+        dma = pltpu.make_async_copy(staging, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
+        dma.start()
+        dma.wait()
+        adma = pltpu.make_async_copy(apending, aabb_out.at[:, pl.ds(dst, 128)], sems.at[1])
+        adma.start()
+        adma.wait()
+        count_out[0, 0] = cursor[0] * 128 + cursor[1]
+
+
+def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpret: bool = False):
+    """Fused setup + compaction.  `tc` comes from raster.transform_meta.
+
+    Returns a setup dict compatible with ops/raster.compact_setup's output
+    (rec48/rec16/valid/x0..y1/shade_rec/tri_k/tri_t/count)."""
+    K = tc["tri"].shape[0]
+    assert K % BLOCK == 0, "cluster capacity must be a multiple of BLOCK"
+    cap_pad = -(-capacity // 128) * 128 + 128  # slack for the final padded flush
+
+    c0, c1, c2 = corner_dots(tc["chan"], tc["tri"])
+
+    meta = jnp.stack(
+        [tc["draw_id"], tc["mat_index"], tc["post_pass"], tc["tri_count"]], axis=-1
+    ).astype(jnp.int32)
+
+    view = params.view
+    prm = jnp.concatenate(
+        [
+            view[0, :4], view[1, :4], view[2, :4],
+            jnp.stack([params.p00, params.p11, params.znear,
+                       jnp.float32(width), jnp.float32(height)]),
+            jnp.zeros(7, jnp.float32),
+        ]
+    ).reshape(1, 24)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(K // BLOCK,),
+        in_specs=[
+            pl.BlockSpec((BLOCK, MESH_MAXTRI, 20), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((BLOCK, MESH_MAXTRI, 20), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((BLOCK, MESH_MAXTRI, 20), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((BLOCK, 8), lambda i, *_: (i, 0)),
+            pl.BlockSpec((BLOCK, 4), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 24), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((REC, WINDOW), jnp.float32),
+            pltpu.VMEM((8, WINDOW), jnp.float32),
+            pltpu.VMEM((REC, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((128, REC), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    rec_rows, aabb_t, count = pl.pallas_call(
+        _setup_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((cap_pad, REC), jnp.float32),
+            jax.ShapeDtypeStruct((8, cap_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        jnp.reshape(tc["count"], (-1,))[:1].astype(jnp.int32),
+        c0, c1, c2,
+        tc["xform"],
+        meta,
+        prm,
+    )
+
+    count = jnp.minimum(count[0, 0], capacity)
+    rec48 = rec_rows[:capacity]
+    live = jnp.arange(capacity, dtype=jnp.int32) < count
+    flatv = aabb_t[5, :capacity].astype(jnp.int32)
+
+    return dict(
+        valid=live,
+        rec48=rec48,
+        shade_rec=rec48[:, 16:],
+        x0=aabb_t[0, :capacity].astype(jnp.int32),
+        y0=aabb_t[1, :capacity].astype(jnp.int32),
+        x1=aabb_t[2, :capacity].astype(jnp.int32),
+        y1=aabb_t[3, :capacity].astype(jnp.int32),
+        tri_k=flatv // MESH_MAXTRI,
+        tri_t=flatv % MESH_MAXTRI,
+        count=count,
+    )

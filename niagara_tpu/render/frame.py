@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import bloom, cull, pyramid, raster, raster_tile, shade, shadow
+from ..ops import bloom, cull, pyramid, raster, raster_tile, setup_fused, shade, shadow
 from ..utils import math3d
 from .camera import Camera, RenderSettings, make_cull_params
 
@@ -118,7 +118,10 @@ def init_state(num_draws: int, vis_slot_count: int) -> FrameState:
 
 
 def _render_pass(scene, params, cmds, state_vis_words, atlas, cfg: FrameConfig, *, late: bool, pyr_hw):
-    """clustercull + raster for one pass; returns (clusters, tc, new words)."""
+    """clustercull + cluster data fetch for one pass; returns
+    (clusters, tc, new words).  On the tile path tc is the light gather-only
+    form consumed by the fused setup kernel; the fallback path gets the full
+    transformed clusters."""
     ccmd, clane, ccount, new_words = cull.cluster_cull(
         scene,
         params,
@@ -129,10 +132,21 @@ def _render_pass(scene, params, cmds, state_vis_words, atlas, cfg: FrameConfig, 
         pyramid_shape=pyr_hw,
         cluster_capacity=cfg.late_cluster_cap if late else cfg.cluster_capacity,
     )
-    tc = raster.transform_clusters(
-        scene, ccmd, clane, ccount, cmds, params.view, params.p00, params.p11, params.znear, cfg.width, cfg.height
-    )
+    if cfg.use_tile_raster:
+        tc = raster.transform_meta(scene, ccmd, clane, ccount, cmds)
+    else:
+        tc = raster.transform_clusters(
+            scene, ccmd, clane, ccount, cmds, params.view, params.p00, params.p11, params.znear, cfg.width, cfg.height
+        )
     return ccount, tc, new_words
+
+
+def _setup(tc, params, cfg: FrameConfig, capacity: int):
+    if cfg.use_tile_raster:
+        return setup_fused.setup_compact(
+            tc, params, cfg.width, cfg.height, capacity, interpret=cfg.raster_interpret
+        )
+    return raster.compact_setup(tc, cfg.width, cfg.height, params.znear, capacity)
 
 
 def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: int = 0):
@@ -168,7 +182,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
     ccount_e, tc_e, _ = _render_pass(
         scene, params, cmds_e, early_words, empty_atlas, cfg, late=False, pyr_hw=pyr_hw
     )
-    st_e = raster.compact_setup(tc_e, cfg.width, cfg.height, params.znear, cfg.tri_capacity)
+    st_e = _setup(tc_e, params, cfg, cfg.tri_capacity)
 
     use_tiles = cfg.use_tile_raster
     if use_tiles:
@@ -211,7 +225,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         ccount_l, tc_l, new_words = _render_pass(
             scene, params, cmds_l, state.vis_words, atlas, cfg, late=True, pyr_hw=pyr_hw
         )
-        st_l = raster.compact_setup(tc_l, cfg.width, cfg.height, params.znear, cfg.late_tri_cap)
+        st_l = _setup(tc_l, params, cfg, cfg.late_tri_cap)
         # merge late-pass fragments into the early framebuffer; fragment ids
         # are offset so both passes shade from concatenated cluster arrays
         if use_tiles:
@@ -261,7 +275,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             ccount_p, tc_p, new_words = _render_pass(
                 scene, params_pp, cmds_p, new_words, atlas, cfg, late=True, pyr_hw=pyr_hw
             )
-            st_p = raster.compact_setup(tc_p, cfg.width, cfg.height, params.znear, cfg.late_tri_cap)
+            st_p = _setup(tc_p, params, cfg, cfg.late_tri_cap)
             off_p = frag_offset + cfg.tri_capacity + pp * cfg.late_tri_cap
             if use_tiles:
                 depth_t, vis_t, rst_p = raster_tile.rasterize_tiles(

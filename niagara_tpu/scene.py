@@ -198,6 +198,11 @@ class DeviceScene:
     # one [M,64,8] row (position, object normal, uv) so transform_clusters
     # fetches all per-vertex data with a single row gather
     meshlet_vdata: np.ndarray  # f32 [M, MESH_MAXVTX, 8]
+    # bf16-split channel table for the fused setup kernel's one-hot corner
+    # fetch: object position/normal/uv as exact 2-component bf16 splits
+    # (sources are fp16/snorm10 quantized) + vertex-id bytes.  Layout:
+    # 0-5 pos hi/lo xyz, 6-11 normal hi/lo, 12-15 uv hi/lo, 16-18 vid bytes
+    meshlet_channels: np.ndarray  # bf16 [M, MESH_MAXVTX, 20]
     meshlet_center: np.ndarray  # f32 [M,3]
     meshlet_radius: np.ndarray  # f32 [M]
     meshlet_cone_axis: np.ndarray  # f32 [M,3] (snorm8 / 127)
@@ -320,6 +325,34 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
          geometry.vuv.astype(np.float32)[vertex_ids]], axis=-1
     )  # [M, 64, 8]
 
+    # bf16-split channels for the fused setup kernel's one-hot corner fetch;
+    # 2 bf16 components cover >=16 mantissa bits, lossless for the
+    # fp16/snorm-quantized sources
+    import ml_dtypes
+
+    def split2(x):
+        hi = x.astype(ml_dtypes.bfloat16).astype(np.float32)
+        lo = x - hi
+        return [hi.astype(ml_dtypes.bfloat16), lo.astype(ml_dtypes.bfloat16)]
+
+    uvs32 = geometry.vuv.astype(np.float32)[vertex_ids]
+    chan_parts = []
+    for axis in range(3):
+        chan_parts += split2(positions[vertex_ids][..., axis])
+    for axis in range(3):
+        chan_parts += split2(normals[vertex_ids][..., axis])
+    for axis in range(2):
+        chan_parts += split2(uvs32[..., axis])
+    vid64 = vertex_ids.astype(np.int64)
+    assert vid64.max(initial=0) < (1 << 24), "vertex ids exceed 24-bit channel encoding"
+    chan_parts += [
+        (vid64 & 255).astype(ml_dtypes.bfloat16),
+        ((vid64 >> 8) & 255).astype(ml_dtypes.bfloat16),
+        (vid64 >> 16).astype(ml_dtypes.bfloat16),
+        np.zeros_like(vid64, dtype=ml_dtypes.bfloat16),
+    ]
+    meshlet_channels = np.stack(chan_parts, axis=-1)  # [M, 64, 20]
+
     return DeviceScene(
         positions=positions,
         normals=normals,
@@ -328,6 +361,7 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
         meshlet_vertices=vertex_ids,
         meshlet_tris=tris,
         meshlet_vdata=meshlet_vdata,
+        meshlet_channels=meshlet_channels,
         meshlet_center=geometry.meshlets.center.astype(np.float32),
         meshlet_radius=geometry.meshlets.radius.astype(np.float32),
         meshlet_cone_axis=(geometry.meshlets.cone_axis.astype(np.float32) / 127.0),

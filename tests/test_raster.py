@@ -45,8 +45,9 @@ def make_tc(screen_tris, width, height):
     return dict(
         tri_valid=jnp.array(tri_valid),
         vid=jnp.zeros((K, MESH_MAXVTX), dtype=jnp.int32),
-        sx=jnp.array(sx),
-        sy=jnp.array(sy),
+        # homogeneous pixel coords (hx/w = screen x); tests use w=viewz
+        hx=jnp.array(sx * viewz),
+        hy=jnp.array(sy * viewz),
         zw=jnp.array(zw),
         viewz=jnp.array(viewz),
         tri=jnp.array(tri),

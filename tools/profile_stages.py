@@ -65,7 +65,8 @@ def main():
         width=width, height=height, max_groups=8,
         cmd_capacity=1 << 16, cluster_capacity=1 << 16,
         small_capacity=1 << 21, big_capacity=512,
-        pair_capacity=1 << 21, tri_capacity=1 << 20,
+        pair_capacity=1 << 20, tri_capacity=1 << 19,
+        late_cluster_capacity=1 << 14, late_tri_capacity=1 << 18,
     )
     params, sp = frame_mod.make_frame_inputs(Camera(), RenderSettings(), cfg)
     levels, ph, pw = cfg.pyramid_levels_shape
