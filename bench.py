@@ -84,6 +84,9 @@ def main():
           f"stats: early_cmd={int(stats.early_commands)} late_cmd={int(stats.late_commands)} "
           f"early_clusters={int(stats.early_clusters)} late_clusters={int(stats.late_clusters)} "
           f"visible_draws={int(stats.visible_draws)}", file=sys.stderr)
+    print(f"[bench] drops: cmd={int(stats.cmd_dropped)} cluster={int(stats.cluster_dropped)} "
+          f"tri={int(stats.tri_dropped)} pair={int(stats.pair_dropped)} "
+          f"(all must be 0 for a loss-free frame)", file=sys.stderr)
 
     # frames chain through the carried visibility state, so dispatching the
     # whole run and syncing once measures true frame throughput (the relay

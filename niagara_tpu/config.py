@@ -24,9 +24,10 @@ TASK_WGSIZE = 64
 
 # Capacity limits -> static shapes for XLA (reference: config.h:24-28).
 # The reference drops draws/clusters on overflow (drawcull.comp.glsl:128-139);
-# we reproduce that as masked writes past the capacity.
-TASK_WGLIMIT = 1 << 22  # max task commands in flight
-CLUSTER_LIMIT = 1 << 24  # max visible clusters
+# we reproduce that as masked writes past per-frame capacities, which are
+# runtime-sized in render.frame.FrameConfig (cmd_capacity / cluster_capacity /
+# tri_capacity) rather than fixed here: XLA static shapes make capacity a
+# memory/time trade-off per scene, not a global compile-time ceiling.
 
 # Number of LOD slots per mesh.  The reference stops at 8 (scene.h:92
 # "MeshLod lods[8]"); we extend to 16 because software rasterization makes
@@ -36,21 +37,10 @@ MAX_LODS = 16
 
 # --- TPU-specific tuning ---
 
-# Framebuffer tile processed by one rasterizer grid step, in pixels.
-# (rows, cols): cols=128 matches the VPU lane width; 32 rows x 128 cols
-# = 4096 pixels per tile.
-TILE_H = 32
+# Framebuffer tile processed by one Pallas rasterizer grid step, in pixels
+# (rows, cols): one (8,128) VPU vreg — ops/raster_tile.py imports these.
+TILE_H = 8
 TILE_W = 128
-
-# Max triangle-records binned per tile per raster batch; triangles beyond this
-# are dropped (mirrors the reference's graceful overflow drop).
-TILE_TRI_CAP = 4096
-
-# Per-triangle tile-footprint cap for the binning pass: a triangle may emit at
-# most BIN_MAX_TILES_LOG2^2... (see ops/raster.py); larger triangles take the
-# "big triangle" path.
-BIN_TILES_X = 2  # footprint cap: 2 tiles across
-BIN_TILES_Y = 4  # footprint cap: 4 tiles down (tiles are wide, so allow more rows)
 
 # Default render resolution (the reference is windowed; benchmarks use 1080p).
 RENDER_WIDTH = 1920

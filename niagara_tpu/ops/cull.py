@@ -67,6 +67,7 @@ class TaskCommands:
     late_draw_visibility: Any  # i32 [CAP]
     vis_offset: Any  # i32 [CAP] meshlet-visibility slot of lane 0
     count: Any  # i32 [] number of live commands
+    dropped: Any  # i32 [] draws dropped whole on capacity overflow
 
 
 def transform_sphere_to_view(center_local, radius_local, orientation, scale, position, view):
@@ -158,6 +159,7 @@ def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, ca
     groups = jnp.where(emit, (meshlet_count + TASK_WGSIZE - 1) // TASK_WGSIZE, 0)
     base = jnp.cumsum(groups) - groups  # exclusive prefix sum
     fits = base + groups <= capacity
+    cmd_dropped = jnp.sum(emit & ~fits)  # reference TASK_WGLIMIT drop, observable
     groups = jnp.where(fits, groups, 0)
     count = jnp.sum(groups)
 
@@ -190,6 +192,7 @@ def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, ca
         late_draw_visibility=draw_vis.astype(jnp.int32)[cd] * live,
         vis_offset=scene.draw_vis_offset.astype(jnp.int32)[cd] + cg * TASK_WGSIZE,
         count=count.astype(jnp.int32),
+        dropped=cmd_dropped.astype(jnp.int32),
     )
 
 
@@ -314,4 +317,11 @@ def cluster_cull(
     cluster_cmd = flat // TASK_WGSIZE
     cluster_lane = flat % TASK_WGSIZE
 
-    return cluster_cmd, cluster_lane, jnp.minimum(cluster_count, cluster_capacity).astype(jnp.int32), new_vis_words
+    cluster_dropped = jnp.maximum(cluster_count - cluster_capacity, 0).astype(jnp.int32)
+    return (
+        cluster_cmd,
+        cluster_lane,
+        jnp.minimum(cluster_count, cluster_capacity).astype(jnp.int32),
+        new_vis_words,
+        cluster_dropped,
+    )

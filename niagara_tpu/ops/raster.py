@@ -317,7 +317,8 @@ def compact_setup(tc, width, height, znear, capacity: int):
     # compact the flat (cluster, tri) index of survivors
     mask = valid.reshape(-1)
     pos = jnp.cumsum(mask) - mask
-    count = jnp.minimum(jnp.sum(mask), capacity)
+    raw_count = jnp.sum(mask)
+    count = jnp.minimum(raw_count, capacity)
     slot = jnp.where(mask & (pos < capacity), pos, capacity)
     tidx = jnp.zeros(capacity, dtype=jnp.int32).at[slot].set(
         jnp.arange(K * MESH_MAXTRI, dtype=jnp.int32), mode="drop"
@@ -346,6 +347,7 @@ def compact_setup(tc, width, height, znear, capacity: int):
         tri_k=tidx // MESH_MAXTRI,
         tri_t=tidx % MESH_MAXTRI,
         count=count,
+        dropped=jnp.maximum(raw_count - capacity, 0).astype(jnp.int32),
     )
 
 

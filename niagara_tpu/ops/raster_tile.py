@@ -29,10 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..config import TILE_H, TILE_W
 from .raster import INVALID_FRAG, _compact
-
-TILE_H = 8
-TILE_W = 128
 # records are stored transposed [12, R] and DMA'd in lane-aligned chunks of
 # 128 (Mosaic requires 128-lane-aligned HBM slices); chunk windows start at
 # the aligned offset below each tile's range and mask out-of-range records

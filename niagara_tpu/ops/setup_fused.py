@@ -70,9 +70,9 @@ def _setup_kernel(
     meta_ref,  # [BLOCK, 4] i32 (draw, mat, post, tri_count)
     prm_ref,  # [1, 24] f32 params (view rows, p00, p11, znear, w, h)
     rec_out,  # HBM [cap_pad, REC] f32 (manual DMA)
-    aabb_out,  # HBM [8, cap_pad] f32 (manual DMA, channel-major)
+    aabb_out,  # HBM [cap_pad, 8] f32 (manual DMA, row-major)
     count_out,  # [1, 1] i32
-    window, awindow, pending, apending, staging, cursor, sems,
+    window, awindow, pending, apending, cursor, sems,
 ):
     bi = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -215,87 +215,115 @@ def _setup_kernel(
             cols += [sx[ci], sy[ci], c["w"], c["n"][0], c["n"][1], c["n"][2], c["u"], c["v"]]
         cols += [A["vid"], B["vid"], C["vid"], drawf, matf, postf, flat, jnp.zeros_like(flat)]
 
-        # records channel-major [REC, TRIS] (all 2D: TPU dislikes 1D shapes)
-        rec = jnp.concatenate([x.reshape(1, TRIS) for x in cols], axis=0)
-
-        # in-block ranks (flat row-major order = the XLA compaction order)
-        v6 = valid.reshape(6, 128).astype(jnp.int32)
-        within = jnp.cumsum(v6, axis=1) - v6
-        row_tot = jnp.sum(v6, axis=1, keepdims=True)
-        row_off = jnp.cumsum(row_tot, axis=0) - row_tot
-        rank_col = (within + row_off).reshape(TRIS, 1)
-        valid_col = v6.reshape(TRIS, 1) > 0
-        cnt = jnp.sum(v6)
-
+        # --- in-block ranks at [BLOCK, 96] (flat row-major order = the XLA
+        # compaction order).  Mosaic has no cumsum and no lane-changing
+        # reshapes, so prefix sums are MXU matmuls against strict lower-
+        # triangular ones matrices (0/1 values, sums <= 768: exact in f32).
+        vf = valid.astype(jnp.float32)  # [BLOCK, 96]
+        lt96 = (
+            jax.lax.broadcasted_iota(jnp.int32, (MESH_MAXTRI, MESH_MAXTRI), 0)
+            < jax.lax.broadcasted_iota(jnp.int32, (MESH_MAXTRI, MESH_MAXTRI), 1)
+        ).astype(jnp.float32)
+        within = jax.lax.dot_general(
+            vf, lt96, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLOCK,96] exclusive per-cluster prefix
+        row_tot = jnp.sum(vf, axis=1, keepdims=True)  # [BLOCK,1]
+        ltb = (
+            jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+            > jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+        ).astype(jnp.float32)
+        row_off = jax.lax.dot_general(
+            ltb, row_tot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BLOCK,1] exclusive prefix over clusters
         p_off = cursor[1]
-        # exact placement matmul: P[i, j] = valid_i & (rank_i + p_off == j);
-        # each output column has at most one source -> bf16-split products
-        # reconstruct f32 exactly
-        j_ids = jax.lax.broadcasted_iota(jnp.int32, (TRIS, WINDOW), 1)
-        P = ((rank_col + p_off) == j_ids) & valid_col
-        Pb = P.astype(jnp.bfloat16)
+        grank = (within + row_off).astype(jnp.int32) + p_off  # [BLOCK,96]
+        cnt = jnp.sum(vf).astype(jnp.int32)
 
-        r1 = rec.astype(jnp.bfloat16)
-        r1f = r1.astype(jnp.float32)
-        r2 = (rec - r1f).astype(jnp.bfloat16)
-        r2f = r2.astype(jnp.float32)
-        r3 = (rec - r1f - r2f).astype(jnp.bfloat16)
-        placed = (
-            jax.lax.dot_general(r1, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(r2, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(r3, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        )  # [REC, WINDOW]
+        # aabb/meta side channel columns: x0 y0 x1 y1 valid flat pad pad
+        acols = [x0d, y0d, x1d, y1d, vf, flat, jnp.zeros_like(flat), jnp.zeros_like(flat)]
+        allcols = cols + acols  # REC + 8 = 56 columns
+        NCOL = len(allcols)
 
-        window[...] = placed
-        window[:, 0:128] = window[:, 0:128] + pending[...]
+        # --- placement, Mosaic-shaped.  Constraints: no lane<->sublane
+        # reshapes, no concat of vectors at mismatched sublane offsets, so
+        # per-cluster row extraction happens on the MXU (one-hot row picks)
+        # and record transposition happens ONCE per block:
+        #   recbig  [NCOL*BLOCK, 96]  (concat of whole [8,96] columns)
+        #   recbigT [96, NCOL*BLOCK]  (single 2D transpose)
+        #   rec_rT  [96, NCOL] = recbigT @ S_r  (constant one-hot select)
+        #   placed += P_r [WINDOW,96] @ rec_rT  (rank one-hot placement)
+        # Every matmul is one-hot on one side, so 3-way bf16 splits of the
+        # records reconstruct f32 exactly.  Output layout [WINDOW, NCOL] is
+        # row-major like rec_out — flushes are straight DMAs, no staging.
+        recbig = jnp.concatenate(allcols, axis=0)  # [NCOL*8, 96]
+        recbigT = recbig.T  # [96, NCOL*8]
+        t1 = recbigT.astype(jnp.bfloat16)
+        t1f = t1.astype(jnp.float32)
+        t2 = (recbigT - t1f).astype(jnp.bfloat16)
+        t2f = t2.astype(jnp.float32)
+        t3 = (recbigT - t1f - t2f).astype(jnp.bfloat16)
 
-        # aabb/meta side channel (channel-major out): x0 y0 x1 y1 valid flat
-        acols = jnp.concatenate(
-            [x0d.reshape(1, TRIS), y0d.reshape(1, TRIS), x1d.reshape(1, TRIS),
-             y1d.reshape(1, TRIS), valid.astype(jnp.float32).reshape(1, TRIS),
-             flat.reshape(1, TRIS),
-             jnp.zeros((2, TRIS), jnp.float32)],
-            axis=0,
+        grank_f = grank.astype(jnp.float32)  # [8,96], values < WINDOW (exact)
+        j_sub = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, MESH_MAXTRI), 0).astype(jnp.float32)
+        i_384 = jax.lax.broadcasted_iota(jnp.int32, (NCOL * BLOCK, NCOL), 0)
+        c_384 = jax.lax.broadcasted_iota(jnp.int32, (NCOL * BLOCK, NCOL), 1)
+        r_sub = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+        dn = (((1,), (0,)), ((), ()))
+
+        def place_row(r, placed):
+            # one-hot row picks (offset-0 [1,96] results, MXU-exact)
+            e_r = (r_sub == r).astype(jnp.float32)  # [1,8]
+            grank_r = jax.lax.dot_general(e_r, grank_f, dn, preferred_element_type=jnp.float32)
+            vf_r = jax.lax.dot_general(e_r, vf, dn, preferred_element_type=jnp.float32)
+            Pb = ((j_sub == grank_r) & (vf_r > 0.5)).astype(jnp.bfloat16)  # [WINDOW,96]
+
+            S_r = ((i_384 % BLOCK == r) & (i_384 // BLOCK == c_384)).astype(jnp.bfloat16)
+            for t in (t1, t2, t3):
+                # f32 accumulate (Mosaic requires 32-bit acc), cast back to
+                # bf16 — exact: each output selects exactly one bf16 value
+                rec_rT = jax.lax.dot_general(
+                    t, S_r, dn, preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16)
+                placed = placed + jax.lax.dot_general(
+                    Pb, rec_rT, dn, preferred_element_type=jnp.float32
+                )
+            return placed
+
+        placed = jax.lax.fori_loop(
+            0, BLOCK, place_row, jnp.zeros((WINDOW, NCOL), jnp.float32)
         )
-        a1 = acols.astype(jnp.bfloat16)
-        a1f = a1.astype(jnp.float32)
-        a2 = (acols - a1f).astype(jnp.bfloat16)
-        a2f = a2.astype(jnp.float32)
-        a3 = (acols - a1f - a2f).astype(jnp.bfloat16)
-        aplaced = (
-            jax.lax.dot_general(a1, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(a2, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(a3, Pb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        )
-        awindow[...] = aplaced
-        awindow[:, 0:128] = awindow[:, 0:128] + apending[...]
+
+        window[...] = placed[:, :REC]
+        window[0:128, :] = window[0:128, :] + pending[...]
+        awindow[...] = placed[:, REC:]
+        awindow[0:128, :] = awindow[0:128, :] + apending[...]
 
         total = p_off + cnt
         n_flush = total // 128
 
+        cap_groups = rec_out.shape[0] // 128
         for g in range(GROUPS):  # static unroll: slices stay static
-            @pl.when(g < n_flush)
+            @pl.when((g < n_flush) & (cursor[0] + g < cap_groups))
             def _(g=g):
-                staging[...] = window[:, g * 128 : (g + 1) * 128].T  # [128, REC]
                 dst = pl.multiple_of((cursor[0] + g) * 128, 128)
-                dma = pltpu.make_async_copy(staging, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
+                dma = pltpu.make_async_copy(
+                    window.at[pl.ds(g * 128, 128), :], rec_out.at[pl.ds(dst, 128), :], sems.at[0]
+                )
                 dma.start()
                 dma.wait()
                 adma = pltpu.make_async_copy(
-                    awindow.at[:, g * 128 : (g + 1) * 128],
-                    aabb_out.at[:, pl.ds(dst, 128)],
-                    sems.at[1],
+                    awindow.at[pl.ds(g * 128, 128), :], aabb_out.at[pl.ds(dst, 128), :], sems.at[1]
                 )
                 adma.start()
                 adma.wait()
 
         # new pending = the first partial group after the flushed ones
-        newp = jnp.zeros((REC, 128), jnp.float32)
-        newap = jnp.zeros((8, 128), jnp.float32)
+        newp = jnp.zeros((128, REC), jnp.float32)
+        newap = jnp.zeros((128, 8), jnp.float32)
         for g in range(GROUPS):
             sel = g == n_flush
-            newp = jnp.where(sel, window[:, g * 128 : (g + 1) * 128], newp)
-            newap = jnp.where(sel, awindow[:, g * 128 : (g + 1) * 128], newap)
+            newp = jnp.where(sel, window[g * 128 : (g + 1) * 128, :], newp)
+            newap = jnp.where(sel, awindow[g * 128 : (g + 1) * 128, :], newap)
         pending[...] = newp
         apending[...] = newap
 
@@ -304,13 +332,15 @@ def _setup_kernel(
 
     @pl.when(bi == nb - 1)
     def _finalize():
-        # flush the trailing partial group (padded with zero records)
-        staging[...] = pending[...].T
-        dst = pl.multiple_of(cursor[0] * 128, 128)
-        dma = pltpu.make_async_copy(staging, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
+        # flush the trailing partial group (padded with zero records);
+        # clamp to the padded capacity so overflow never writes OOB (the
+        # raw count still reports the true total for the dropped stat)
+        dst_group = jnp.minimum(cursor[0], rec_out.shape[0] // 128 - 1)
+        dst = pl.multiple_of(dst_group * 128, 128)
+        dma = pltpu.make_async_copy(pending, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
         dma.start()
         dma.wait()
-        adma = pltpu.make_async_copy(apending, aabb_out.at[:, pl.ds(dst, 128)], sems.at[1])
+        adma = pltpu.make_async_copy(apending, aabb_out.at[pl.ds(dst, 128), :], sems.at[1])
         adma.start()
         adma.wait()
         count_out[0, 0] = cursor[0] * 128 + cursor[1]
@@ -358,11 +388,10 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((REC, WINDOW), jnp.float32),
-            pltpu.VMEM((8, WINDOW), jnp.float32),
-            pltpu.VMEM((REC, 128), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.VMEM((WINDOW, REC), jnp.float32),
+            pltpu.VMEM((WINDOW, 8), jnp.float32),
             pltpu.VMEM((128, REC), jnp.float32),
+            pltpu.VMEM((128, 8), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -372,7 +401,7 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
         _setup_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((cap_pad, REC), jnp.float32),
-            jax.ShapeDtypeStruct((8, cap_pad), jnp.float32),
+            jax.ShapeDtypeStruct((cap_pad, 8), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         grid_spec=grid_spec,
@@ -386,20 +415,22 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
         prm,
     )
 
-    count = jnp.minimum(count[0, 0], capacity)
+    raw_count = count[0, 0]
+    count = jnp.minimum(raw_count, capacity)
     rec48 = rec_rows[:capacity]
     live = jnp.arange(capacity, dtype=jnp.int32) < count
-    flatv = aabb_t[5, :capacity].astype(jnp.int32)
+    flatv = aabb_t[:capacity, 5].astype(jnp.int32)
 
     return dict(
         valid=live,
         rec48=rec48,
         shade_rec=rec48[:, 16:],
-        x0=aabb_t[0, :capacity].astype(jnp.int32),
-        y0=aabb_t[1, :capacity].astype(jnp.int32),
-        x1=aabb_t[2, :capacity].astype(jnp.int32),
-        y1=aabb_t[3, :capacity].astype(jnp.int32),
+        x0=aabb_t[:capacity, 0].astype(jnp.int32),
+        y0=aabb_t[:capacity, 1].astype(jnp.int32),
+        x1=aabb_t[:capacity, 2].astype(jnp.int32),
+        y1=aabb_t[:capacity, 3].astype(jnp.int32),
         tri_k=flatv // MESH_MAXTRI,
         tri_t=flatv % MESH_MAXTRI,
         count=count,
+        dropped=jnp.maximum(raw_count - capacity, 0).astype(jnp.int32),
     )

@@ -105,6 +105,12 @@ class FrameStats:
     early_clusters: Any
     late_clusters: Any
     visible_draws: Any
+    # overflow-drop observability (reference HUD accounting niagara.cpp:
+    # 1960-2010): a frame silently dropping geometry must be visible
+    cmd_dropped: Any  # draws dropped at command-capacity
+    cluster_dropped: Any  # clusters dropped at cluster-capacity
+    tri_dropped: Any  # triangles dropped at setup tri-capacity
+    pair_dropped: Any  # tile pairs dropped (class capacity / pair sort cap)
 
 
 def init_state(num_draws: int, vis_slot_count: int) -> FrameState:
@@ -122,7 +128,7 @@ def _render_pass(scene, params, cmds, state_vis_words, atlas, cfg: FrameConfig, 
     (clusters, tc, new words).  On the tile path tc is the light gather-only
     form consumed by the fused setup kernel; the fallback path gets the full
     transformed clusters."""
-    ccmd, clane, ccount, new_words = cull.cluster_cull(
+    ccmd, clane, ccount, new_words, cdropped = cull.cluster_cull(
         scene,
         params,
         cmds,
@@ -138,7 +144,7 @@ def _render_pass(scene, params, cmds, state_vis_words, atlas, cfg: FrameConfig, 
         tc = raster.transform_clusters(
             scene, ccmd, clane, ccount, cmds, params.view, params.p00, params.p11, params.znear, cfg.width, cfg.height
         )
-    return ccount, tc, new_words
+    return ccount, tc, new_words, cdropped
 
 
 def _setup(tc, params, cfg: FrameConfig, capacity: int):
@@ -179,10 +185,14 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
     cmds_e = cull.build_task_commands(
         scene, emit_e, lod_e, early_dvb, max_groups=cfg.max_groups, capacity=cfg.cmd_capacity
     )
-    ccount_e, tc_e, _ = _render_pass(
+    ccount_e, tc_e, _, cdrop_e = _render_pass(
         scene, params, cmds_e, early_words, empty_atlas, cfg, late=False, pyr_hw=pyr_hw
     )
     st_e = _setup(tc_e, params, cfg, cfg.tri_capacity)
+    cmd_dropped = cmds_e.dropped
+    cluster_dropped = cdrop_e
+    tri_dropped = st_e["dropped"]
+    pair_dropped = jnp.int32(0)
 
     use_tiles = cfg.use_tile_raster
     if use_tiles:
@@ -200,6 +210,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             interpret=cfg.raster_interpret,
         )
         streams.append(rst_e["stream"])
+        pair_dropped = pair_dropped + rst_e["huge_dropped"]
         fb = raster.Framebuffer(
             depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
             vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
@@ -222,10 +233,13 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         cmds_l = cull.build_task_commands(
             scene, emit_l, lod_l, state.draw_vis, max_groups=cfg.max_groups, capacity=cfg.cmd_capacity
         )
-        ccount_l, tc_l, new_words = _render_pass(
+        ccount_l, tc_l, new_words, cdrop_l = _render_pass(
             scene, params, cmds_l, state.vis_words, atlas, cfg, late=True, pyr_hw=pyr_hw
         )
         st_l = _setup(tc_l, params, cfg, cfg.late_tri_cap)
+        cmd_dropped = cmd_dropped + cmds_l.dropped
+        cluster_dropped = cluster_dropped + cdrop_l
+        tri_dropped = tri_dropped + st_l["dropped"]
         # merge late-pass fragments into the early framebuffer; fragment ids
         # are offset so both passes shade from concatenated cluster arrays
         if use_tiles:
@@ -236,6 +250,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                 interpret=cfg.raster_interpret,
             )
             streams.append(rst_l["stream"])
+            pair_dropped = pair_dropped + rst_l["huge_dropped"]
             fb = raster.Framebuffer(
                 depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
                 vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
@@ -272,10 +287,13 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                 scene, emit_p, lod_p, new_draw_vis.astype(jnp.int32),
                 max_groups=cfg.max_groups, capacity=cfg.cmd_capacity,
             )
-            ccount_p, tc_p, new_words = _render_pass(
+            ccount_p, tc_p, new_words, cdrop_p = _render_pass(
                 scene, params_pp, cmds_p, new_words, atlas, cfg, late=True, pyr_hw=pyr_hw
             )
             st_p = _setup(tc_p, params, cfg, cfg.late_tri_cap)
+            cmd_dropped = cmd_dropped + cmds_p.dropped
+            cluster_dropped = cluster_dropped + cdrop_p
+            tri_dropped = tri_dropped + st_p["dropped"]
             off_p = frag_offset + cfg.tri_capacity + pp * cfg.late_tri_cap
             if use_tiles:
                 depth_t, vis_t, rst_p = raster_tile.rasterize_tiles(
@@ -284,6 +302,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                     interpret=cfg.raster_interpret,
                 )
                 streams.append(rst_p["stream"])
+                pair_dropped = pair_dropped + rst_p["huge_dropped"]
                 fb = raster.Framebuffer(
                     depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
                     vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
@@ -308,6 +327,10 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             early_clusters=ccount_e,
             late_clusters=ccount_l,
             visible_draws=jnp.sum(new_draw_vis),
+            cmd_dropped=cmd_dropped,
+            cluster_dropped=cluster_dropped,
+            tri_dropped=tri_dropped,
+            pair_dropped=pair_dropped,
         )
     else:
         tc = tc_e
@@ -320,6 +343,10 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             early_clusters=ccount_e,
             late_clusters=jnp.int32(0),
             visible_draws=jnp.sum(emit_e),
+            cmd_dropped=cmd_dropped,
+            cluster_dropped=cluster_dropped,
+            tri_dropped=tri_dropped,
+            pair_dropped=pair_dropped,
         )
 
     attrs_img = None

@@ -70,6 +70,16 @@ class FrameProfiler:
                     int(stats.visible_draws),
                 )
             )
+            drops = (
+                int(stats.cmd_dropped),
+                int(stats.cluster_dropped),
+                int(stats.tri_dropped),
+                int(stats.pair_dropped),
+            )
+            if any(drops):
+                lines.append(
+                    "  DROPPED cmd/cluster/tri/pair: %d/%d/%d/%d" % drops
+                )
         if triangles is not None and self.frame.value > 0:
             tri_s = triangles / (self.frame.value * 1e-3)
             lines.append(f"  {triangles/1e6:.2f}M tri; {tri_s/1e9:.1f}B tri/sec")

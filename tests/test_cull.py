@@ -312,7 +312,7 @@ def test_cluster_cull_early_matches_oracle(small_scene, kitten_geometry):
     cmds = build_task_commands_j(ds, emit, lod_index, draw_vis, max_groups=8, capacity=4096)
 
     vis_words = jnp.full(((ds.meshlet_visibility_count + 31) // 32,), 0xFFFFFFFF, dtype=jnp.uint32)
-    ccmd, clane, ccount, _ = cluster_cull_j(
+    ccmd, clane, ccount, _, _ = cluster_cull_j(
         ds, params, cmds, vis_words, atlas, late=False, pyramid_shape=(ph, pw), cluster_capacity=1 << 16
     )
     count = int(ccount)
@@ -357,7 +357,7 @@ def test_visibility_word_update(small_scene):
 
     n_words = (ds.meshlet_visibility_count + 31) // 32
     vis_words = jnp.zeros(n_words, dtype=jnp.uint32)
-    _, _, ccount, new_words = cluster_cull_j(
+    _, _, ccount, new_words, _ = cluster_cull_j(
         ds, params, cmds, vis_words, atlas, late=True, pyramid_shape=(ph, pw), cluster_capacity=1 << 16
     )
     new_words = np.asarray(new_words)

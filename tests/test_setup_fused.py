@@ -35,7 +35,7 @@ def pipeline(kitten_geometry):
     p = params[0] if isinstance(params, tuple) else params
     cmds = cull.build_task_commands(ds, emit, lod, dvb, max_groups=8, capacity=1 << 10)
     words = jnp.full(-(-max(ds.meshlet_visibility_count, 64) // 64) * 2, 0xFFFFFFFF, dtype=jnp.uint32)
-    ccmd, clane, ccount, _ = cull.cluster_cull(
+    ccmd, clane, ccount, _, _ = cull.cluster_cull(
         ds, p, cmds, words, atlas, late=False, pyramid_shape=(ph, pw), cluster_capacity=512
     )
     return ds, p, cmds, ccmd, clane, ccount
