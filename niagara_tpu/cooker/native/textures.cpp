@@ -6,8 +6,8 @@
 // load time and the device samples a plain texel table.
 //
 // Supported: BC1 (DXT1), BC2 (DXT3), BC3 (DXT5), BC4 (ATI1), BC5 (ATI2),
-// and uncompressed RGBA8; BC6H/BC7 are not implemented yet (loader reports
-// format 0).
+// BC7 (bc7.cpp) and uncompressed RGBA8; BC6H is not implemented yet (loader
+// reports format 0).
 
 #include "cooker.h"
 
@@ -17,6 +17,8 @@
 
 #include <algorithm>
 #include <vector>
+
+extern "C" void ck_decode_bc7_block(const uint8_t* block, uint8_t out[16][4]);
 
 namespace
 {
@@ -175,6 +177,9 @@ static void decodeMip(int format, const uint8_t* src, uint8_t* rgba, uint32_t w,
 				}
 				break;
 			}
+			case 7: // BC7 (bc7.cpp)
+				ck_decode_bc7_block(b, px);
+				break;
 			default:
 				memset(px, 128, sizeof(px));
 			}
@@ -238,6 +243,7 @@ extern "C" uint8_t* ck_load_dds(const char* path, uint32_t* out_info)
 			else if (dxgi >= 79 && dxgi <= 81) format = 4; // BC4
 			else if (dxgi >= 82 && dxgi <= 84) format = 5; // BC5
 			else if (dxgi == 28 || dxgi == 29) format = 6; // RGBA8
+			else if (dxgi >= 97 && dxgi <= 99) format = 7; // BC7
 		}
 	}
 	else if (pfFlags & 0x40) // uncompressed RGB(A)

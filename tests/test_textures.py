@@ -169,3 +169,39 @@ def test_textured_render(tmp_path):
     img = np.asarray(image)
     # strongly red: red channel much greater than green/blue
     assert img[covered][:, 0].mean() > 3 * img[covered][:, 1].mean()
+
+
+def write_dds_bc7(path, w, h, payload):
+    """BC7 DDS with DX10 header (dxgi 98 = BC7_UNORM)."""
+    linear = ((w + 3) // 4) * ((h + 3) // 4) * 16
+    hdr = struct.pack("<I I I I I I I", 124, 0x1007 | 0x80000, h, w, linear, 0, 1)
+    hdr += b"\0" * 44
+    pf = struct.pack("<I I 4s I I I I I", 32, 0x4, b"DX10", 0, 0, 0, 0, 0)
+    caps = struct.pack("<I I I I I", 0x1000, 0, 0, 0, 0)
+    dx10 = struct.pack("<I I I I I", 98, 3, 0, 1, 0)
+    with open(path, "wb") as f:
+        f.write(b"DDS " + hdr + pf + caps + dx10 + payload)
+
+
+def test_bc7_decode_matches_pillow(tmp_path):
+    """Fuzz the from-spec BC7 decoder (bc7.cpp) against Pillow's independent
+    BC7 implementation: bit-exact on random blocks across all 8 modes."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0xBC7)
+    W = H = 64
+    nblocks = (W // 4) * (H // 4)
+    path = str(tmp_path / "t.dds")
+    for _ in range(4):
+        payload = rng.integers(0, 256, nblocks * 16, dtype=np.uint8)
+        # avoid reserved mode-8 blocks (first byte 0): decoders may differ
+        first = payload[::16]
+        first[first == 0] = 1
+        write_dds_bc7(path, W, H, payload.tobytes())
+        mips, fmt = bindings.load_dds(path)
+        assert fmt == 7
+        ref = np.asarray(Image.open(io.BytesIO(open(path, "rb").read())).convert("RGBA"))
+        np.testing.assert_array_equal(mips[0], ref)
