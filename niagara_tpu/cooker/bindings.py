@@ -309,6 +309,37 @@ def build_bvh(positions: np.ndarray, indices: np.ndarray):
     return nodes[:n], order
 
 
+def build_bvh_boxes(boxes_min: np.ndarray, boxes_max: np.ndarray, max_leaf: int = 1):
+    """Skip-pointer BVH over AABBs (the TLAS level; reference
+    createTLAS/buildTLAS scenert.cpp:520-579).
+
+    Returns (nodes [N,8] f32, order [B] u32 — leaf-order box permutation).
+    Leaf info encodes first*16+count over `order`."""
+    lib = get_lib()
+    lib.ck_build_bvh_boxes.restype = ctypes.c_uint32
+    lib.ck_build_bvh_boxes.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_uint32,
+        ctypes.c_void_p,
+    ]
+    boxes = np.concatenate(
+        [np.ascontiguousarray(boxes_min, np.float32), np.ascontiguousarray(boxes_max, np.float32)],
+        axis=-1,
+    )
+    boxes = np.ascontiguousarray(boxes, dtype=np.float32)
+    count = len(boxes)
+    if count == 0:
+        return np.zeros((0, 8), np.float32), np.zeros(0, np.uint32)
+    cap = max(2 * count + 8, 64)
+    n = 0xFFFFFFFF
+    while n == 0xFFFFFFFF:
+        nodes = np.zeros((cap, 8), dtype=np.float32)
+        order = np.zeros(count, dtype=np.uint32)
+        n = lib.ck_build_bvh_boxes(_ptr(boxes), count, max_leaf, _ptr(nodes), cap, _ptr(order))
+        cap *= 2
+    return nodes[:n], order
+
+
 def load_dds(path: str):
     """Decode a DDS texture (BC1-5 / RGBA8) to RGBA8 mips.
 

@@ -1,16 +1,24 @@
-// BVH builder for ray-traced shadows.
+// BVH builders for ray-traced shadows.
 //
 // Fills the role of the reference's BLAS/TLAS construction (scenert.cpp:16-579)
-// with a TPU-first twist: a *stackless skip-pointer* BVH in depth-first
+// with a TPU-first twist: *stackless skip-pointer* BVHs in depth-first
 // layout, so device-side traversal is a single while-loop with one node fetch
 // per step (no per-ray stack) — the shape jax.lax.while_loop wants.
+//
+// Two entry points mirror the reference's two levels:
+//   ck_build_bvh        — triangle BLAS (one per mesh at lodRT, object space;
+//                         reference buildBLAS scenert.cpp:16-185)
+//   ck_build_bvh_boxes  — box BVH over instance world AABBs, leaf size 1
+//                         (reference createTLAS/buildTLAS scenert.cpp:520-579;
+//                         rebuilt host-side on animation like the refit path
+//                         niagara.cpp:1476-1482)
 //
 // Node encoding (8 floats):
 //   [0:3] aabb min, [3:6] aabb max,
 //   [6]   skip index as float bits (int32: node to jump to on miss;
 //         on hit the next node is i+1),
-//   [7]   leaf info as float bits: -1 for internal, else first_tri*16+count
-//         (count <= MAX_LEAF).
+//   [7]   leaf info as float bits: -1 for internal, else first_prim*16+count
+//         (count <= max_leaf).
 
 #include "cooker.h"
 
@@ -61,9 +69,8 @@ struct Box
 
 struct Builder
 {
-	const float* positions;
-	const uint32_t* indices;
-	std::vector<uint32_t> order; // triangle permutation
+	int maxLeaf = MAX_LEAF;
+	std::vector<uint32_t> order; // primitive permutation
 	std::vector<Box> triBox;
 	std::vector<float> triCentroid;
 	std::vector<float> nodes; // 8 floats per node
@@ -98,7 +105,7 @@ struct Builder
 		}
 
 		uint32_t count = end - begin;
-		if (count <= (uint32_t)MAX_LEAF)
+		if (count <= (uint32_t)maxLeaf)
 		{
 			int32_t leaf = (int32_t)(begin * 16 + count);
 			uint32_t id = emit(bounds, 0, leaf);
@@ -145,8 +152,6 @@ extern "C" uint32_t ck_build_bvh(const float* positions, uint32_t vertex_count,
 		return 0;
 
 	Builder b;
-	b.positions = positions;
-	b.indices = indices;
 	b.order.resize(triCount);
 	b.triBox.resize(triCount);
 	b.triCentroid.resize(triCount * 3);
@@ -171,5 +176,48 @@ extern "C" uint32_t ck_build_bvh(const float* positions, uint32_t vertex_count,
 
 	memcpy(out_nodes, b.nodes.data(), b.nodes.size() * sizeof(float));
 	memcpy(out_tri_order, b.order.data(), triCount * sizeof(uint32_t));
+	return nodeCount;
+}
+
+// Box BVH (TLAS over instance world AABBs).  boxes = [count][6] floats
+// (min3, max3); leaf info encodes first_box*16+count with count <= max_leaf
+// over the returned `order` permutation.
+extern "C" uint32_t ck_build_bvh_boxes(const float* boxes, uint32_t count,
+    uint32_t max_leaf,
+    float* out_nodes, uint32_t max_nodes,
+    uint32_t* out_order)
+{
+	if (count == 0)
+		return 0;
+	if (max_leaf == 0 || max_leaf > 15)
+		max_leaf = 1;
+
+	Builder b;
+	b.maxLeaf = (int)max_leaf;
+	b.order.resize(count);
+	b.triBox.resize(count);
+	b.triCentroid.resize((size_t)count * 3);
+	b.nodes.reserve((size_t)count * 8);
+
+	for (uint32_t i = 0; i < count; ++i)
+	{
+		b.order[i] = i;
+		Box& box = b.triBox[i];
+		for (int k = 0; k < 3; ++k)
+		{
+			box.mn[k] = boxes[i * 6 + k];
+			box.mx[k] = boxes[i * 6 + 3 + k];
+			b.triCentroid[i * 3 + k] = (box.mn[k] + box.mx[k]) * 0.5f;
+		}
+	}
+
+	b.build(0, count);
+
+	uint32_t nodeCount = (uint32_t)(b.nodes.size() / 8);
+	if (nodeCount > max_nodes)
+		return ~0u;
+
+	memcpy(out_nodes, b.nodes.data(), b.nodes.size() * sizeof(float));
+	memcpy(out_order, b.order.data(), count * sizeof(uint32_t));
 	return nodeCount;
 }

@@ -5,19 +5,30 @@ niagara.cpp:1792-1855): full-screen ray query against the TLAS from the
 reconstructed world position toward the sun, optional checkerboard (half the
 pixels traced, the rest reconstructed), then a depth-aware separable blur.
 
-TPU redesign: the acceleration structure is a *stackless skip-pointer BVH*
-(cooker/native/bvh.cpp) over the world-space triangle soup of all draws at
-their shadow LOD (the lodRT selection, reference scene.cpp:266-268).
-Traversal is one jax.lax.while_loop over packed ray state: every step does a
-single 8-float row gather (node), an AABB slab test, and on leaves up to
-MAX_LEAF watertight any-hit triangle tests.  Rays are traced at a reduced
-resolution with checkerboarding, then upsampled/filled/blurred like the
-reference.
+TPU redesign: a TWO-LEVEL *stackless skip-pointer* acceleration structure
+mirroring the reference's BLAS/TLAS split (scenert.cpp:16-254, :504-579):
+
+  * one BLAS per MESH at its shadow LOD (lodRT, reference scene.cpp:266-268),
+    built once in OBJECT space (cooker/native/bvh.cpp) and shared by every
+    instance — no per-draw re-transform, no world-soup rebuild;
+  * a TLAS over per-instance world AABBs (leaf size 1), rebuilt host-side on
+    animation exactly like the reference's per-frame TLAS refit
+    (niagara.cpp:1476-1482) — a D-box build, independent of triangle count.
+
+Traversal is one jax.lax.while_loop over packed ray state with a two-level
+state machine: rays walk the TLAS in world space; entering an instance leaf
+transforms the ray into object space (conjugate-quat rotate, uniform scale —
+the ray parameter t is preserved) and continues in that mesh's BLAS; walking
+off the BLAS resumes at the TLAS skip pointer.  Every step costs one 8-float
+node row gather + slab test; BLAS leaves run up to MAX_LEAF watertight
+any-hit triangle tests.  Rays are traced at a reduced resolution with
+checkerboarding, then reconstructed/blurred like the reference.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any
 
 import jax
@@ -27,124 +38,310 @@ import numpy as np
 MAX_LEAF = 8
 
 
-@jax.tree_util.register_dataclass
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["nodes", "tri_v0", "tri_e1", "tri_e2", "inst_row"],
+    meta_fields=["tlas_base"],
+)
 @dataclass
 class ShadowBVH:
-    nodes: Any  # f32 [N, 8] (min3, max3, skip bits, leaf bits)
-    tri_v0: Any  # f32 [T, 3] leaf-ordered triangle vertices
+    """Two-level scene acceleration structure.
+
+    `nodes` holds every BLAS first (skip pointers local to each BLAS), then
+    the TLAS at `tlas_base` (skip pointers local to the TLAS) — BLAS offsets
+    stay stable across TLAS refits."""
+
+    nodes: Any  # f32 [Nb + Nt, 8] (min3, max3, skip bits, leaf bits)
+    tri_v0: Any  # f32 [T, 3] object-space, BLAS-concatenated, leaf-ordered
     tri_e1: Any  # f32 [T, 3] v1 - v0
     tri_e2: Any  # f32 [T, 3] v2 - v0
+    # per-instance row, ordered by TLAS leaf index:
+    # [0:3] position, [3] scale, [4:8] quat,
+    # [8] blas node base, [9] blas node count, [10] tri base (exact f32 ints)
+    inst_row: Any  # f32 [D, 12]
+    tlas_base: int = 0  # node index where the TLAS starts
+
+
+def _mesh_blas(geometry, mesh_index: int):
+    """Object-space BLAS for one mesh at its shadow LOD."""
+    from ..cooker import bindings
+
+    m = geometry.meshes
+    lod = int(m.lod_rt[mesh_index])
+    off = int(m.lod_index_offset[mesh_index, lod])
+    cnt = int(m.lod_index_count[mesh_index, lod])
+    idx = geometry.indices[off : off + cnt].astype(np.uint32)
+    positions = geometry.vpos.astype(np.float32)
+    nodes, order = bindings.build_bvh(positions, idx)
+    tri = positions[idx.astype(np.int64)].reshape(-1, 3, 3)[order]
+    return nodes.astype(np.float32), tri
+
+
+def _instance_world_boxes(roots, orientation, scale, position):
+    """Conservative world AABB per instance: transform the 8 corners of the
+    object-space root AABB — role of fillInstanceRT (scenert.cpp:504-518)."""
+    from ..utils import math3d
+
+    c_obj = (roots[:, 0:3] + roots[:, 3:6]) * 0.5
+    e_obj = (roots[:, 3:6] - roots[:, 0:3]) * 0.5
+    signs = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)], np.float32
+    )
+    corners = c_obj[:, None, :] + signs[None, :, :] * e_obj[:, None, :]  # [D,8,3]
+    flat = corners.reshape(-1, 3)
+    qrep = np.repeat(orientation, 8, axis=0)
+    world = math3d.rotate_quat(flat, qrep) * np.repeat(scale, 8)[:, None] + np.repeat(
+        position, 8, axis=0
+    )
+    world = world.reshape(-1, 8, 3)
+    return world.min(axis=1), world.max(axis=1)
+
+
+def build_scene_rt(geometry, draws):
+    """Two-level build: one BLAS per referenced mesh + TLAS over instances.
+
+    Returns (ShadowBVH, static) — pass `static` to `refit_tlas` to rebuild
+    only the instance level for animation."""
+    mesh_ids = sorted(set(int(m) for m in np.asarray(draws.mesh_index)))
+    blas_nodes, blas_base, tri_base, tris = [], {}, {}, []
+    n_nodes = 0
+    n_tris = 0
+    for mi in mesh_ids:
+        nodes, tri = _mesh_blas(geometry, mi)
+        blas_base[mi] = (n_nodes, len(nodes))
+        tri_base[mi] = n_tris
+        n_nodes += len(nodes)
+        n_tris += len(tri)
+        blas_nodes.append(nodes)
+        tris.append(tri)
+
+    blas = (
+        np.concatenate(blas_nodes, axis=0) if blas_nodes else np.zeros((0, 8), np.float32)
+    )
+    tri = np.concatenate(tris, axis=0) if tris else np.zeros((0, 3, 3), np.float32)
+
+    static = dict(
+        blas=blas,
+        tri=tri,
+        blas_base=blas_base,
+        tri_base=tri_base,
+        blas_roots={mi: blas_nodes[i][0, 0:6] for i, mi in enumerate(mesh_ids)},
+    )
+    return refit_tlas(static, draws), static
 
 
 def build_scene_bvh(geometry, draws) -> ShadowBVH:
-    """World-space triangle soup at each draw's shadow LOD -> BVH.
+    """Build the full two-level structure (static-scene convenience)."""
+    bvh, _ = build_scene_rt(geometry, draws)
+    return bvh
 
-    Host-side build (numpy + native ck_build_bvh); static scenes build once,
-    animated scenes rebuild on change (the reference refits its TLAS the same
-    frame-granular way, niagara.cpp:1476-1482)."""
+
+def single_blas(nodes: np.ndarray, tris: np.ndarray) -> ShadowBVH:
+    """Wrap one object-space BLAS as a scene with a single identity
+    instance (tests / trivial scenes)."""
     from ..cooker import bindings
-    from ..utils import math3d
 
-    m = geometry.meshes
-    positions = geometry.vpos.astype(np.float32)
-
-    soup = []
-    for d in range(draws.count):
-        mi = int(draws.mesh_index[d])
-        lod = int(m.lod_rt[mi])
-        off = int(m.lod_index_offset[mi, lod])
-        cnt = int(m.lod_index_count[mi, lod])
-        idx = geometry.indices[off : off + cnt].astype(np.int64)
-        tri = positions[idx].reshape(-1, 3, 3)
-        world = (
-            math3d.rotate_quat(tri.reshape(-1, 3), draws.orientation[d]) * draws.scale[d]
-            + draws.position[d]
-        ).reshape(-1, 3, 3)
-        soup.append(world)
-
-    tris = np.concatenate(soup, axis=0) if soup else np.zeros((0, 3, 3), np.float32)
-    flat = tris.reshape(-1, 3).astype(np.float32)
-    indices = np.arange(len(flat), dtype=np.uint32)
-    nodes, order = bindings.build_bvh(flat, indices)
-
-    ordered = tris[order]
+    nodes = np.asarray(nodes, np.float32)
+    tris = np.asarray(tris, np.float32)
+    root = nodes[0, 0:6]
+    tlas, _ = bindings.build_bvh_boxes(root[None, 0:3], root[None, 3:6], max_leaf=1)
+    rows = np.zeros((1, 12), np.float32)
+    rows[0, 3] = 1.0  # scale
+    rows[0, 7] = 1.0  # quat w
+    rows[0, 9] = len(nodes)
     return ShadowBVH(
-        nodes=nodes.astype(np.float32),
-        tri_v0=ordered[:, 0].astype(np.float32),
-        tri_e1=(ordered[:, 1] - ordered[:, 0]).astype(np.float32),
-        tri_e2=(ordered[:, 2] - ordered[:, 0]).astype(np.float32),
+        nodes=np.concatenate([nodes, tlas.astype(np.float32)], axis=0),
+        tri_v0=tris[:, 0],
+        tri_e1=tris[:, 1] - tris[:, 0],
+        tri_e2=tris[:, 2] - tris[:, 0],
+        inst_row=rows,
+        tlas_base=int(len(nodes)),
     )
 
 
-def trace_any_hit(bvh: ShadowBVH, origin, direction, t_min=1e-3, t_max=1e30, max_steps=512):
-    """Any-hit occlusion test for a batch of rays.
+def refit_tlas(static: dict, draws) -> ShadowBVH:
+    """(Re)build the instance level over existing BLASes — the animation
+    path (reference TLAS MODE_UPDATE refit, niagara.cpp:1476-1482)."""
+    from ..cooker import bindings
 
-    origin/direction: [N,3].  Returns occluded [N] bool.  The while_loop runs
-    until every ray terminates (hit or walked off the tree) or max_steps.
-    """
-    n_nodes = bvh.nodes.shape[0]
+    mesh_of_draw = np.asarray(draws.mesh_index).astype(np.int64)
+    # transmission draws get no RT presence (reference fillInstanceRT
+    # scenert.cpp:515-517 gives them a null BLAS)
+    post = np.asarray(getattr(draws, "post_pass", np.zeros(len(mesh_of_draw), np.int32)))
+    live = np.nonzero(post < 2)[0]
+
+    if len(live):
+        roots = np.stack([static["blas_roots"][int(m)] for m in mesh_of_draw[live]], axis=0)
+        bmin, bmax = _instance_world_boxes(
+            roots,
+            np.asarray(draws.orientation, np.float32)[live],
+            np.asarray(draws.scale, np.float32)[live],
+            np.asarray(draws.position, np.float32)[live],
+        )
+    else:
+        bmin = bmax = np.zeros((0, 3), np.float32)
+
+    tlas, order = bindings.build_bvh_boxes(bmin, bmax, max_leaf=1)
+    ordered = live[order.astype(np.int64)] if len(live) else np.zeros(0, np.int64)
+
+    rows = np.zeros((max(len(ordered), 1), 12), np.float32)
+    for slot, d in enumerate(ordered):
+        mi = int(mesh_of_draw[d])
+        base, count = static["blas_base"][mi]
+        rows[slot, 0:3] = np.asarray(draws.position, np.float32)[d]
+        rows[slot, 3] = np.float32(draws.scale[d])
+        rows[slot, 4:8] = np.asarray(draws.orientation, np.float32)[d]
+        rows[slot, 8] = base
+        rows[slot, 9] = count
+        rows[slot, 10] = static["tri_base"][mi]
+
+    nodes = np.concatenate([static["blas"], tlas.astype(np.float32)], axis=0)
+    tri = static["tri"]
+    return ShadowBVH(
+        nodes=nodes,
+        tri_v0=tri[:, 0].astype(np.float32),
+        tri_e1=(tri[:, 1] - tri[:, 0]).astype(np.float32),
+        tri_e2=(tri[:, 2] - tri[:, 0]).astype(np.float32),
+        inst_row=rows,
+        tlas_base=int(len(static["blas"])),
+    )
+
+
+def _rotate_conj(v, q):
+    """rotate by the conjugate quaternion (world -> object)."""
+    qc = jnp.concatenate([-q[..., :3], q[..., 3:4]], axis=-1)
+    qv = qc[..., :3]
+    t = jnp.cross(qv, v) + qc[..., 3:4] * v
+    return v + 2.0 * jnp.cross(qv, t)
+
+
+def trace_any_hit(bvh: ShadowBVH, origin, direction, t_min=1e-3, t_max=1e30, max_steps=1024):
+    """Two-level any-hit occlusion test for a batch of rays.
+
+    origin/direction: [N,3] world space.  Returns occluded [N] bool.  One
+    while_loop; each ray carries (level, local ptr, instance frame) and walks
+    TLAS -> BLAS -> TLAS until done (or max_steps)."""
     N = origin.shape[0]
-
-    inv_dir = 1.0 / jnp.where(jnp.abs(direction) < 1e-12, 1e-12, direction)
-
     nodes = bvh.nodes
+    tlas_base = bvh.tlas_base
+    tlas_count = nodes.shape[0] - tlas_base
+    if tlas_count == 0 or bvh.tri_v0.shape[0] == 0:
+        return jnp.zeros(N, dtype=bool)
+
     skip_i = jax.lax.bitcast_convert_type(nodes[:, 6], jnp.int32)
     leaf_i = jax.lax.bitcast_convert_type(nodes[:, 7], jnp.int32)
 
+    inv_w = 1.0 / jnp.where(jnp.abs(direction) < 1e-12, 1e-12, direction)
+
     def cond(state):
-        ptr, hit, steps = state
-        return jnp.logical_and(jnp.any((ptr < n_nodes) & ~hit), steps < max_steps)
+        ptr, in_blas, hit, steps = state[0], state[1], state[8], state[9]
+        done = ~in_blas & (ptr >= tlas_count)
+        return jnp.logical_and(jnp.any(~done & ~hit), steps < max_steps)
 
     def body(state):
-        ptr, hit, steps = state
-        p = jnp.clip(ptr, 0, n_nodes - 1)
-        node = nodes[p]  # [N, 8] row gather
+        (ptr, in_blas, base, ncount, tbase, resume, o_obj, d_obj, hit, steps) = state
 
-        # slab test
-        t0 = (node[:, 0:3] - origin) * inv_dir
-        t1 = (node[:, 3:6] - origin) * inv_dir
+        gidx = jnp.where(in_blas, base + ptr, tlas_base + jnp.minimum(ptr, tlas_count - 1))
+        gidx = jnp.clip(gidx, 0, nodes.shape[0] - 1)
+        node = nodes[gidx]  # [N, 8] row gather
+
+        o = jnp.where(in_blas[:, None], o_obj, origin)
+        d = jnp.where(in_blas[:, None], d_obj, direction)
+        inv_d = jnp.where(
+            in_blas[:, None], 1.0 / jnp.where(jnp.abs(d_obj) < 1e-12, 1e-12, d_obj), inv_w
+        )
+
+        t0 = (node[:, 0:3] - o) * inv_d
+        t1 = (node[:, 3:6] - o) * inv_d
         tn = jnp.minimum(t0, t1)
         tf = jnp.maximum(t0, t1)
         tnear = jnp.maximum(jnp.max(tn, axis=-1), t_min)
         tfar = jnp.minimum(jnp.min(tf, axis=-1), t_max)
         box_hit = tnear <= tfar
 
-        leaf = leaf_i[p]
-        skip = skip_i[p]
+        leaf = leaf_i[gidx]
+        skip = skip_i[gidx]
         is_leaf = leaf >= 0
+        active = ~hit & (in_blas | (ptr < tlas_count))
 
-        # leaf: test up to MAX_LEAF triangles (Moller-Trumbore any-hit)
-        first = jnp.where(is_leaf, leaf >> 4, 0)
-        count = jnp.where(is_leaf & box_hit, leaf & 15, 0)
+        # --- BLAS leaf: up to MAX_LEAF watertight any-hit triangle tests
+        blas_leaf = active & in_blas & is_leaf & box_hit
+        first = tbase + (leaf >> 4)
+        count = jnp.where(blas_leaf, leaf & 15, 0)
         tri_hit = jnp.zeros(N, dtype=bool)
         for j in range(MAX_LEAF):
             ti = jnp.clip(first + j, 0, bvh.tri_v0.shape[0] - 1)
-            active = j < count
+            act = j < count
             v0 = bvh.tri_v0[ti]
             e1 = bvh.tri_e1[ti]
             e2 = bvh.tri_e2[ti]
-            pvec = jnp.cross(direction, e2)
+            pvec = jnp.cross(d, e2)
             det = jnp.sum(e1 * pvec, axis=-1)
             inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
-            tvec = origin - v0
+            tvec = o - v0
             u = jnp.sum(tvec * pvec, axis=-1) * inv_det
             qvec = jnp.cross(tvec, e1)
-            v = jnp.sum(direction * qvec, axis=-1) * inv_det
+            v = jnp.sum(d * qvec, axis=-1) * inv_det
             t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-            ok = active & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min) & (t < t_max)
+            ok = act & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min) & (t < t_max)
             tri_hit = tri_hit | ok
+        new_hit = hit | tri_hit
 
-        new_hit = hit | (box_hit & tri_hit)
-        # advance: hit internal -> i+1; leaf or miss -> skip (leaf skip == i+1)
-        descend = box_hit & ~is_leaf
-        new_ptr = jnp.where(descend, p + 1, skip)
-        new_ptr = jnp.where(hit, ptr, new_ptr)  # finished rays stay put
-        return new_ptr, new_hit, steps + 1
+        # --- TLAS leaf hit: enter the instance's BLAS
+        enter = active & ~in_blas & is_leaf & box_hit
+        inst = jnp.clip(leaf >> 4, 0, bvh.inst_row.shape[0] - 1)
+        row = bvh.inst_row[jnp.where(enter, inst, 0)]  # [N, 12] row gather
+        pos, scale, q = row[:, 0:3], row[:, 3:4], row[:, 4:8]
+        safe_s = jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+        o_in = _rotate_conj(origin - pos, q) / safe_s
+        d_in = _rotate_conj(direction, q) / safe_s
 
-    ptr0 = jnp.zeros(N, dtype=jnp.int32)
-    hit0 = jnp.zeros(N, dtype=bool)
-    ptr, hit, _ = jax.lax.while_loop(cond, body, (ptr0, hit0, jnp.int32(0)))
-    return hit
+        # --- advance
+        local_next = jnp.where(box_hit & ~is_leaf, ptr + 1, skip)
+
+        # BLAS walk-off resumes at the saved TLAS pointer
+        blas_exit = in_blas & (local_next >= ncount)
+        nxt_ptr = jnp.where(in_blas, jnp.where(blas_exit, resume, local_next), local_next)
+        nxt_in_blas = jnp.where(in_blas, ~blas_exit, enter)
+
+        nxt_ptr = jnp.where(enter, 0, nxt_ptr)
+        nxt_resume = jnp.where(enter, skip, resume)
+        nxt_base = jnp.where(enter, row[:, 8].astype(jnp.int32), base)
+        nxt_ncount = jnp.where(enter, row[:, 9].astype(jnp.int32), ncount)
+        nxt_tbase = jnp.where(enter, row[:, 10].astype(jnp.int32), tbase)
+        nxt_o = jnp.where(enter[:, None], o_in, o_obj)
+        nxt_d = jnp.where(enter[:, None], d_in, d_obj)
+
+        # frozen rays (hit or done) keep their state
+        frozen = hit | (~in_blas & (ptr >= tlas_count))
+        keep = lambda new, old: jnp.where(frozen, old, new)
+        keepv = lambda new, old: jnp.where(frozen[:, None], old, new)
+        return (
+            keep(nxt_ptr, ptr),
+            keep(nxt_in_blas, in_blas),
+            keep(nxt_base, base),
+            keep(nxt_ncount, ncount),
+            keep(nxt_tbase, tbase),
+            keep(nxt_resume, resume),
+            keepv(nxt_o, o_obj),
+            keepv(nxt_d, d_obj),
+            new_hit,
+            steps + 1,
+        )
+
+    zi = jnp.zeros(N, dtype=jnp.int32)
+    state0 = (
+        zi,  # ptr (tlas-local)
+        jnp.zeros(N, dtype=bool),  # in_blas
+        zi, zi, zi,  # base, ncount, tbase
+        jnp.full((N,), tlas_count, dtype=jnp.int32),  # resume (walk-off = done)
+        jnp.zeros((N, 3), jnp.float32),  # o_obj
+        jnp.zeros((N, 3), jnp.float32),  # d_obj
+        jnp.zeros(N, dtype=bool),  # hit
+        jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, state0)
+    return out[8]
 
 
 def shadow_pass(

@@ -17,12 +17,7 @@ def make_quad_bvh(z=0.0, size=1.0):
     idx = np.array([0, 1, 2, 0, 2, 3], dtype=np.uint32)
     nodes, order = bindings.build_bvh(v, idx)
     tris = v[idx.reshape(-1, 3)][order]
-    return shadow.ShadowBVH(
-        nodes=jnp.array(nodes),
-        tri_v0=jnp.array(tris[:, 0]),
-        tri_e1=jnp.array(tris[:, 1] - tris[:, 0]),
-        tri_e2=jnp.array(tris[:, 2] - tris[:, 0]),
-    )
+    return jax.device_put(shadow.single_blas(nodes, tris))
 
 
 def test_bvh_build_shape():
@@ -61,12 +56,7 @@ def test_any_hit_many_triangles(rng):
     idx = np.arange(900, dtype=np.uint32)
     nodes, order = bindings.build_bvh(pts, idx)
     tris = pts[idx.reshape(-1, 3)][order]
-    bvh = shadow.ShadowBVH(
-        nodes=jnp.array(nodes),
-        tri_v0=jnp.array(tris[:, 0]),
-        tri_e1=jnp.array(tris[:, 1] - tris[:, 0]),
-        tri_e2=jnp.array(tris[:, 2] - tris[:, 0]),
-    )
+    bvh = jax.device_put(shadow.single_blas(nodes, tris))
     far = jnp.array([[50.0, 50.0, -5.0]])
     d = jnp.array([[0.0, 0.0, 1.0]])
     assert not bool(shadow.trace_any_hit(bvh, far, d)[0])
@@ -123,3 +113,102 @@ def test_shadow_pass_occluder(rng):
     # center pixels (behind the occluder) are dark, corners are lit
     assert sh[H // 2, W // 2] < 0.4
     assert sh[4, 4] > 0.8
+
+
+def _world_soup(geometry, draws):
+    """Brute-force oracle geometry: every draw's lodRT triangles in world."""
+    from niagara_tpu.utils import math3d
+
+    m = geometry.meshes
+    out = []
+    for d in range(draws.count):
+        mi = int(draws.mesh_index[d])
+        lod = int(m.lod_rt[mi])
+        off = int(m.lod_index_offset[mi, lod])
+        cnt = int(m.lod_index_count[mi, lod])
+        idx = geometry.indices[off : off + cnt].astype(np.int64)
+        tri = geometry.vpos.astype(np.float32)[idx].reshape(-1, 3, 3)
+        world = (
+            math3d.rotate_quat(tri.reshape(-1, 3), draws.orientation[d]) * draws.scale[d]
+            + draws.position[d]
+        ).reshape(-1, 3, 3)
+        out.append(world)
+    return np.concatenate(out, axis=0)
+
+
+def _brute_any_hit(soup, origins, dirs, t_min=1e-3):
+    v0 = soup[:, 0]
+    e1 = soup[:, 1] - soup[:, 0]
+    e2 = soup[:, 2] - soup[:, 0]
+    hits = []
+    for o, d in zip(origins, dirs):
+        pvec = np.cross(d, e2)
+        det = np.einsum("ij,ij->i", e1, pvec)
+        ok = np.abs(det) > 1e-12
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tvec = o - v0
+        u = np.einsum("ij,ij->i", tvec, pvec) * inv
+        qvec = np.cross(tvec, e1)
+        v = np.einsum("ij,ij->i", np.broadcast_to(d, e1.shape), qvec) * inv
+        t = np.einsum("ij,ij->i", e2, qvec) * inv
+        hits.append(bool(np.any(ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min))))
+    return np.array(hits)
+
+
+def test_two_level_matches_brute_force(kitten_geometry, rng):
+    """Instanced scene: two-level TLAS/BLAS traversal matches a brute-force
+    world-space any-hit oracle."""
+    from niagara_tpu.cooker.synth import synthesize_draws
+
+    draws = synthesize_draws(kitten_geometry.meshes.count, draw_count=6)
+    bvh, static = shadow.build_scene_rt(kitten_geometry, draws)
+    bvh = jax.device_put(bvh)
+
+    soup = _world_soup(kitten_geometry, draws)
+
+    # aim most rays at per-instance centroids (hits), jitter some away (misses)
+    targets = np.asarray(draws.position, np.float32)[
+        rng.integers(0, draws.count, 64)
+    ] + rng.normal(scale=0.2, size=(64, 3)).astype(np.float32) * np.asarray(
+        draws.scale, np.float32
+    ).mean()
+    targets[48:] += rng.normal(scale=30.0, size=(16, 3))  # far misses
+    origins = (targets + rng.normal(scale=20.0, size=(64, 3))).astype(np.float32)
+    dirs = (targets - origins).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    got = np.asarray(shadow.trace_any_hit(bvh, jnp.array(origins), jnp.array(dirs), max_steps=4096))
+    expect = _brute_any_hit(soup, origins, dirs)
+    np.testing.assert_array_equal(got, expect)
+    assert expect.any() and not expect.all(), "oracle must exercise both outcomes"
+
+
+def test_tlas_refit_moves_instances(kitten_geometry):
+    """Animation path: refit_tlas rebuilds only the instance level and the
+    moved instance occludes at its new location."""
+    from niagara_tpu.cooker.synth import synthesize_draws
+
+    draws = synthesize_draws(kitten_geometry.meshes.count, draw_count=2)
+    draws.position[:] = [[0.0, 0.0, 0.0], [100.0, 0.0, 0.0]]
+    draws.scale[:] = 1.0
+    draws.orientation[:] = [0.0, 0.0, 0.0, 1.0]
+    bvh0, static = shadow.build_scene_rt(kitten_geometry, draws)
+
+    # ray through the first instance's centroid
+    root = static["blas_roots"][int(draws.mesh_index[0])]
+    c = (root[0:3] + root[3:6]) * 0.5
+    o = np.array([c + [0, 0, -50]], np.float32)
+    d = np.array([[0.0, 0.0, 1.0]], np.float32)
+    assert bool(shadow.trace_any_hit(jax.device_put(bvh0), jnp.array(o), jnp.array(d), max_steps=4096)[0])
+
+    # move instance 0 far away and refit: same BLAS bytes, new TLAS
+    draws.position[0] = [0.0, 500.0, 0.0]
+    bvh1 = shadow.refit_tlas(static, draws)
+    # byte-compare: skip/leaf int bits reinterpreted as float may be NaN
+    assert (
+        np.asarray(bvh1.nodes[: bvh1.tlas_base]).tobytes()
+        == np.asarray(bvh0.nodes[: bvh0.tlas_base]).tobytes()
+    )
+    assert not bool(shadow.trace_any_hit(jax.device_put(bvh1), jnp.array(o), jnp.array(d), max_steps=4096)[0])
+    o2 = o + np.array([[0.0, 500.0, 0.0]], np.float32)
+    assert bool(shadow.trace_any_hit(jax.device_put(bvh1), jnp.array(o2), jnp.array(d), max_steps=4096)[0])
