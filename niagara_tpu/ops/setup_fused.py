@@ -50,22 +50,25 @@ GROUPS = WINDOW // 128
 
 def corner_dots(chan, tri):
     """One-hot corner fetch on the MXU: [K,64,20] bf16 channels x [K,96,3]
-    corner indices -> 3x [K,96,20] bf16 (exact: each output selects exactly
-    one bf16 channel value)."""
+    corner indices -> 3x [K,20,96] bf16, CHANNEL-major (exact: each output
+    selects exactly one bf16 channel value).  Channel-major matters inside
+    the kernel: `ref[:, hi, :]` slices land at lane offset 0, which Mosaic's
+    concatenate requires — triangle-major `ref[:, :, hi]` reads carry the
+    channel as a lane offset and the record concat fails to lower."""
     iota = jnp.arange(MESH_MAXVTX, dtype=jnp.int32)
-    dn = (((2,), (1,)), ((0,), (0,)))
+    dn = (((1,), (2,)), ((0,), (0,)))  # contract vertex dim -> [K, 20, 96]
     outs = []
     for c in range(3):
         oh = (tri[:, :, c, None] == iota[None, None, :]).astype(jnp.bfloat16)
         outs.append(
-            jax.lax.dot_general(oh, chan, dn, preferred_element_type=jnp.bfloat16)
+            jax.lax.dot_general(chan, oh, dn, preferred_element_type=jnp.bfloat16)
         )
     return outs
 
 
 def _setup_kernel(
     cnt_ref,  # scalar prefetch: [1] i32 live cluster count
-    c0_ref, c1_ref, c2_ref,  # [BLOCK, 96, 20] bf16 corner channels
+    c0_ref, c1_ref, c2_ref,  # [BLOCK, 20, 96] bf16 corner channels (channel-major)
     xform_ref,  # [BLOCK, 8] f32 (pos, scale, quat)
     meta_ref,  # [BLOCK, 4] i32 (draw, mat, post, tri_count)
     prm_ref,  # [1, 24] f32 params (view rows, p00, p11, znear, w, h)
@@ -91,9 +94,9 @@ def _setup_kernel(
     def _process():
 
         def ch(ref, hi, lo=None):
-            v = ref[:, :, hi].astype(jnp.float32)
+            v = ref[:, hi, :].astype(jnp.float32)
             if lo is not None:
-                v = v + ref[:, :, lo].astype(jnp.float32)
+                v = v + ref[:, lo, :].astype(jnp.float32)
             return v  # [BLOCK, 96]
 
         # per-cluster transform scalars broadcast over the 96 tri lanes
@@ -375,9 +378,9 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
         num_scalar_prefetch=1,
         grid=(K // BLOCK,),
         in_specs=[
-            pl.BlockSpec((BLOCK, MESH_MAXTRI, 20), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((BLOCK, MESH_MAXTRI, 20), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((BLOCK, MESH_MAXTRI, 20), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((BLOCK, 8), lambda i, *_: (i, 0)),
             pl.BlockSpec((BLOCK, 4), lambda i, *_: (i, 0)),
             pl.BlockSpec((1, 24), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),

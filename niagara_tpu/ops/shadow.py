@@ -344,6 +344,62 @@ def trace_any_hit(bvh: ShadowBVH, origin, direction, t_min=1e-3, t_max=1e30, max
     return out[8]
 
 
+def checkerboard_fill(shadow, d_small, parity: int = 0):
+    """Depth-similarity checkerboard reconstruction (shadowfill.comp.glsl:
+    25-45): the skipped half of the pixels are rebuilt from their 4 traced
+    neighbors, weighted by exp2(-|d_n/d - 1| * 20)."""
+    sh, sw = shadow.shape
+    left = jnp.roll(shadow, 1, axis=1)
+    right = jnp.roll(shadow, -1, axis=1)
+    up = jnp.roll(shadow, 1, axis=0)
+    down = jnp.roll(shadow, -1, axis=0)
+    shadows = jnp.stack([left, right, up, down], axis=-1)
+
+    safe_d = jnp.where(jnp.abs(d_small) < 1e-20, 1e-20, d_small)
+    depths = jnp.stack(
+        [
+            jnp.roll(d_small, 1, axis=1),
+            jnp.roll(d_small, -1, axis=1),
+            jnp.roll(d_small, 1, axis=0),
+            jnp.roll(d_small, -1, axis=0),
+        ],
+        axis=-1,
+    )
+    weights = jnp.exp2(-jnp.abs(depths / safe_d[..., None] - 1.0) * 20.0)
+    filled = jnp.sum(weights * shadows, axis=-1) / (jnp.sum(weights, axis=-1) + 1e-2)
+
+    traced = ((jnp.arange(sh)[:, None] + jnp.arange(sw)[None, :] + parity) % 2) == 0
+    return jnp.where(traced, shadow, filled)
+
+
+SHADOW_BLUR_KERNEL = 10
+
+
+def shadow_blur(shadow, d_small, znear):
+    """Depth-aware separable bilateral blur (shadowblur.comp.glsl:36-58):
+    KERNEL=10 taps per side, gaussian exp2(-i^2/50) x depth weight
+    exp2(-|d_i - (d + dgrad*i)| * 100) where dgrad is the linear-depth
+    gradient predicted from the first neighbor (if within 0.1)."""
+    lin = znear / jnp.where(jnp.abs(d_small) < 1e-20, 1e-20, d_small)
+
+    for axis in (1, 0):  # H then V (reference dispatch order niagara.cpp)
+        acc = shadow
+        accw = jnp.ones_like(shadow)
+        for sign in (-1, 1):
+            dnext = jnp.roll(lin, -sign, axis=axis)
+            dgrad = jnp.where(jnp.abs(lin - dnext) < 0.1, dnext - lin, 0.0)
+            for i in range(1, SHADOW_BLUR_KERNEL + 1):
+                sv = jnp.roll(shadow, -sign * i, axis=axis)
+                dv = jnp.roll(lin, -sign * i, axis=axis)
+                gw = float(np.exp2(-i * i / 50.0))
+                dw = jnp.exp2(-jnp.abs(dv - (lin + dgrad * i)) * 100.0)
+                fw = gw * dw
+                acc = acc + sv * fw
+                accw = accw + fw
+        shadow = acc / accw
+    return shadow
+
+
 def shadow_pass(
     depth,
     bvh: ShadowBVH,
@@ -354,9 +410,16 @@ def shadow_pass(
     height: int,
     scale: int = 2,
     checkerboard: bool = True,
+    blur: bool = True,
+    sun_jitter: float = 1e-2,
+    znear: float = 0.1,
+    parity: int = 0,
 ):
-    """Full shadow pipeline: trace at reduced resolution (+checkerboard),
-    reconstruct, upsample to [H,W] shadow term in [0,1]."""
+    """Full shadow pipeline (reference shadow.comp + shadowfill + shadowblur,
+    niagara.cpp:1792-1855): trace (optionally checkerboarded + at a reduced
+    resolution — the TPU perf knob the reference doesn't need), jittered sun
+    direction for penumbra, depth-weighted reconstruction, depth-aware
+    bilateral blur, upsample to [H,W] shadow term in [0,1]."""
     sw, sh = width // scale, height // scale
 
     # reconstruct world positions at low-res pixel centers
@@ -380,39 +443,48 @@ def shadow_pass(
 
     valid = d_small > 0.0
 
-    if checkerboard:
-        # trace only pixels where (x+y) is even (reference shadow.comp
-        # checkerboard: half the columns, :129-134)
-        cb = ((jnp.arange(sh)[:, None] + jnp.arange(sw)[None, :]) % 2) == 0
-        trace_mask = valid & cb
-    else:
-        trace_mask = valid
+    # jittered sun direction for penumbra (shadow.comp.glsl:143-151);
+    # jitter only when the blur can dissolve the noise (niagara.cpp:1812)
+    from . import cullmath
 
-    origins = wpos.reshape(-1, 3)
-    dirs = jnp.broadcast_to(sun_direction, origins.shape)
-    occluded = trace_any_hit(bvh, origins, dirs)
-    occluded = occluded.reshape(sh, sw)
+    jit = sun_jitter if blur else 0.0
+    posf = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(sw, dtype=jnp.float32), jnp.arange(sh, dtype=jnp.float32)
+        ),
+        axis=-1,
+    )  # [sh,sw,2] = (x, y)
+    n0 = cullmath.gradient_noise(posf)
+    n1 = cullmath.gradient_noise(posf[..., ::-1])
+    dirs = jnp.broadcast_to(sun_direction, (sh, sw, 3))
+    dirs = dirs.at[..., 0].add((n0 * 2 - 1) * jit)
+    dirs = dirs.at[..., 2].add((n1 * 2 - 1) * jit)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    if checkerboard:
+        # trace HALF the pixels — columns xformed to the checkerboard
+        # pattern (reference dispatches half as many columns,
+        # niagara.cpp:1796, shadow.comp.glsl:129-134); the rest are
+        # reconstructed by the depth-weighted fill
+        xs = jnp.arange(sw // 2)[None, :] * 2 + (jnp.arange(sh)[:, None] + parity) % 2
+        ys = jnp.broadcast_to(jnp.arange(sh)[:, None], xs.shape)
+        o_half = wpos[ys, xs].reshape(-1, 3)
+        d_half = dirs[ys, xs].reshape(-1, 3)
+        occ_half = trace_any_hit(bvh, o_half, d_half).reshape(sh, sw // 2)
+        occluded = jnp.zeros((sh, sw), dtype=bool).at[ys, xs].set(occ_half)
+    else:
+        origins = wpos.reshape(-1, 3)
+        occluded = trace_any_hit(bvh, origins, dirs.reshape(-1, 3))
+        occluded = occluded.reshape(sh, sw)
 
     shadow = jnp.where(occluded, 0.0, 1.0)
     shadow = jnp.where(valid, shadow, 1.0)
 
     if checkerboard:
-        # reconstruct skipped pixels from traced neighbors (shadowfill.comp)
-        left = jnp.roll(shadow, 1, axis=1)
-        right = jnp.roll(shadow, -1, axis=1)
-        up = jnp.roll(shadow, 1, axis=0)
-        down = jnp.roll(shadow, -1, axis=0)
-        avg = (left + right + up + down) * 0.25
-        cb = ((jnp.arange(sh)[:, None] + jnp.arange(sw)[None, :]) % 2) == 0
-        shadow = jnp.where(cb, shadow, avg)
+        shadow = checkerboard_fill(shadow, d_small, parity)
 
-    # separable blur (shadowblur.comp, simplified gaussian)
-    kernel = jnp.array([0.25, 0.5, 0.25])
-    for axis in (0, 1):
-        acc = shadow * kernel[1]
-        acc = acc + jnp.roll(shadow, 1, axis=axis) * kernel[0]
-        acc = acc + jnp.roll(shadow, -1, axis=axis) * kernel[2]
-        shadow = acc
+    if blur:
+        shadow = shadow_blur(shadow, d_small, znear)
 
     # nearest upsample to full res
     shadow_full = jnp.repeat(jnp.repeat(shadow, scale, axis=0), scale, axis=1)

@@ -72,6 +72,7 @@ class FrameConfig:
     shadows: bool = False
     shadow_scale: int = 2
     shadow_checkerboard: bool = True
+    shadow_blur: bool = True  # depth-aware bilateral blur + sun jitter
 
     @property
     def late_cluster_cap(self):
@@ -397,6 +398,8 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
             height=cfg.height,
             scale=cfg.shadow_scale,
             checkerboard=cfg.shadow_checkerboard,
+            blur=cfg.shadow_blur,
+            znear=params.znear,
         )
     image = shade.composite(
         g0,

@@ -102,11 +102,13 @@ def test_shadow_pass_occluder(rng):
     proj = math3d.perspective_projection(np.radians(70), 1.0, 0.1)
     inv_vp = np.linalg.inv(proj @ view).astype(np.float32)
 
+    # blur=False: the occluder footprint (~9px) is smaller than the
+    # reference's 10-tap blur radius; the filters have their own oracle tests
     sh = shadow.shadow_pass(
         depth, bvh,
         sun_direction=jnp.array([0.0, 0.0, 1.0]),
         inverse_view_projection=jnp.array(inv_vp),
-        width=W, height=H, scale=2, checkerboard=True,
+        width=W, height=H, scale=2, checkerboard=True, blur=False,
     )
     sh = np.asarray(sh)
     assert sh.shape == (H, W)
@@ -212,3 +214,66 @@ def test_tlas_refit_moves_instances(kitten_geometry):
     assert not bool(shadow.trace_any_hit(jax.device_put(bvh1), jnp.array(o), jnp.array(d), max_steps=4096)[0])
     o2 = o + np.array([[0.0, 500.0, 0.0]], np.float32)
     assert bool(shadow.trace_any_hit(jax.device_put(bvh1), jnp.array(o2), jnp.array(d), max_steps=4096)[0])
+
+
+def test_checkerboard_fill_matches_scalar_oracle(rng):
+    """shadowfill.comp.glsl:25-45 transcription: depth-similarity weights."""
+    sh, sw = 16, 16
+    shadow_in = rng.uniform(0, 1, (sh, sw)).astype(np.float32)
+    d = rng.uniform(0.1, 1.0, (sh, sw)).astype(np.float32)
+    got = np.asarray(shadow.checkerboard_fill(jnp.array(shadow_in), jnp.array(d), parity=0))
+
+    for y in range(sh):
+        for x in range(sw):
+            if (x + y) % 2 == 0:
+                assert got[y, x] == shadow_in[y, x]
+                continue
+            ns, nd = [], []
+            for dx, dy in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                ns.append(shadow_in[(y + dy) % sh, (x + dx) % sw])
+                nd.append(d[(y + dy) % sh, (x + dx) % sw])
+            w = np.exp2(-np.abs(np.array(nd) / d[y, x] - 1) * 20).astype(np.float32)
+            expect = float(w @ np.array(ns) / (w.sum() + 1e-2))
+            assert got[y, x] == pytest.approx(expect, rel=1e-5)
+
+
+def test_shadow_blur_matches_scalar_oracle(rng):
+    """shadowblur.comp.glsl:36-58 transcription: gaussian x depth-gradient
+    bilateral, KERNEL=10, separable H then V."""
+    sh, sw = 8, 40
+    znear = 0.1
+    shadow_in = rng.uniform(0, 1, (sh, sw)).astype(np.float32)
+    d = rng.uniform(0.05, 1.0, (sh, sw)).astype(np.float32)
+    got = np.asarray(shadow.shadow_blur(jnp.array(shadow_in), jnp.array(d), znear))
+
+    def blur_1d(img, lin, axis):
+        out = np.empty_like(img)
+        K = shadow.SHADOW_BLUR_KERNEL
+        for y in range(img.shape[0]):
+            for x in range(img.shape[1]):
+                acc = img[y, x]
+                accw = 1.0
+                depth = lin[y, x]
+                for sign in (-1, 1):
+                    if axis == 1:
+                        nxt = lin[y, (x + sign) % img.shape[1]]
+                    else:
+                        nxt = lin[(y + sign) % img.shape[0], x]
+                    dgrad = (nxt - depth) if abs(depth - nxt) < 0.1 else 0.0
+                    for i in range(1, K + 1):
+                        if axis == 1:
+                            sv = img[y, (x + sign * i) % img.shape[1]]
+                            dv = lin[y, (x + sign * i) % img.shape[1]]
+                        else:
+                            sv = img[(y + sign * i) % img.shape[0], x]
+                            dv = lin[(y + sign * i) % img.shape[0], x]
+                        fw = np.exp2(-i * i / 50.0) * np.exp2(-abs(dv - (depth + dgrad * i)) * 100.0)
+                        acc += sv * fw
+                        accw += fw
+                out[y, x] = acc / accw
+        return out
+
+    lin = znear / d
+    expect = blur_1d(shadow_in, lin, axis=1)
+    expect = blur_1d(expect, lin, axis=0)
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-5)
