@@ -75,7 +75,7 @@ def _setup_kernel(
     rec_out,  # HBM [cap_pad, REC] f32 (manual DMA)
     aabb_out,  # HBM [cap_pad, 8] f32 (manual DMA, row-major)
     count_out,  # [1, 1] i32
-    window, awindow, pending, apending, cursor, sems,
+    window, awindow, pending, apending, staging, astaging, cursor, sems,
 ):
     bi = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -308,15 +308,16 @@ def _setup_kernel(
         for g in range(GROUPS):  # static unroll: slices stay static
             @pl.when((g < n_flush) & (cursor[0] + g < cap_groups))
             def _(g=g):
+                # stage through full-ref buffers: Mosaic DMA sources must be
+                # lane-tile-aligned memref slices, which a [*, REC<128]
+                # window slice is not
+                staging[...] = window[g * 128 : (g + 1) * 128, :]
+                astaging[...] = awindow[g * 128 : (g + 1) * 128, :]
                 dst = pl.multiple_of((cursor[0] + g) * 128, 128)
-                dma = pltpu.make_async_copy(
-                    window.at[pl.ds(g * 128, 128), :], rec_out.at[pl.ds(dst, 128), :], sems.at[0]
-                )
+                dma = pltpu.make_async_copy(staging, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
                 dma.start()
                 dma.wait()
-                adma = pltpu.make_async_copy(
-                    awindow.at[pl.ds(g * 128, 128), :], aabb_out.at[pl.ds(dst, 128), :], sems.at[1]
-                )
+                adma = pltpu.make_async_copy(astaging, aabb_out.at[pl.ds(dst, 128), :], sems.at[1])
                 adma.start()
                 adma.wait()
 
@@ -386,13 +387,18 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
             pl.BlockSpec((1, 24), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # HBM explicitly: under pl.ANY the compiler may place these in
+            # VMEM with (1,128) lane tiling, where 48-lane DMA row slices
+            # are illegal; HBM refs slice freely
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((WINDOW, REC), jnp.float32),
             pltpu.VMEM((WINDOW, 8), jnp.float32),
+            pltpu.VMEM((128, REC), jnp.float32),
+            pltpu.VMEM((128, 8), jnp.float32),
             pltpu.VMEM((128, REC), jnp.float32),
             pltpu.VMEM((128, 8), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),

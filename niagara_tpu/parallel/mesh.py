@@ -69,8 +69,10 @@ def init_sharded_state(stacked_scene, n_shards: int):
 def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draws"):
     """Build the jitted multi-chip frame function over `mesh`.
 
-    Returns fn(stacked_scene, stacked_state, params, shade_params)
+    Returns fn(stacked_scene, stacked_state, params, shade_params, textures)
     -> (image [H,W,3] replicated, new stacked_state, stats summed).
+    `textures` (render.textures.TextureTable, replicated on every device) is
+    optional — pass None for untextured scenes.
     """
     # Fragment ids within one device span [0, tri_capacity) for the early
     # pass plus [tri_capacity + (pp-0)*late_tri_cap, ...) for the late pass
@@ -80,7 +82,7 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
     # tri_capacity included).
     frag_stride = cfg.tri_capacity + cfg.post_passes * cfg.late_tri_cap
 
-    def per_device(scene, state, params, sp):
+    def per_device(scene, state, params, sp, textures):
         # shard_map passes [1, ...] blocks along the draw axis
         scene = jax.tree.map(lambda a: a[0], scene)
         state = jax.tree.map(lambda a: a[0], state)
@@ -100,7 +102,9 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
         # shade owned pixels with the local attribute tables
         local_vis = jnp.where(mine, fb.vis - offset, INVALID_FRAG)
         local_fb = Framebuffer(depth=gdepth, vis=local_vis)
-        g0, g1, valid = shade.shade_gbuffer(local_fb, tc, setup_all, scene, cfg.width, cfg.height)
+        g0, g1, valid = shade.shade_gbuffer(
+            local_fb, tc, setup_all, scene, cfg.width, cfg.height, textures=textures
+        )
         img = shade.composite(
             g0,
             g1,
@@ -122,11 +126,16 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
     sharded = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P()),
+        in_specs=(P(axis), P(axis), P(), P(), P()),
         out_specs=(P(), P(axis), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def fn(stacked_scene, stacked_state, params, sp, textures=None):
+        return jitted(stacked_scene, stacked_state, params, sp, textures)
+
+    return fn
 
 
 def make_mesh(n_devices: int, axis: str = "draws") -> Mesh:

@@ -26,7 +26,10 @@ def small_draws(kitten_geometry):
     draws.position[:] = np.array([[0.0, 0.0, -4.0]]) + np.array([[0.5, 0.0, 0.0]]) * (
         np.arange(16)[:, None] - 7.5
     )
-    draws.scale[:] = 0.8
+    # distinct scales break the left/right symmetry: exact-depth ties between
+    # DIFFERENT draws would make the sort-last tie-break (fragment id, which
+    # depends on the sharding) observable in the image
+    draws.scale[:] = 0.8 + 0.01 * np.arange(16)
     draws.orientation[:] = np.array([0, 0, 0, 1], dtype=np.float32)
     return draws
 
@@ -73,3 +76,60 @@ def test_sharded_matches_single_chip_coverage(kitten_geometry, small_draws):
 
     agree = (coveredN == covered1).mean()
     assert agree > 0.99, agree
+
+
+def test_sharded_matches_single_device_image_exactly(kitten_geometry, small_draws):
+    """Pixel-EXACT: the N-device sort-last composite must equal the same
+    pipeline run on a 1-device mesh — sharding and compositing must not
+    change a single value."""
+    n_dev = min(len(jax.devices()), 4)
+
+    imgs = []
+    for n in (1, n_dev):
+        m = pmesh.make_mesh(n)
+        stacked = pmesh.shard_draws(kitten_geometry, small_draws, n)
+        state = pmesh.init_sharded_state(stacked, n)
+        params, sp = frame_mod.make_frame_inputs(Camera(), RenderSettings(), CFG)
+        frame_fn = pmesh.make_sharded_frame(m, CFG)
+        with m:
+            image, _, _ = frame_fn(stacked, state, params, sp)
+        imgs.append(np.asarray(image))
+    # identical winner set (bit-exact coverage); colors to float tolerance —
+    # XLA compiles the 1- vs N-device programs with different fusion/FMA
+    # choices, so the same shading math can differ by ~1 ulp
+    np.testing.assert_array_equal(imgs[0].sum(-1) > 0.0, imgs[1].sum(-1) > 0.0)
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-5)
+    assert (imgs[0].sum(-1) > 0.05).sum() > 100
+
+
+def test_sharded_textured_shading(kitten_geometry, small_draws, tmp_path):
+    """The texture table reaches the sharded owner-shading path: a red
+    albedo texture must tint the multi-chip image."""
+    from tests.test_textures import write_dds_bc1
+    from niagara_tpu.render import textures as tex_mod
+
+    path = str(tmp_path / "red.dds")
+    write_dds_bc1(path, (2, 2), color565=(31, 0, 0))
+    table = tex_mod.build_texture_table([path])
+
+    n_dev = min(len(jax.devices()), 2)
+    materials = dict(
+        diffuse=np.array([[1.0, 1.0, 1.0, 1.0]], np.float32),
+        specular=np.zeros((1, 4), np.float32),
+        emissive=np.zeros((1, 3), np.float32),
+        textures=np.array([[1, 0, 0, 0]], np.int32),  # albedo -> texture 0
+    )
+    m = pmesh.make_mesh(n_dev)
+    stacked = pmesh.shard_draws(kitten_geometry, small_draws, n_dev, materials)
+    state = pmesh.init_sharded_state(stacked, n_dev)
+    params, sp = frame_mod.make_frame_inputs(Camera(), RenderSettings(), CFG)
+    frame_fn = pmesh.make_sharded_frame(m, CFG)
+    with m:
+        img_tex, _, _ = frame_fn(stacked, state, params, sp, jax.device_put(table))
+        img_plain, _, _ = frame_fn(stacked, state, params, sp)
+    img_tex, img_plain = np.asarray(img_tex), np.asarray(img_plain)
+    lit = img_tex.sum(-1) > 0.05
+    assert lit.sum() > 100
+    # red albedo: red channel dominates green/blue where lit
+    assert (img_tex[lit][:, 0] >= img_tex[lit][:, 1]).mean() > 0.95
+    assert not np.array_equal(img_tex, img_plain)
