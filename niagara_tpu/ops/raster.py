@@ -145,11 +145,13 @@ def transform_meta(scene, cluster_cmd, cluster_lane, cluster_count, cmds):
     mi = cmds.task_offset[cmd] + cluster_lane
     mi = jnp.clip(mi, 0, scene.meshlet_tris.shape[0] - 1)
 
+    ai = jnp.minimum(mi, scene.meshlet_alpha.shape[0] - 1)
     return dict(
         chan=scene.meshlet_channels[mi],  # [K,64,20] bf16 — one 2.5KB row gather
         tri=scene.meshlet_tris[mi],  # [K,96,3]
         tri_count=scene.meshlet_triangle_count[mi],  # [K]
         xform=scene.draw_xform_row[draw_id],  # [K,8]
+        alpha=scene.meshlet_alpha[ai],  # [K,8,96] opacity masks (zeros = off)
         draw_id=draw_id,
         mat_index=scene.draw_material_index[draw_id],
         post_pass=scene.draw_post_pass[draw_id],
@@ -329,6 +331,9 @@ def compact_setup(tc, width, height, znear, capacity: int):
     both = jnp.concatenate([rec, rec_shade], axis=-1)[tidx]  # [cap, 48]
     out = both[:, :16]
     shade_rec = both[:, 16:]
+    # pad to the REC=56 layout (cols 48-55 = opacity mask, zero on this
+    # fallback path: raster-time alpha testing lives in the tile pipeline)
+    both = jnp.concatenate([both, jnp.zeros((both.shape[0], 8), both.dtype)], axis=-1)
     live = jnp.arange(capacity, dtype=jnp.int32) < count
 
     return dict(

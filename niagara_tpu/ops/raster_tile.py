@@ -31,7 +31,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import TILE_H, TILE_W
 from .raster import INVALID_FRAG, _compact
-# records are stored transposed [12, R] and DMA'd in lane-aligned chunks of
+from .setup_fused import REC
+
+# records are stored transposed [REC, R] and DMA'd in lane-aligned chunks of
 # 128 (Mosaic requires 128-lane-aligned HBM slices); chunk windows start at
 # the aligned offset below each tile's range and mask out-of-range records
 REC_CHUNK = 128
@@ -233,6 +235,34 @@ def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
             live = (gidx >= start) & (gidx < end)
             cover = cover & live
 
+            # raster-time alpha test (reference mesh.frag.glsl:88-89
+            # `discard`): alpha-tested records carry an 8x8 uv-space opacity
+            # bitmask (cols 48-55, cooker/opacity.py); the scalar cond keeps
+            # opaque records free
+            idu = recs_smem[slot, 54, j]
+
+            def _alpha_test(cover=cover, e0=e0, e1=e1, e2=e2):
+                r = lambda k: recs_smem[slot, k, j]
+                wsum = e0 + e1 + e2
+                inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
+                # Olano-Greer: edge values are the perspective weights
+                # (e1 -> A, e2 -> B, e0 -> C; see compact_setup)
+                u = (e1 * r(22) + e2 * r(30) + e0 * r(38)) * inv
+                v = (e1 * r(23) + e2 * r(31) + e0 * r(39)) * inv
+                gx = jnp.clip(jnp.floor((u - r(52)) * idu), 0.0, 7.0)
+                gy = jnp.clip(jnp.floor((v - r(53)) * recs_smem[slot, 55, j]), 0.0, 7.0)
+                b = gy * 8.0 + gx
+                half = jnp.where(
+                    b < 16.0, r(48), jnp.where(b < 32.0, r(49), jnp.where(b < 48.0, r(50), r(51)))
+                )
+                # bit extract in f32 (mask halves are exact 16-bit ints):
+                # floor(half / 2^(b mod 16)) mod 2
+                t = jnp.floor(half * jnp.exp2(-jnp.mod(b, 16.0)))
+                bit = t - 2.0 * jnp.floor(t * 0.5)
+                return cover & (bit > 0.5)
+
+            cover = jax.lax.cond(idu > 0.0, _alpha_test, lambda: cover)
+
             closer = cover & (z > depth)
             tie = cover & (z == depth) & (frag < vis)
             new_depth = jnp.where(closer, z, depth)
@@ -261,24 +291,27 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
         setup, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=pair_capacity
     )
 
-    # per-pair records: ONE row gather of the packed 48-float record
+    # per-pair records: ONE row gather of the packed REC-float record
     # (element-wise column gathers cost ~10ns/element on this chip — 12 of
     # them at pair capacity was the single largest frame cost), then
-    # transpose to [48, P]: HBM chunk DMAs slice 128 lanes at a time, which
-    # Mosaic requires to be lane-dim slices.  The 48 rows carry both the
+    # transpose to [REC, P]: HBM chunk DMAs slice 128 lanes at a time, which
+    # Mosaic requires to be lane-dim slices.  The rows carry both the
     # raster coefficients (rows 0-15) and the shading attributes (rows
     # 16-47), so the same stream feeds the raster and shade kernels.
     if "rec48" in setup:
-        rows = setup["rec48"][pair_tri]  # [P, 48]
+        # the fused setup kernel stores 128-wide rows (DMA alignment); the
+        # post-gather slice keeps only the REC live columns and fuses into
+        # the gather
+        rows = setup["rec48"][pair_tri][:, :REC]  # [P, REC]
     else:
         a0, b0, c0 = setup["e"][0]
         a1, b1, c1 = setup["e"][1]
         a2, b2, c2 = setup["e"][2]
         cols = [a0, b0, c0, a1, b1, c1, a2, b2, c2, setup["za"], setup["zb"], setup["zc"]]
-        rows = jnp.stack(cols + [jnp.zeros_like(a0)] * 36, axis=-1)[pair_tri]
+        rows = jnp.stack(cols + [jnp.zeros_like(a0)] * (REC - 12), axis=-1)[pair_tri]
     recs = rows.T
     # pad columns so the kernel's fixed-size chunk DMA never reads OOB
-    recs = jnp.concatenate([recs, jnp.zeros((48, 2 * REC_CHUNK), recs.dtype)], axis=1)
+    recs = jnp.concatenate([recs, jnp.zeros((REC, 2 * REC_CHUNK), recs.dtype)], axis=1)
     # fragment ids ride in their own [8, R] i32 array (row 0) so DMA slices
     # stay tile-aligned without f32-bitcast denormal hazards
     frag = jnp.zeros((8, recs.shape[1]), jnp.int32)
@@ -299,7 +332,7 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
             pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, 48, REC_CHUNK), jnp.float32),
+            pltpu.SMEM((2, REC, REC_CHUNK), jnp.float32),
             pltpu.SMEM((2, 8, REC_CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
@@ -434,7 +467,7 @@ def shade_tiles(stream, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool 
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # recs [48, R]
+            pl.BlockSpec(memory_space=pl.ANY),  # recs [REC, R]
             pl.BlockSpec(memory_space=pl.ANY),  # frag [8, R]
             pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, ATTR_CHANNELS, TILE_H, TILE_W), lambda i, *_: (i, 0, 0, 0)),
@@ -443,7 +476,7 @@ def shade_tiles(stream, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool 
             pl.BlockSpec((1, ATTR_CHANNELS, TILE_H, TILE_W), lambda i, *_: (i, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, 48, REC_CHUNK), jnp.float32),
+            pltpu.SMEM((2, REC, REC_CHUNK), jnp.float32),
             pltpu.SMEM((2, 8, REC_CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],

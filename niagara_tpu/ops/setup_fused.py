@@ -43,7 +43,9 @@ from ..config import MESH_MAXTRI, MESH_MAXVTX
 
 BLOCK = 8  # clusters per grid step
 TRIS = BLOCK * MESH_MAXTRI  # 768 triangle slots per step
-REC = 48  # record row width (f32)
+# record row width (f32): 0-15 raster coeffs, 16-47 shading attributes,
+# 48-55 opacity mask (4 halves + uv rect; cooker/opacity.py)
+REC = 56
 WINDOW = 1024  # placement window (128-aligned, >= 128 + TRIS + slack)
 GROUPS = WINDOW // 128
 
@@ -71,9 +73,10 @@ def _setup_kernel(
     c0_ref, c1_ref, c2_ref,  # [BLOCK, 20, 96] bf16 corner channels (channel-major)
     xform_ref,  # [BLOCK, 8] f32 (pos, scale, quat)
     meta_ref,  # [BLOCK, 4] i32 (draw, mat, post, tri_count)
+    alpha_ref,  # [BLOCK, 8, 96] f32 opacity mask channels (channel-major)
     prm_ref,  # [1, 24] f32 params (view rows, p00, p11, znear, w, h)
-    rec_out,  # HBM [cap_pad, REC] f32 (manual DMA)
-    aabb_out,  # HBM [cap_pad, 8] f32 (manual DMA, row-major)
+    rec_out,  # HBM [cap_pad, 128] f32: REC record cols + zero pad (DMA rows)
+    aabb_out,  # HBM [8, cap_pad] f32 channel-major (DMA 128-lane slices)
     count_out,  # [1, 1] i32
     window, awindow, pending, apending, staging, astaging, cursor, sems,
 ):
@@ -217,6 +220,8 @@ def _setup_kernel(
         for ci, c in enumerate((A, B, C)):
             cols += [sx[ci], sy[ci], c["w"], c["n"][0], c["n"][1], c["n"][2], c["u"], c["v"]]
         cols += [A["vid"], B["vid"], C["vid"], drawf, matf, postf, flat, jnp.zeros_like(flat)]
+        # opacity mask channels (exact f32 16-bit halves + uv rect)
+        cols += [alpha_ref[:, i, :] for i in range(8)]
 
         # --- in-block ranks at [BLOCK, 96] (flat row-major order = the XLA
         # compaction order).  Mosaic has no cumsum and no lane-changing
@@ -308,16 +313,16 @@ def _setup_kernel(
         for g in range(GROUPS):  # static unroll: slices stay static
             @pl.when((g < n_flush) & (cursor[0] + g < cap_groups))
             def _(g=g):
-                # stage through full-ref buffers: Mosaic DMA sources must be
-                # lane-tile-aligned memref slices, which a [*, REC<128]
-                # window slice is not
-                staging[...] = window[g * 128 : (g + 1) * 128, :]
-                astaging[...] = awindow[g * 128 : (g + 1) * 128, :]
+                # Mosaic DMA refs need 128-multiple minor dims, so records
+                # flush as 128-wide rows (cols >= REC zero) and the aabb
+                # side channel flushes channel-major via a small transpose
+                staging[:, 0:REC] = window[g * 128 : (g + 1) * 128, :]
+                astaging[...] = awindow[g * 128 : (g + 1) * 128, :].T
                 dst = pl.multiple_of((cursor[0] + g) * 128, 128)
                 dma = pltpu.make_async_copy(staging, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
                 dma.start()
                 dma.wait()
-                adma = pltpu.make_async_copy(astaging, aabb_out.at[pl.ds(dst, 128), :], sems.at[1])
+                adma = pltpu.make_async_copy(astaging, aabb_out.at[:, pl.ds(dst, 128)], sems.at[1])
                 adma.start()
                 adma.wait()
 
@@ -340,11 +345,13 @@ def _setup_kernel(
         # clamp to the padded capacity so overflow never writes OOB (the
         # raw count still reports the true total for the dropped stat)
         dst_group = jnp.minimum(cursor[0], rec_out.shape[0] // 128 - 1)
+        staging[:, 0:REC] = pending[...]
+        astaging[...] = apending[...].T
         dst = pl.multiple_of(dst_group * 128, 128)
-        dma = pltpu.make_async_copy(pending, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
+        dma = pltpu.make_async_copy(staging, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
         dma.start()
         dma.wait()
-        adma = pltpu.make_async_copy(apending, aabb_out.at[pl.ds(dst, 128), :], sems.at[1])
+        adma = pltpu.make_async_copy(astaging, aabb_out.at[:, pl.ds(dst, 128)], sems.at[1])
         adma.start()
         adma.wait()
         count_out[0, 0] = cursor[0] * 128 + cursor[1]
@@ -384,6 +391,7 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
             pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((BLOCK, 8), lambda i, *_: (i, 0)),
             pl.BlockSpec((BLOCK, 4), lambda i, *_: (i, 0)),
+            pl.BlockSpec((BLOCK, 8, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, 24), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -399,8 +407,8 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
             pltpu.VMEM((WINDOW, 8), jnp.float32),
             pltpu.VMEM((128, REC), jnp.float32),
             pltpu.VMEM((128, 8), jnp.float32),
-            pltpu.VMEM((128, REC), jnp.float32),
-            pltpu.VMEM((128, 8), jnp.float32),
+            pltpu.VMEM((128, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -409,8 +417,8 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
     rec_rows, aabb_t, count = pl.pallas_call(
         _setup_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((cap_pad, REC), jnp.float32),
-            jax.ShapeDtypeStruct((cap_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((cap_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((8, cap_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.int32),
         ),
         grid_spec=grid_spec,
@@ -421,23 +429,27 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
         c0, c1, c2,
         tc["xform"],
         meta,
+        tc["alpha"],
         prm,
     )
 
     raw_count = count[0, 0]
     count = jnp.minimum(raw_count, capacity)
+    # rec48 is the 128-wide row array (cols >= REC are zero); consumers
+    # gather whole rows by triangle ref and slice [:, :REC] afterwards so
+    # the slice fuses into the gather instead of forcing a dense re-layout
     rec48 = rec_rows[:capacity]
     live = jnp.arange(capacity, dtype=jnp.int32) < count
-    flatv = aabb_t[:capacity, 5].astype(jnp.int32)
+    flatv = aabb_t[5, :capacity].astype(jnp.int32)
 
     return dict(
         valid=live,
         rec48=rec48,
-        shade_rec=rec48[:, 16:],
-        x0=aabb_t[:capacity, 0].astype(jnp.int32),
-        y0=aabb_t[:capacity, 1].astype(jnp.int32),
-        x1=aabb_t[:capacity, 2].astype(jnp.int32),
-        y1=aabb_t[:capacity, 3].astype(jnp.int32),
+        shade_rec=rec48[:, 16:48],
+        x0=aabb_t[0, :capacity].astype(jnp.int32),
+        y0=aabb_t[1, :capacity].astype(jnp.int32),
+        x1=aabb_t[2, :capacity].astype(jnp.int32),
+        y1=aabb_t[3, :capacity].astype(jnp.int32),
         tri_k=flatv // MESH_MAXTRI,
         tri_t=flatv % MESH_MAXTRI,
         count=count,

@@ -37,10 +37,21 @@ class TextureTable:
         return self.mip_count.shape[0]
 
 
-def build_texture_table(paths: list[str], base_dir: str = "", max_dim: int | None = None) -> TextureTable:
+def build_texture_table(
+    paths: list[str],
+    base_dir: str = "",
+    max_dim: int | None = None,
+    budget_bytes: int | None = 2 << 30,
+) -> TextureTable:
     """Load DDS textures into one table.  Texture 0 is a 1x1 white dummy
     (the reference reserves id 0 as 'no texture'); missing/unsupported files
-    fall back to 1x1 magenta."""
+    fall back to 1x1 magenta.
+
+    `budget_bytes` bounds the HBM texel pool (the RGBA8 pool is ~1.3-4x the
+    BC source size, so a Bistro-class set would otherwise be unbounded): if
+    the full-resolution pool exceeds the budget, every texture's finest mips
+    are dropped uniformly (one level at a time) until it fits — the texture
+    equivalent of the capacity-drop discipline elsewhere."""
     from ..cooker import bindings
 
     texture_mips = [[np.full((1, 1, 4), 255, np.uint8)]]  # id 0 = white
@@ -53,6 +64,14 @@ def build_texture_table(paths: list[str], base_dir: str = "", max_dim: int | Non
         if max_dim is not None:
             mips = [m for m in mips if max(m.shape[0], m.shape[1]) <= max_dim] or [mips[-1]]
         texture_mips.append(mips[:MAX_MIPS])
+
+    if budget_bytes is not None:
+        def pool_size(tm):
+            return sum(m.shape[0] * m.shape[1] * 4 for mips in tm for m in mips)
+
+        while pool_size(texture_mips) > budget_bytes and any(len(m) > 1 for m in texture_mips):
+            biggest = max(len(m) for m in texture_mips)
+            texture_mips = [m[1:] if len(m) == biggest and len(m) > 1 else m for m in texture_mips]
 
     nt = len(texture_mips)
     mip_offset = np.zeros((nt, MAX_MIPS), np.int32)

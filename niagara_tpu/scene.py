@@ -247,6 +247,12 @@ class DeviceScene:
     # transform row (pos, scale, quat): ONE 32B row gather per command/cluster
     draw_xform_row: np.ndarray = None  # f32 [D, 8]
 
+    # per-triangle opacity masks for alpha-tested meshes (cooker/opacity.py):
+    # channel-major [Ma, 8, MESH_MAXTRI] — 4 mask halves + uv rect (zero idu
+    # => no alpha test).  Ma == 1 (zeros) when nothing is alpha-tested; the
+    # index clamp makes the gather free then.
+    meshlet_alpha: np.ndarray = None  # f32 [Ma, 8, MESH_MAXTRI]
+
     # material factors (reference Material, scene.h:25-37; texture indices
     # join when the bindless texture table lands)
     mat_diffuse: np.ndarray = None  # f32 [NM,4]
@@ -284,12 +290,19 @@ def _build_cull_blocks(meshlets: Meshlets) -> np.ndarray:
     return padded[idx]
 
 
-def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> DeviceScene:
+def upload(
+    geometry: Geometry,
+    draws: Draws,
+    materials: dict | None = None,
+    alpha_masks: np.ndarray | None = None,
+) -> DeviceScene:
     """Build the static-shape device layout from cooked geometry + draws.
 
     `materials` is an optional dict with diffuse [NM,4] / specular [NM,4] /
     emissive [NM,3]; absent, a single default material is used (matte white,
-    like the reference's untextured OBJ mode)."""
+    like the reference's untextured OBJ mode).  `alpha_masks` [M,96,8] comes
+    from cooker.opacity.bake_opacity and enables raster-time alpha testing
+    for postPass-1 draws."""
     vis_count = assign_meshlet_visibility_offsets(draws, geometry.meshes)
     vertex_ids, tris = unpack_meshlet_refs(geometry)
 
@@ -353,6 +366,13 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
     ]
     meshlet_channels = np.stack(chan_parts, axis=-1)  # [M, 64, 20]
 
+    if alpha_masks is not None:
+        meshlet_alpha = np.ascontiguousarray(
+            np.transpose(alpha_masks.astype(np.float32), (0, 2, 1))
+        )  # [M, 8, 96] channel-major
+    else:
+        meshlet_alpha = np.zeros((1, 8, MESH_MAXTRI), np.float32)
+
     return DeviceScene(
         positions=positions,
         normals=normals,
@@ -369,6 +389,7 @@ def upload(geometry: Geometry, draws: Draws, materials: dict | None = None) -> D
         meshlet_vertex_count=geometry.meshlets.vertex_count.astype(np.int32),
         meshlet_triangle_count=geometry.meshlets.triangle_count.astype(np.int32),
         meshlet_cull_blocks=_build_cull_blocks(geometry.meshlets),
+        meshlet_alpha=meshlet_alpha,
         mesh_center=geometry.meshes.center.astype(np.float32),
         mesh_radius=geometry.meshes.radius.astype(np.float32),
         mesh_lod_count=geometry.meshes.lod_count.astype(np.int32),

@@ -1,0 +1,134 @@
+"""Raster-time alpha test (opacity micromaps).
+
+Covers VERDICT item 3b: an alpha-cutout in front of opaque geometry must
+punch through at raster time (depth/visibility), matching the reference's
+fragment `discard` semantics (mesh.frag.glsl:88-89) — not shade-time
+masking, which would leave the depth buffer wrongly occluded.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from niagara_tpu.cooker.opacity import bake_mesh_masks
+from niagara_tpu.ops import raster, raster_tile
+
+W, H = 256, 16  # 2x2 tiles of (8,128)
+
+
+def setup_two_quads(alpha_row):
+    """Near quad (z=0.6) with the given alpha mask row covering the whole
+    screen; far opaque quad (z=0.3) behind it.  Returns the setup dict for
+    rasterize_tiles (screen-space tc, w=1 -> plain edge functions)."""
+    from niagara_tpu.config import MESH_MAXTRI, MESH_MAXVTX
+
+    # two clusters, one quad each (2 triangles)
+    def quad_tc(z):
+        verts = np.zeros((MESH_MAXVTX, 2), np.float32)
+        verts[:4] = [[0, 0], [W, 0], [W, H], [0, H]]
+        tri = np.zeros((MESH_MAXTRI, 3), np.int32)
+        tri[0] = [0, 1, 2]  # positive Olano-Greer det in y-down screen space
+        tri[1] = [0, 2, 3]
+        tri_valid = np.zeros(MESH_MAXTRI, bool)
+        tri_valid[:2] = True
+        uv = np.zeros((MESH_MAXVTX, 2), np.float32)
+        uv[:4] = [[0, 0], [1, 0], [1, 1], [0, 1]]
+        return verts, tri, tri_valid, uv, np.full(MESH_MAXVTX, z, np.float32)
+
+    vs, uvs, zs, tris, valids = [], [], [], [], []
+    for z in (0.6, 0.3):  # reverse-Z: 0.6 nearer
+        v, t, tv, uv, zw = quad_tc(z)
+        vs.append(v)
+        tris.append(t)
+        valids.append(tv)
+        uvs.append(uv)
+        zs.append(zw)
+
+    K = 2
+    tc = dict(
+        tri_valid=jnp.array(np.stack(valids)),
+        vid=jnp.zeros((K, MESH_MAXVTX), jnp.int32),
+        hx=jnp.array(np.stack(vs)[..., 0]),  # w=1: hx == screen x
+        hy=jnp.array(np.stack(vs)[..., 1]),
+        zw=jnp.array(np.stack(zs)),
+        viewz=jnp.ones((K, MESH_MAXVTX), jnp.float32),
+        normal=jnp.zeros((K, MESH_MAXVTX, 3), jnp.float32),
+        uv=jnp.array(np.stack(uvs)),
+        tri=jnp.array(np.stack(tris)),
+        draw_id=jnp.arange(K, dtype=jnp.int32),
+        mat_index=jnp.zeros(K, jnp.int32),
+        post_pass=jnp.array([1, 0], jnp.int32),
+    )
+    st = raster.compact_setup(tc, W, H, 0.1, 64)
+    # inject the near quad's mask into record cols 48-55 (the fused kernel
+    # carries these natively; compact_setup pads zeros)
+    rec = np.array(st["rec48"])
+    near = np.asarray(st["shade_rec"][:, 27]) == 0  # draw id 0 = near quad
+    live = np.asarray(st["valid"])
+    rec[near & live, 48:56] = alpha_row
+    st = dict(st, rec48=jnp.array(rec))
+    return st
+
+
+def rasterize(st):
+    tiles_x, tiles_y = W // raster_tile.TILE_W, H // raster_tile.TILE_H
+    n = tiles_x * tiles_y
+    depth = jnp.zeros((n, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32)
+    vis = jnp.full((n, raster_tile.TILE_H, raster_tile.TILE_W), raster.INVALID_FRAG, jnp.int32)
+    depth, vis, _ = raster_tile.rasterize_tiles(
+        st, depth, vis, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=1 << 10,
+        interpret=True,
+    )
+    return (
+        np.asarray(raster_tile.tiles_to_image(depth, H, W)),
+        np.asarray(raster_tile.tiles_to_image(vis, H, W)),
+    )
+
+
+def test_alpha_cutout_punches_through_depth():
+    """Left half of the near quad transparent: those pixels must show the
+    FAR quad's depth (0.3), not the near quad's (0.6) — pixel-exact vs the
+    analytic oracle."""
+    # mask: u < 0.5 transparent (cells gx 0..3), right half opaque
+    cells = np.zeros((8, 8), bool)
+    cells[:, 4:] = True
+    bits = cells.reshape(64).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    m = bits.sum(dtype=np.uint64)
+    row = np.zeros(8, np.float32)
+    for h in range(4):
+        row[h] = float((m >> np.uint64(16 * h)) & np.uint64(0xFFFF))
+    row[4:8] = [0.0, 0.0, 8.0, 8.0]  # uv rect = full [0,1]^2
+
+    depth, vis = rasterize(setup_two_quads(row))
+
+    xs = (np.arange(W) + 0.5) / W  # pixel-center u (uv == screen/size here)
+    cell = np.clip(np.floor((xs - 0.0) * 8.0), 0, 7)
+    near_expected = cell >= 4.0
+    np.testing.assert_array_equal(depth[0], np.where(near_expected, 0.6, 0.3).astype(np.float32))
+    # every pixel covered by something
+    assert (vis != raster.INVALID_FRAG).all()
+
+
+def test_opaque_mask_row_is_noop():
+    """A zero idu (no alpha test) leaves the near quad fully covering."""
+    row = np.zeros(8, np.float32)
+    depth, _ = rasterize(setup_two_quads(row))
+    np.testing.assert_array_equal(depth, np.full((H, W), 0.6, np.float32))
+
+
+def test_bake_mesh_masks_halves():
+    """Bake oracle: left-transparent texture -> left-transparent mask."""
+    tex = np.zeros((64, 64, 4), np.uint8)
+    tex[:, 32:, 3] = 255
+    uv = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+    tris = np.array([[0, 1, 3], [0, 3, 2]])
+    rows = bake_mesh_masks(uv, tris, tex)
+    m = (rows[:, :4].astype(np.uint64) << (16 * np.arange(4, dtype=np.uint64))).sum(1)
+    grid = np.unpackbits(
+        np.frombuffer(m[0].tobytes(), np.uint8), bitorder="little"
+    ).reshape(8, 8)
+    np.testing.assert_array_equal(grid[:, :4], 0)
+    np.testing.assert_array_equal(grid[:, 4:], 1)
+    np.testing.assert_allclose(rows[:, 4:8], [[0, 0, 8, 8]] * 2, atol=1e-6)

@@ -205,3 +205,49 @@ def test_bc7_decode_matches_pillow(tmp_path):
         assert fmt == 7
         ref = np.asarray(Image.open(io.BytesIO(open(path, "rb").read())).convert("RGBA"))
         np.testing.assert_array_equal(mips[0], ref)
+
+
+def test_texture_budget_drops_fine_mips(tmp_path):
+    """The texel-pool byte budget drops the finest mips uniformly until the
+    pool fits (HBM bound for Bistro-class texture sets)."""
+    from niagara_tpu.render import textures as tex_mod
+
+    path = str(tmp_path / "big.dds")
+    write_dds_bc1(path, (16, 16))  # 64x64, 1 mip
+    full = tex_mod.build_texture_table([path, path], budget_bytes=None)
+    assert int(full.mip_w[1, 0]) == 64
+
+    # two 64x64 RGBA8 = 32KB; budget of 10KB forces... single-mip textures
+    # can't shrink, so build a mip chain by loading with max_dim
+    chain = [np.full((1, 1, 4), 255, np.uint8)]
+    # synthesize a chain via repeated writes at smaller sizes: use the
+    # budget path directly on multi-mip content from the BC7 helper
+    payload = np.zeros(((32 // 4) * (32 // 4)) * 16, np.uint8)
+    payload[::16] = 0x20  # mode 5 solid-ish blocks
+    # full-mip DDS: 32x32 + 16x16 + ... write mip chain manually
+    import struct as _s
+
+    w = h = 32
+    mips = 4
+    linear = (w // 4) * (h // 4) * 16
+    hdr = _s.pack("<I I I I I I I", 124, 0x1007 | 0x20000 | 0x80000, h, w, linear, 0, mips)
+    hdr += b"\0" * 44
+    pf = _s.pack("<I I 4s I I I I I", 32, 0x4, b"DX10", 0, 0, 0, 0, 0)
+    caps = _s.pack("<I I I I I", 0x1000 | 0x400008, 0, 0, 0, 0)
+    dx10 = _s.pack("<I I I I I", 98, 3, 0, 1, 0)
+    body = b""
+    mw, mh = w, h
+    rng = np.random.default_rng(3)
+    for _ in range(mips):
+        nb = max(mw // 4, 1) * max(mh // 4, 1)
+        blk = rng.integers(1, 255, nb * 16, dtype=np.uint8)
+        body += blk.tobytes()
+        mw, mh = max(mw // 2, 1), max(mh // 2, 1)
+    p2 = str(tmp_path / "chain.dds")
+    open(p2, "wb").write(b"DDS " + hdr + pf + caps + dx10 + body)
+
+    t_full = tex_mod.build_texture_table([p2], budget_bytes=None)
+    assert int(t_full.mip_w[1, 0]) == 32 and int(t_full.mip_count[1]) == 4
+    t_cut = tex_mod.build_texture_table([p2], budget_bytes=2000)
+    assert int(t_cut.mip_w[1, 0]) <= 16  # finest mip dropped
+    assert int(t_cut.mip_count[1]) < 4

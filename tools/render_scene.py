@@ -21,6 +21,10 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# honor JAX_PLATFORMS=cpu even though the axon TPU plugin registers at
+# interpreter start and would otherwise win
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -46,7 +50,17 @@ def main():
     ap.add_argument("--shadows", action="store_true", help="ray-traced sun shadows (scenes <= 200k world tris)")
     ap.add_argument("--debug", default=None, choices=["meshlet", "draw", "depth"], help="debug visualization mode")
     ap.add_argument("--downsample", type=int, default=1, help="downscale output PNGs by N (D2H is slow here)")
+    ap.add_argument(
+        "--watch",
+        action="store_true",
+        help="hot-iteration loop (reference R-key shader reload, niagara.cpp:"
+        "1253-1288): watch the kernel sources + scene files and re-render on "
+        "every change; a failed reload keeps the last good frame",
+    )
     args = ap.parse_args()
+
+    if args.watch:
+        return watch_loop(args)
 
     width, height = map(int, args.size.split("x"))
     os.makedirs(args.out, exist_ok=True)
@@ -133,6 +147,63 @@ def main():
         print(f"saved camera to {args.camera}")
 
     print(prof.report(stats))
+
+
+def watch_loop(args):
+    """Hot-iteration loop: the TPU analog of the reference's live shader
+    reload (`R` key -> ninja -> reload .spv -> recreate pipelines,
+    niagara.cpp:1253-1288).  Our "shaders" are the Python/Pallas kernels in
+    niagara_tpu/, so each change re-renders in a fresh subprocess (fresh
+    imports = recreated pipelines; the persistent XLA compile cache keeps
+    warm reloads fast).  A failed render keeps the previous output and shows
+    the error — like the reference keeping old pipelines on a red status."""
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+    watch_dirs = [os.path.join(repo, "niagara_tpu")]
+    watch_files = [p for p in args.scene if os.path.exists(p)]
+
+    def snapshot():
+        stamp = {}
+        for d in watch_dirs:
+            for root, _, files in os.walk(d):
+                for f in files:
+                    if f.endswith((".py", ".cpp", ".h")):
+                        p = os.path.join(root, f)
+                        stamp[p] = os.path.getmtime(p)
+        for p in watch_files:
+            stamp[p] = os.path.getmtime(p)
+        return stamp
+
+    child_args = [sys.executable, os.path.abspath(__file__)]
+    for a in sys.argv[1:]:
+        if a != "--watch":
+            child_args.append(a)
+    if "--frames" not in sys.argv:
+        child_args += ["--frames", "1"]
+
+    print(f"watch mode: {len(snapshot())} files; Ctrl-C to stop")
+    last = snapshot()
+    # initial render
+    status = "render"
+    while True:
+        if status == "render":
+            t0 = time.time()
+            r = subprocess.run(child_args)
+            if r.returncode == 0:
+                print(f"[watch] OK in {time.time()-t0:.1f}s -> {args.out}")
+            else:
+                print(f"[watch] FAILED (rc={r.returncode}); keeping last good frames")
+            status = "idle"
+        time.sleep(1.0)
+        now = snapshot()
+        changed = [p for p in now if now.get(p) != last.get(p)] + [
+            p for p in last if p not in now
+        ]
+        if changed:
+            print(f"[watch] changed: {', '.join(os.path.basename(p) for p in changed[:4])}")
+            last = now
+            status = "render"
 
 
 if __name__ == "__main__":
