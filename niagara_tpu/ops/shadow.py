@@ -40,7 +40,7 @@ MAX_LEAF = 8
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["nodes", "tri_v0", "tri_e1", "tri_e2", "inst_row"],
+    data_fields=["nodes", "tri_v0", "tri_e1", "tri_e2", "inst_row", "tri_uv", "tri_alpha"],
     meta_fields=["tlas_base"],
 )
 @dataclass
@@ -59,11 +59,18 @@ class ShadowBVH:
     # [0:3] position, [3] scale, [4:8] quat,
     # [8] blas node base, [9] blas node count, [10] tri base (exact f32 ints)
     inst_row: Any  # f32 [D, 12]
+    # QUALITY-1 alpha-tested any-hit data (reference shadow.comp.glsl:78-123
+    # + OMM): per-triangle corner uvs + opacity mask rows
+    # (cooker/opacity.py layout); [1, 8] zeros when untextured
+    tri_uv: Any = None  # f32 [Ta, 8]: u0 v0 u1 v1 u2 v2 pad pad
+    tri_alpha: Any = None  # f32 [Ta, 8]
     tlas_base: int = 0  # node index where the TLAS starts
 
 
 def _mesh_blas(geometry, mesh_index: int):
-    """Object-space BLAS for one mesh at its shadow LOD."""
+    """Object-space BLAS for one mesh at its shadow LOD.
+
+    Returns (nodes, tri [t,3,3], uv_idx [t,3] leaf-ordered corner indices)."""
     from ..cooker import bindings
 
     m = geometry.meshes
@@ -73,8 +80,9 @@ def _mesh_blas(geometry, mesh_index: int):
     idx = geometry.indices[off : off + cnt].astype(np.uint32)
     positions = geometry.vpos.astype(np.float32)
     nodes, order = bindings.build_bvh(positions, idx)
-    tri = positions[idx.astype(np.int64)].reshape(-1, 3, 3)[order]
-    return nodes.astype(np.float32), tri
+    tri3 = idx.astype(np.int64).reshape(-1, 3)[order]
+    tri = positions[tri3]
+    return nodes.astype(np.float32), tri, tri3
 
 
 def _instance_world_boxes(roots, orientation, scale, position):
@@ -97,32 +105,67 @@ def _instance_world_boxes(roots, orientation, scale, position):
     return world.min(axis=1), world.max(axis=1)
 
 
-def build_scene_rt(geometry, draws):
+def build_scene_rt(geometry, draws, materials: dict | None = None, texture_mips: list | None = None):
     """Two-level build: one BLAS per referenced mesh + TLAS over instances.
 
     Returns (ShadowBVH, static) — pass `static` to `refit_tlas` to rebuild
-    only the instance level for animation."""
+    only the instance level for animation.  With `materials`+`texture_mips`,
+    triangles of alpha-tested meshes also get opacity-mask rows for the
+    QUALITY-1 alpha-tested any-hit path (reference shadow.comp.glsl:78-123,
+    OMM attach scenert.cpp:64-80)."""
     mesh_ids = sorted(set(int(m) for m in np.asarray(draws.mesh_index)))
-    blas_nodes, blas_base, tri_base, tris = [], {}, {}, []
+    blas_nodes, blas_base, tri_base, tris, uv_idx = [], {}, {}, [], []
     n_nodes = 0
     n_tris = 0
     for mi in mesh_ids:
-        nodes, tri = _mesh_blas(geometry, mi)
+        nodes, tri, tri3 = _mesh_blas(geometry, mi)
         blas_base[mi] = (n_nodes, len(nodes))
         tri_base[mi] = n_tris
         n_nodes += len(nodes)
         n_tris += len(tri)
         blas_nodes.append(nodes)
         tris.append(tri)
+        uv_idx.append(tri3)
 
     blas = (
         np.concatenate(blas_nodes, axis=0) if blas_nodes else np.zeros((0, 8), np.float32)
     )
     tri = np.concatenate(tris, axis=0) if tris else np.zeros((0, 3, 3), np.float32)
 
+    # QUALITY-1 data: per-triangle corner uvs + opacity masks for meshes
+    # with an alpha-tested (postPass 1) draw
+    tri_uv = np.zeros((1, 8), np.float32)
+    tri_alpha = np.zeros((1, 8), np.float32)
+    if materials is not None and texture_mips is not None and n_tris:
+        from ..cooker.opacity import bake_mesh_masks
+
+        uvs = geometry.vuv.astype(np.float32)
+        post = np.asarray(getattr(draws, "post_pass", np.zeros(draws.count, np.int32)))
+        mat_of_mesh = {}
+        for d in np.nonzero(post == 1)[0]:
+            mat_of_mesh[int(draws.mesh_index[d])] = int(draws.material_index[d])
+        mat_tex = np.asarray(materials["textures"])
+        tri_uv = np.zeros((n_tris, 8), np.float32)
+        tri_alpha = np.zeros((n_tris, 8), np.float32)
+        for i, mi in enumerate(mesh_ids):
+            t3 = uv_idx[i]
+            b = tri_base[mi]
+            tri_uv[b : b + len(t3), 0:6] = uvs[t3].reshape(-1, 6)
+            mat = mat_of_mesh.get(mi)
+            if mat is None:
+                continue
+            tex_id = int(mat_tex[mat, 0])
+            if tex_id <= 0 or tex_id > len(texture_mips):
+                continue
+            mips = texture_mips[tex_id - 1]
+            mip = mips[min(1, len(mips) - 1)]
+            tri_alpha[b : b + len(t3)] = bake_mesh_masks(uvs, t3, mip)
+
     static = dict(
         blas=blas,
         tri=tri,
+        tri_uv=tri_uv,
+        tri_alpha=tri_alpha,
         blas_base=blas_base,
         tri_base=tri_base,
         blas_roots={mi: blas_nodes[i][0, 0:6] for i, mi in enumerate(mesh_ids)},
@@ -155,6 +198,8 @@ def single_blas(nodes: np.ndarray, tris: np.ndarray) -> ShadowBVH:
         tri_e1=tris[:, 1] - tris[:, 0],
         tri_e2=tris[:, 2] - tris[:, 0],
         inst_row=rows,
+        tri_uv=np.zeros((1, 8), np.float32),
+        tri_alpha=np.zeros((1, 8), np.float32),
         tlas_base=int(len(nodes)),
     )
 
@@ -203,6 +248,8 @@ def refit_tlas(static: dict, draws) -> ShadowBVH:
         tri_e1=(tri[:, 1] - tri[:, 0]).astype(np.float32),
         tri_e2=(tri[:, 2] - tri[:, 0]).astype(np.float32),
         inst_row=rows,
+        tri_uv=static.get("tri_uv", np.zeros((1, 8), np.float32)),
+        tri_alpha=static.get("tri_alpha", np.zeros((1, 8), np.float32)),
         tlas_base=int(len(static["blas"])),
     )
 
@@ -215,12 +262,18 @@ def _rotate_conj(v, q):
     return v + 2.0 * jnp.cross(qv, t)
 
 
-def trace_any_hit(bvh: ShadowBVH, origin, direction, t_min=1e-3, t_max=1e30, max_steps=1024):
+def trace_any_hit(bvh: ShadowBVH, origin, direction, t_min=1e-3, t_max=1e30, max_steps=1024,
+                  alpha_test: bool = False):
     """Two-level any-hit occlusion test for a batch of rays.
 
     origin/direction: [N,3] world space.  Returns occluded [N] bool.  One
     while_loop; each ray carries (level, local ptr, instance frame) and walks
-    TLAS -> BLAS -> TLAS until done (or max_steps)."""
+    TLAS -> BLAS -> TLAS until done (or max_steps).
+
+    `alpha_test=True` is the reference's QUALITY-1 path (shadow.comp.glsl:
+    78-123): hits on alpha-tested triangles only count if the hit point's
+    uv lands on an opaque cell of the triangle's baked opacity mask
+    (tri_uv/tri_alpha; see cooker/opacity.py)."""
     N = origin.shape[0]
     nodes = bvh.nodes
     tlas_base = bvh.tlas_base
@@ -284,6 +337,25 @@ def trace_any_hit(bvh: ShadowBVH, origin, direction, t_min=1e-3, t_max=1e30, max
             v = jnp.sum(d * qvec, axis=-1) * inv_det
             t = jnp.sum(e2 * qvec, axis=-1) * inv_det
             ok = act & (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min) & (t < t_max)
+            if alpha_test:
+                # QUALITY-1 any-hit: mask-transparent hits don't occlude
+                ta = jnp.minimum(ti, bvh.tri_alpha.shape[0] - 1)
+                arow = bvh.tri_alpha[ta]  # [N,8]
+                uvrow = bvh.tri_uv[ta]  # [N,8]
+                idu = arow[:, 6]
+                hu = uvrow[:, 0] * (1 - u - v) + uvrow[:, 2] * u + uvrow[:, 4] * v
+                hv = uvrow[:, 1] * (1 - u - v) + uvrow[:, 3] * u + uvrow[:, 5] * v
+                gx = jnp.clip(jnp.floor((hu - arow[:, 4]) * idu), 0.0, 7.0)
+                gy = jnp.clip(jnp.floor((hv - arow[:, 5]) * arow[:, 7]), 0.0, 7.0)
+                bidx = gy * 8.0 + gx
+                half = jnp.where(
+                    bidx < 16.0,
+                    arow[:, 0],
+                    jnp.where(bidx < 32.0, arow[:, 1], jnp.where(bidx < 48.0, arow[:, 2], arow[:, 3])),
+                )
+                tbit = jnp.floor(half * jnp.exp2(-jnp.mod(bidx, 16.0)))
+                bit = tbit - 2.0 * jnp.floor(tbit * 0.5)
+                ok = ok & ((idu <= 0.0) | (bit > 0.5))
             tri_hit = tri_hit | ok
         new_hit = hit | tri_hit
 
@@ -414,6 +486,7 @@ def shadow_pass(
     sun_jitter: float = 1e-2,
     znear: float = 0.1,
     parity: int = 0,
+    quality: int = 0,
 ):
     """Full shadow pipeline (reference shadow.comp + shadowfill + shadowblur,
     niagara.cpp:1792-1855): trace (optionally checkerboarded + at a reduced
@@ -470,11 +543,11 @@ def shadow_pass(
         ys = jnp.broadcast_to(jnp.arange(sh)[:, None], xs.shape)
         o_half = wpos[ys, xs].reshape(-1, 3)
         d_half = dirs[ys, xs].reshape(-1, 3)
-        occ_half = trace_any_hit(bvh, o_half, d_half).reshape(sh, sw // 2)
+        occ_half = trace_any_hit(bvh, o_half, d_half, alpha_test=quality >= 1).reshape(sh, sw // 2)
         occluded = jnp.zeros((sh, sw), dtype=bool).at[ys, xs].set(occ_half)
     else:
         origins = wpos.reshape(-1, 3)
-        occluded = trace_any_hit(bvh, origins, dirs.reshape(-1, 3))
+        occluded = trace_any_hit(bvh, origins, dirs.reshape(-1, 3), alpha_test=quality >= 1)
         occluded = occluded.reshape(sh, sw)
 
     shadow = jnp.where(occluded, 0.0, 1.0)

@@ -73,6 +73,9 @@ class FrameConfig:
     shadow_scale: int = 2
     shadow_checkerboard: bool = True
     shadow_blur: bool = True  # depth-aware bilateral blur + sun jitter
+    # 0 = opaque-only first hit; 1 = alpha-tested any-hit via opacity masks
+    # (reference QUALITY spec constant, shadow.comp.glsl:78-123)
+    shadow_quality: int = 0
 
     @property
     def late_cluster_cap(self):
@@ -400,6 +403,7 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
             checkerboard=cfg.shadow_checkerboard,
             blur=cfg.shadow_blur,
             znear=params.znear,
+            quality=cfg.shadow_quality,
         )
     image = shade.composite(
         g0,

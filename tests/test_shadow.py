@@ -277,3 +277,44 @@ def test_shadow_blur_matches_scalar_oracle(rng):
     expect = blur_1d(shadow_in, lin, axis=1)
     expect = blur_1d(expect, lin, axis=0)
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-5)
+
+
+def test_alpha_tested_any_hit():
+    """QUALITY-1: rays through mask-transparent regions of an alpha-tested
+    occluder must NOT report occlusion; opaque-cell rays must."""
+    v = np.array(
+        [[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], dtype=np.float32
+    )
+    idx = np.array([0, 1, 2, 0, 2, 3], dtype=np.uint32)
+    nodes, order = bindings.build_bvh(v, idx)
+    tris = v[idx.reshape(-1, 3)][order]
+    bvh = shadow.single_blas(nodes, tris)
+
+    # uv == (x,y) normalized to [0,1]; mask: left half (u<0.5) transparent
+    uvs = (v[:, :2] + 1) * 0.5
+    t3 = idx.reshape(-1, 3)[order]
+    tri_uv = np.zeros((2, 8), np.float32)
+    tri_uv[:, 0:6] = uvs[t3].reshape(-1, 6)
+    cells = np.zeros((8, 8), bool)
+    cells[:, 4:] = True
+    m = (cells.reshape(64).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        dtype=np.uint64
+    )
+    row = np.zeros(8, np.float32)
+    for h in range(4):
+        row[h] = float((m >> np.uint64(16 * h)) & np.uint64(0xFFFF))
+    row[4:8] = [0, 0, 8, 8]
+    tri_alpha = np.tile(row, (2, 1))
+
+    import dataclasses
+
+    bvh = dataclasses.replace(bvh, tri_uv=tri_uv, tri_alpha=tri_alpha)
+    bvh = jax.device_put(bvh)
+
+    # x=-0.6 -> u=0.2 transparent; x=+0.6 -> u=0.8 opaque
+    o = jnp.array([[-0.6, 0.0, -5.0], [0.6, 0.0, -5.0]])
+    d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    hit_q0 = np.asarray(shadow.trace_any_hit(bvh, o, d))
+    hit_q1 = np.asarray(shadow.trace_any_hit(bvh, o, d, alpha_test=True))
+    np.testing.assert_array_equal(hit_q0, [True, True])  # opaque-only: both occlude
+    np.testing.assert_array_equal(hit_q1, [False, True])  # alpha-tested punches through

@@ -82,17 +82,22 @@ def main():
     cmds = timed("build_task_commands", btc, scene, emit, lod, dvb, max_groups=cfg.max_groups, capacity=cfg.cmd_capacity)
 
     cc = partial(jax.jit, static_argnames=("late", "pyramid_shape", "cluster_capacity"))(cull.cluster_cull)
-    ccmd, clane, ccount, _ = timed(
+    ccmd, clane, ccount, _, _ = timed(
         "clustercull", cc, scene, params, cmds, vis_words, atlas0,
         late=False, pyramid_shape=pyr_hw, cluster_capacity=cfg.cluster_capacity,
     )
     print(f"{'':28s} [commands={int(cmds.count)} clusters={int(ccount)}]")
 
-    tcf = partial(jax.jit, static_argnames=("width", "height"))(raster.transform_clusters)
-    tc = timed("transform_clusters", tcf, scene, ccmd, clane, ccount, cmds, params.view,
-               params.p00, params.p11, params.znear, width=cfg.width, height=cfg.height)
+    from niagara_tpu.ops import setup_fused
 
-    st = timed("compact_setup", jax.jit(lambda t: raster.compact_setup(t, cfg.width, cfg.height, float(params.znear), cfg.tri_capacity)), tc)
+    tmf = jax.jit(raster.transform_meta)
+    tc = timed("transform_meta(gather)", tmf, scene, ccmd, clane, ccount, cmds)
+
+    st = timed(
+        "setup_fused(kernel)",
+        jax.jit(lambda t: setup_fused.setup_compact(t, params, cfg.width, cfg.height, cfg.tri_capacity)),
+        tc,
+    )
     print(f"{'':28s} [valid tris={int(st['count'])}]", flush=True)
 
     from niagara_tpu.ops import raster_tile
@@ -105,39 +110,9 @@ def main():
         "emit_pairs(sort)", ep, st, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=cfg.pair_capacity)
     print(f"{'':28s} [pairs={int(pair_count)} huge_dropped={int(huge)}]", flush=True)
 
-    # record row-gather alone
-    rg = jax.jit(lambda rec16, pt: rec16[pt].T)
-    timed("rec row gather+T", rg, st["rec16"], pair_tri)
-
-    # the Pallas kernel alone (pairs/records precomputed)
-    import functools as _ft
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    recs0 = jnp.concatenate([st["rec16"][pair_tri].T, jnp.zeros((16, 2 * raster_tile.REC_CHUNK), jnp.float32)], axis=1)
-    frag0 = jnp.zeros((8, recs0.shape[1]), jnp.int32).at[0, : pair_tri.shape[0]].set(pair_tri)
-
-    def kernel_only(tile_start, recs, frag):
-        depth_t = jnp.zeros((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32)
-        vis_t = jnp.full((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), 0x7FFFFFFF, jnp.int32)
-        kernel = _ft.partial(raster_tile._raster_kernel, tiles_x=tiles_x)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec((1, raster_tile.TILE_H, raster_tile.TILE_W), lambda i, *_: (i, 0, 0)),
-                      pl.BlockSpec((1, raster_tile.TILE_H, raster_tile.TILE_W), lambda i, *_: (i, 0, 0))],
-            out_specs=[pl.BlockSpec((1, raster_tile.TILE_H, raster_tile.TILE_W), lambda i, *_: (i, 0, 0)),
-                       pl.BlockSpec((1, raster_tile.TILE_H, raster_tile.TILE_W), lambda i, *_: (i, 0, 0))],
-            scratch_shapes=[pltpu.SMEM((2, 16, raster_tile.REC_CHUNK), jnp.float32),
-                            pltpu.SMEM((2, 8, raster_tile.REC_CHUNK), jnp.int32),
-                            pltpu.SemaphoreType.DMA((2, 2))],
-        )
-        return pl.pallas_call(kernel, out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.int32)),
-            grid_spec=grid_spec)(tile_start, recs, frag, depth_t, vis_t)
-
-    timed("raster kernel alone", jax.jit(kernel_only), tile_start, recs0, frag0)
+    # record row-gather alone (the pair stream build)
+    rg = jax.jit(lambda rec, pt: rec[pt][:, : raster_tile.REC].T)
+    timed("rec row gather+T", rg, st["rec48"], pair_tri)
 
     def tile_raster(st):
         depth_t = jnp.zeros((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32)
@@ -154,9 +129,22 @@ def main():
     pj = partial(jax.jit, static_argnames=("levels", "ph", "pw"))(pyramid.build_pyramid)
     timed("depth_pyramid", pj, fb.depth, levels, ph, pw)
 
-    setup_all = dict(tri_k=st["tri_k"], tri_t=st["tri_t"], shade_rec=st["shade_rec"])
-    sg = partial(jax.jit, static_argnames=("width", "height"))(shade.shade_gbuffer)
-    g0, g1, valid = timed("shade_gbuffer", sg, fb, tc, setup_all, scene, width=cfg.width, height=cfg.height)
+    def shade_kernel(st, vis_img):
+        depth_t = jnp.zeros((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32)
+        vis_t0 = jnp.full((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), 0x7FFFFFFF, jnp.int32)
+        _, vis_t, rst = raster_tile.rasterize_tiles(
+            st, depth_t, vis_t0, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=cfg.pair_capacity
+        )
+        attr_t = jnp.zeros(
+            (n_tiles, raster_tile.ATTR_CHANNELS, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32
+        )
+        attr_t = raster_tile.shade_tiles(rst["stream"], vis_t, attr_t, tiles_x=tiles_x)
+        return raster_tile.attr_tiles_to_image(attr_t, cfg.height, cfg.width)
+
+    attrs_img = timed("shade_tiles(+re-raster)", jax.jit(shade_kernel), st, vis_img)
+
+    sg2 = jax.jit(lambda a, v: shade.gbuffer_from_attrs(a, v != 0x7FFFFFFF, scene))
+    g0, g1, valid = timed("gbuffer_from_attrs", sg2, attrs_img, vis_img)
 
     co = jax.jit(
         lambda g0, g1, d, v, sp: shade.composite(
