@@ -61,8 +61,11 @@ def main():
         max_groups=int(np.ceil(geometry.meshes.lod_meshlet_count.max() / 64)),
         cmd_capacity=int(os.environ.get("BENCH_CMD_CAP", 1 << 16 if big else 1 << 14)),
         cluster_capacity=int(os.environ.get("BENCH_CLUSTER_CAP", 1 << 16)),
-        tri_capacity=int(os.environ.get("BENCH_TRI_CAP", 1 << 19)),
-        pair_capacity=int(os.environ.get("BENCH_PAIR_CAP", 1 << 20)),
+        # measured at 1M draws steady state: ~531k live triangles, ~1.05M
+        # tile pairs — 640k/1.25M leave ~20% headroom with zero drops (the
+        # drop counters in the stats line guard this)
+        tri_capacity=int(os.environ.get("BENCH_TRI_CAP", 640 * 1024)),
+        pair_capacity=int(os.environ.get("BENCH_PAIR_CAP", 1280 * 1024)),
         late_cluster_capacity=int(os.environ.get("BENCH_LATE_CLUSTER_CAP", 1 << 14)),
         late_tri_capacity=int(os.environ.get("BENCH_LATE_TRI_CAP", 1 << 18)),
     )

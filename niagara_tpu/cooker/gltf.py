@@ -366,7 +366,14 @@ def load_scene(path: str, build_lods: bool = True) -> SceneData:
 
     for tex in g.json.get("textures", []):
         img = g.json.get("images", [{}])[tex.get("source", 0)]
-        out.texture_paths.append(img.get("uri", ""))
+        uri = img.get("uri", "")
+        # source images ship as png/jpg URIs but the cooked asset set stores
+        # pre-compressed DDS next to them (reference scene.cpp:682-705
+        # rewrites extensions the same way)
+        dot = uri.rfind(".")
+        if dot > 0 and not uri.lower().endswith(".dds"):
+            uri = uri[:dot] + ".dds"
+        out.texture_paths.append(uri)
 
     out.animations = _load_animations(g, anim_node_draw)
     return out

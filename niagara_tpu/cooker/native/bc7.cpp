@@ -12,13 +12,13 @@
 #include <stdint.h>
 #include <string.h>
 
-namespace
-{
-
 // spec constant tables (identical in every conformant implementation) -----
 
-// 4x4 partition assignments for 2-subset modes, indexed [partition][texel]
-static const uint8_t kPartition2[64][16] = {
+// 4x4 partition assignments for 2-subset modes, indexed [partition][texel].
+// Exported (ck_*): BC6H shares the first 32 shapes + anchors (bc6h.cpp).
+extern const uint8_t ck_kPartition2[64][16];
+extern const uint8_t ck_kAnchor2[64];
+const uint8_t ck_kPartition2[64][16] = {
 	{0,0,1,1,0,0,1,1,0,0,1,1,0,0,1,1},{0,0,0,1,0,0,0,1,0,0,0,1,0,0,0,1},
 	{0,1,1,1,0,1,1,1,0,1,1,1,0,1,1,1},{0,0,0,1,0,0,1,1,0,0,1,1,0,1,1,1},
 	{0,0,0,0,0,0,0,1,0,0,0,1,0,0,1,1},{0,0,1,1,0,1,1,1,0,1,1,1,1,1,1,1},
@@ -52,6 +52,17 @@ static const uint8_t kPartition2[64][16] = {
 	{0,0,0,0,1,1,1,1,0,0,1,1,0,0,1,1},{0,0,1,1,0,0,1,1,1,1,1,1,0,0,0,0},
 	{0,0,1,0,0,0,1,0,1,1,1,0,1,1,1,0},{0,1,0,0,0,1,0,0,0,1,1,1,0,1,1,1},
 };
+
+// anchor (fix-up) index of the second subset in 2-subset modes
+const uint8_t ck_kAnchor2[64] = {
+	15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15,
+	15,  2,  8,  2,  2,  8,  8, 15,  2,  8,  2,  2,  8,  8,  2,  2,
+	15, 15,  6,  8,  2,  8, 15, 15,  2,  8,  2,  2,  2, 15, 15,  6,
+	 6,  2,  6,  8, 15, 15,  2,  2, 15, 15, 15, 15, 15,  2,  2, 15,
+};
+
+namespace
+{
 
 // 4x4 partition assignments for 3-subset modes
 static const uint8_t kPartition3[64][16] = {
@@ -89,13 +100,8 @@ static const uint8_t kPartition3[64][16] = {
 	{0,1,0,1,2,2,2,2,2,2,2,2,2,2,2,2},{0,1,1,1,2,0,1,1,2,2,0,1,2,2,2,0},
 };
 
-// anchor (fix-up) index of the second subset in 2-subset modes
-static const uint8_t kAnchor2[64] = {
-	15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15, 15,
-	15,  2,  8,  2,  2,  8,  8, 15,  2,  8,  2,  2,  8,  8,  2,  2,
-	15, 15,  6,  8,  2,  8, 15, 15,  2,  8,  2,  2,  2, 15, 15,  6,
-	 6,  2,  6,  8, 15, 15,  2,  2, 15, 15, 15, 15, 15,  2,  2, 15,
-};
+#define kPartition2 ck_kPartition2
+#define kAnchor2 ck_kAnchor2
 
 // anchor indices of subsets 1 and 2 in 3-subset modes
 static const uint8_t kAnchor3a[64] = {

@@ -6,8 +6,8 @@
 // load time and the device samples a plain texel table.
 //
 // Supported: BC1 (DXT1), BC2 (DXT3), BC3 (DXT5), BC4 (ATI1), BC5 (ATI2),
-// BC7 (bc7.cpp) and uncompressed RGBA8; BC6H is not implemented yet (loader
-// reports format 0).
+// BC7 (bc7.cpp), BC6H HDR tone-clamped to 8-bit (bc6h.cpp), and
+// uncompressed RGBA8.
 
 #include "cooker.h"
 
@@ -19,6 +19,33 @@
 #include <vector>
 
 extern "C" void ck_decode_bc7_block(const uint8_t* block, uint8_t out[16][4]);
+extern "C" void ck_decode_bc6h_block(const uint8_t* block, uint16_t out[16][3], int is_signed);
+
+namespace
+{
+// half -> float (standard bit expansion; inputs are finite BC6H outputs)
+static float halfToFloat(uint16_t h)
+{
+	uint32_t sign = (uint32_t)(h & 0x8000) << 16;
+	uint32_t em = h & 0x7FFF;
+	uint32_t bits;
+	if (em == 0)
+		bits = sign;
+	else if ((em & 0x7C00) == 0)
+	{
+		// subnormal half: normalize
+		int e = -1;
+		uint32_t m = em;
+		do { ++e; m <<= 1; } while ((m & 0x400) == 0);
+		bits = sign | ((uint32_t)(127 - 15 - e + 1) << 23) | ((m & 0x3FF) << 13);
+	}
+	else
+		bits = sign | ((((em >> 10) - 15 + 127) & 0xFF) << 23) | ((em & 0x3FF) << 13);
+	float f;
+	memcpy(&f, &bits, 4);
+	return f;
+}
+} // namespace
 
 namespace
 {
@@ -180,6 +207,23 @@ static void decodeMip(int format, const uint8_t* src, uint8_t* rgba, uint32_t w,
 			case 7: // BC7 (bc7.cpp)
 				ck_decode_bc7_block(b, px);
 				break;
+			case 8: // BC6H unsigned (bc6h.cpp); HDR tone-clamped to RGBA8
+			case 9: // BC6H signed
+			{
+				uint16_t halves[16][3];
+				ck_decode_bc6h_block(b, halves, format == 9);
+				for (int i = 0; i < 16; ++i)
+				{
+					for (int c = 0; c < 3; ++c)
+					{
+						float v = halfToFloat(halves[i][c]);
+						v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+						px[i][c] = (uint8_t)(v * 255.0f + 0.5f);
+					}
+					px[i][3] = 255;
+				}
+				break;
+			}
 			default:
 				memset(px, 128, sizeof(px));
 			}
@@ -244,6 +288,8 @@ extern "C" uint8_t* ck_load_dds(const char* path, uint32_t* out_info)
 			else if (dxgi >= 82 && dxgi <= 84) format = 5; // BC5
 			else if (dxgi == 28 || dxgi == 29) format = 6; // RGBA8
 			else if (dxgi >= 97 && dxgi <= 99) format = 7; // BC7
+			else if (dxgi == 95) format = 8;               // BC6H_UF16
+			else if (dxgi == 96) format = 9;               // BC6H_SF16
 		}
 	}
 	else if (pfFlags & 0x40) // uncompressed RGB(A)

@@ -84,9 +84,11 @@ def bake_opacity(geometry, draws, materials: dict | None, texture_mips: list | N
     """Scene-level bake: mask rows for every meshlet triangle of every mesh
     referenced by an alpha-tested draw (postPass == 1).
 
-    `texture_mips`: list of per-texture mip lists ([h,w,4] u8), 1-based ids
-    like render.textures (id 0 = none).  Returns [M, 96, 8] f32 (zero rows =
-    no alpha test) or None when nothing is alpha-tested."""
+    `texture_mips`: list of per-texture mip lists ([h,w,4] u8), indexed by
+    the RAW material texture ids (materials["textures"], -1 = none — the +1
+    shift to the device texture table happens at upload).  Returns
+    [M, 96, 8] f32 (zero rows = no alpha test) or None when nothing is
+    alpha-tested."""
     from ..scene import unpack_meshlet_refs
 
     if materials is None or texture_mips is None:
@@ -109,11 +111,11 @@ def bake_opacity(geometry, draws, materials: dict | None, texture_mips: list | N
     uv = geometry.vuv.astype(np.float32)
     for mesh, mat in mesh_mat.items():
         tex_id = int(mat_tex[mat, 0])
-        if tex_id <= 0 or tex_id > len(texture_mips):
+        if tex_id < 0 or tex_id >= len(texture_mips):
             continue
         # bake from mip 1 when available (reference uses OMMMIP default 1,
         # niagara.cpp:872: half-res alpha is stabler and 4x cheaper)
-        mips = texture_mips[tex_id - 1]
+        mips = texture_mips[tex_id]
         mip = mips[min(1, len(mips) - 1)]
         for lod in range(int(m.lod_count[mesh])):
             mo = int(m.lod_meshlet_offset[mesh, lod])

@@ -145,13 +145,11 @@ def transform_meta(scene, cluster_cmd, cluster_lane, cluster_count, cmds):
     mi = cmds.task_offset[cmd] + cluster_lane
     mi = jnp.clip(mi, 0, scene.meshlet_tris.shape[0] - 1)
 
-    ai = jnp.minimum(mi, scene.meshlet_alpha.shape[0] - 1)
-    return dict(
+    out = dict(
         chan=scene.meshlet_channels[mi],  # [K,64,20] bf16 — one 2.5KB row gather
         tri=scene.meshlet_tris[mi],  # [K,96,3]
         tri_count=scene.meshlet_triangle_count[mi],  # [K]
         xform=scene.draw_xform_row[draw_id],  # [K,8]
-        alpha=scene.meshlet_alpha[ai],  # [K,8,96] opacity masks (zeros = off)
         draw_id=draw_id,
         mat_index=scene.draw_material_index[draw_id],
         post_pass=scene.draw_post_pass[draw_id],
@@ -159,6 +157,12 @@ def transform_meta(scene, cluster_cmd, cluster_lane, cluster_count, cmds):
         # shape (1,): 0-d arrays break the frame's cross-pass tree concat
         count=jnp.reshape(cluster_count, (1,)),
     )
+    # opacity masks only when the scene has alpha-tested content (the [K,8,96]
+    # f32 gather costs ~400MB/frame at bench capacities — scenes without
+    # masks must not pay it; the kernel has a static no-alpha variant)
+    if getattr(scene, "has_alpha_masks", False):
+        out["alpha"] = scene.meshlet_alpha[mi]
+    return out
 
 
 def compact_setup(tc, width, height, znear, capacity: int):
@@ -239,12 +243,18 @@ def compact_setup(tc, width, height, znear, capacity: int):
     # Works for vertices on/behind the near plane with NO clipping stage —
     # the per-pixel 0 < z <= 1 test in the raster kernels clips exactly.
     # At w==1 this reduces bit-for-bit to the screen-space edge equations.
+    #
+    # Winding: content is glTF/OBJ counter-clockwise front-facing (reference
+    # VK_FRONT_FACE_COUNTER_CLOCKWISE + negative-viewport y-flip nets ZERO
+    # flips, shaders.cpp:687, niagara.cpp:1641); our image-space y flip makes
+    # CCW-world triangles negative-determinant, so edges and det are NEGATED
+    # to keep the e >= 0 inside / det > 0 front convention.
     def cross_rows(px, py, pw, qx, qy, qw):
-        return (py * qw - pw * qy, pw * qx - px * qw, px * qy - py * qx)
+        return (pw * qy - py * qw, px * qw - pw * qx, py * qx - px * qy)
 
-    eAB = cross_rows(ahx, ahy, aw, bhx, bhy, bw)  # adj row 2 (weight of C)
-    eBC = cross_rows(bhx, bhy, bw, chx, chy, cw)  # adj row 0 (weight of A)
-    eCA = cross_rows(chx, chy, cw, ahx, ahy, aw)  # adj row 1 (weight of B)
+    eAB = cross_rows(ahx, ahy, aw, bhx, bhy, bw)  # -adj row 2 (weight of C)
+    eBC = cross_rows(bhx, bhy, bw, chx, chy, cw)  # -adj row 0 (weight of A)
+    eCA = cross_rows(chx, chy, cw, ahx, ahy, aw)  # -adj row 1 (weight of B)
     det = ahx * eBC[0] + ahy * eBC[1] + aw * eBC[2]
     front = det > 0.0
 

@@ -163,7 +163,8 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
 
 
 def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
-                   depth_out_ref, vis_out_ref, recs_smem, frag_smem, sems, *, tiles_x):
+                   depth_out_ref, vis_out_ref, recs_smem, frag_smem, sems, *, tiles_x,
+                   alpha_test: bool = False):
     i = pl.program_id(0)
     start = tile_start_ref[i]
     end = tile_start_ref[i + 1]
@@ -235,14 +236,15 @@ def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
             live = (gidx >= start) & (gidx < end)
             cover = cover & live
 
-            # raster-time alpha test (reference mesh.frag.glsl:88-89
-            # `discard`): alpha-tested records carry an 8x8 uv-space opacity
-            # bitmask (cols 48-55, cooker/opacity.py); the scalar cond keeps
-            # opaque records free
-            idu = recs_smem[slot, 54, j]
-
-            def _alpha_test(cover=cover, e0=e0, e1=e1, e2=e2):
+            if alpha_test:
+                # raster-time alpha test (reference mesh.frag.glsl:88-89
+                # `discard`): alpha-tested records carry an 8x8 uv-space
+                # opacity bitmask (cols 48-55, cooker/opacity.py).  This is
+                # a STATIC kernel variant used only by post passes — the
+                # reference's specialization-constant POST pipelines — so
+                # opaque passes pay nothing.
                 r = lambda k: recs_smem[slot, k, j]
+                idu = r(54)
                 wsum = e0 + e1 + e2
                 inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
                 # Olano-Greer: edge values are the perspective weights
@@ -250,7 +252,7 @@ def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
                 u = (e1 * r(22) + e2 * r(30) + e0 * r(38)) * inv
                 v = (e1 * r(23) + e2 * r(31) + e0 * r(39)) * inv
                 gx = jnp.clip(jnp.floor((u - r(52)) * idu), 0.0, 7.0)
-                gy = jnp.clip(jnp.floor((v - r(53)) * recs_smem[slot, 55, j]), 0.0, 7.0)
+                gy = jnp.clip(jnp.floor((v - r(53)) * r(55)), 0.0, 7.0)
                 b = gy * 8.0 + gx
                 half = jnp.where(
                     b < 16.0, r(48), jnp.where(b < 32.0, r(49), jnp.where(b < 48.0, r(50), r(51)))
@@ -259,9 +261,7 @@ def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
                 # floor(half / 2^(b mod 16)) mod 2
                 t = jnp.floor(half * jnp.exp2(-jnp.mod(b, 16.0)))
                 bit = t - 2.0 * jnp.floor(t * 0.5)
-                return cover & (bit > 0.5)
-
-            cover = jax.lax.cond(idu > 0.0, _alpha_test, lambda: cover)
+                cover = cover & ((idu <= 0.0) | (bit > 0.5))
 
             closer = cover & (z > depth)
             tie = cover & (z == depth) & (frag < vis)
@@ -279,7 +279,8 @@ def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
 
 
 def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int,
-                    pair_capacity: int, frag_offset=0, interpret: bool = False):
+                    pair_capacity: int, frag_offset=0, interpret: bool = False,
+                    alpha_test: bool = False):
     """Rasterize set-up triangles into tile-major depth/vis buffers.
 
     depth_tiles/vis_tiles: [n_tiles, TILE_H, TILE_W] prior contents (cleared
@@ -317,7 +318,7 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
     frag = jnp.zeros((8, recs.shape[1]), jnp.int32)
     frag = frag.at[0, : pair_tri.shape[0]].set(pair_tri + frag_offset)
 
-    kernel = functools.partial(_raster_kernel, tiles_x=tiles_x)
+    kernel = functools.partial(_raster_kernel, tiles_x=tiles_x, alpha_test=alpha_test)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),

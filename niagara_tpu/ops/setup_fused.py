@@ -68,12 +68,22 @@ def corner_dots(chan, tri):
     return outs
 
 
+def _setup_kernel_alpha(*args):
+    _setup_kernel(*args)
+
+
+def _setup_kernel_noalpha(cnt_ref, c0, c1, c2, xform, meta, prm, rec_out, aabb_out,
+                          count_out, *scratch):
+    _setup_kernel(cnt_ref, c0, c1, c2, xform, meta, None, prm, rec_out, aabb_out,
+                  count_out, *scratch)
+
+
 def _setup_kernel(
     cnt_ref,  # scalar prefetch: [1] i32 live cluster count
     c0_ref, c1_ref, c2_ref,  # [BLOCK, 20, 96] bf16 corner channels (channel-major)
     xform_ref,  # [BLOCK, 8] f32 (pos, scale, quat)
     meta_ref,  # [BLOCK, 4] i32 (draw, mat, post, tri_count)
-    alpha_ref,  # [BLOCK, 8, 96] f32 opacity mask channels (channel-major)
+    alpha_ref,  # [BLOCK, 8, 96] f32 opacity mask channels, or None (no-alpha variant)
     prm_ref,  # [1, 24] f32 params (view rows, p00, p11, znear, w, h)
     rec_out,  # HBM [cap_pad, 128] f32: REC record cols + zero pad (DMA rows)
     aabb_out,  # HBM [8, cap_pad] f32 channel-major (DMA 128-lane slices)
@@ -161,10 +171,12 @@ def _setup_kernel(
         A, B, C = corners
 
         def cross_rows(p, q):
+            # negated adjugate rows: CCW-world content is front-facing under
+            # our y-down image mapping (see raster.compact_setup)
             return (
-                p["hy"] * q["w"] - p["w"] * q["hy"],
-                p["w"] * q["hx"] - p["hx"] * q["w"],
-                p["hx"] * q["hy"] - p["hy"] * q["hx"],
+                p["w"] * q["hy"] - p["hy"] * q["w"],
+                p["hx"] * q["w"] - p["w"] * q["hx"],
+                p["hy"] * q["hx"] - p["hx"] * q["hy"],
             )
 
         eAB = cross_rows(A, B)
@@ -220,8 +232,12 @@ def _setup_kernel(
         for ci, c in enumerate((A, B, C)):
             cols += [sx[ci], sy[ci], c["w"], c["n"][0], c["n"][1], c["n"][2], c["u"], c["v"]]
         cols += [A["vid"], B["vid"], C["vid"], drawf, matf, postf, flat, jnp.zeros_like(flat)]
-        # opacity mask channels (exact f32 16-bit halves + uv rect)
-        cols += [alpha_ref[:, i, :] for i in range(8)]
+        # opacity mask channels (exact f32 16-bit halves + uv rect); the
+        # no-alpha variant writes zeros without any mask input traffic
+        if alpha_ref is not None:
+            cols += [alpha_ref[:, i, :] for i in range(8)]
+        else:
+            cols += [jnp.zeros_like(flat) for _ in range(8)]
 
         # --- in-block ranks at [BLOCK, 96] (flat row-major order = the XLA
         # compaction order).  Mosaic has no cumsum and no lane-changing
@@ -382,18 +398,22 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
         ]
     ).reshape(1, 24)
 
+    with_alpha = "alpha" in tc
+    in_specs = [
+        pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((BLOCK, 8), lambda i, *_: (i, 0)),
+        pl.BlockSpec((BLOCK, 4), lambda i, *_: (i, 0)),
+    ]
+    if with_alpha:
+        in_specs.append(pl.BlockSpec((BLOCK, 8, MESH_MAXTRI), lambda i, *_: (i, 0, 0)))
+    in_specs.append(pl.BlockSpec((1, 24), lambda i, *_: (0, 0), memory_space=pltpu.SMEM))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(K // BLOCK,),
-        in_specs=[
-            pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((BLOCK, 8), lambda i, *_: (i, 0)),
-            pl.BlockSpec((BLOCK, 4), lambda i, *_: (i, 0)),
-            pl.BlockSpec((BLOCK, 8, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 24), lambda i, *_: (0, 0), memory_space=pltpu.SMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             # HBM explicitly: under pl.ANY the compiler may place these in
             # VMEM with (1,128) lane tiling, where 48-lane DMA row slices
@@ -414,8 +434,18 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
         ],
     )
 
+    operands = [
+        jnp.reshape(tc["count"], (-1,))[:1].astype(jnp.int32),
+        c0, c1, c2,
+        tc["xform"],
+        meta,
+    ]
+    if with_alpha:
+        operands.append(tc["alpha"])
+    operands.append(prm)
+
     rec_rows, aabb_t, count = pl.pallas_call(
-        _setup_kernel,
+        _setup_kernel_alpha if with_alpha else _setup_kernel_noalpha,
         out_shape=(
             jax.ShapeDtypeStruct((cap_pad, 128), jnp.float32),
             jax.ShapeDtypeStruct((8, cap_pad), jnp.float32),
@@ -424,14 +454,7 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(
-        jnp.reshape(tc["count"], (-1,))[:1].astype(jnp.int32),
-        c0, c1, c2,
-        tc["xform"],
-        meta,
-        tc["alpha"],
-        prm,
-    )
+    )(*operands)
 
     raw_count = count[0, 0]
     count = jnp.minimum(raw_count, capacity)

@@ -154,10 +154,10 @@ def build_scene_rt(geometry, draws, materials: dict | None = None, texture_mips:
             mat = mat_of_mesh.get(mi)
             if mat is None:
                 continue
-            tex_id = int(mat_tex[mat, 0])
-            if tex_id <= 0 or tex_id > len(texture_mips):
+            tex_id = int(mat_tex[mat, 0])  # raw gltf id, -1 = none
+            if tex_id < 0 or tex_id >= len(texture_mips):
                 continue
-            mips = texture_mips[tex_id - 1]
+            mips = texture_mips[tex_id]
             mip = mips[min(1, len(mips) - 1)]
             tri_alpha[b : b + len(t3)] = bake_mesh_masks(uvs, t3, mip)
 

@@ -304,6 +304,9 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                     st_p, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
                     pair_capacity=cfg.pair_capacity, frag_offset=off_p,
                     interpret=cfg.raster_interpret,
+                    # post passes alpha-test at raster time (the reference's
+                    # POST pipeline variant with fragment discard)
+                    alpha_test=pp == 1,
                 )
                 streams.append(rst_p["stream"])
                 pair_dropped = pair_dropped + rst_p["huge_dropped"]

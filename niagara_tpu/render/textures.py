@@ -37,24 +37,13 @@ class TextureTable:
         return self.mip_count.shape[0]
 
 
-def build_texture_table(
-    paths: list[str],
-    base_dir: str = "",
-    max_dim: int | None = None,
-    budget_bytes: int | None = 2 << 30,
-) -> TextureTable:
-    """Load DDS textures into one table.  Texture 0 is a 1x1 white dummy
-    (the reference reserves id 0 as 'no texture'); missing/unsupported files
-    fall back to 1x1 magenta.
-
-    `budget_bytes` bounds the HBM texel pool (the RGBA8 pool is ~1.3-4x the
-    BC source size, so a Bistro-class set would otherwise be unbounded): if
-    the full-resolution pool exceeds the budget, every texture's finest mips
-    are dropped uniformly (one level at a time) until it fits — the texture
-    equivalent of the capacity-drop discipline elsewhere."""
+def load_texture_mips(paths: list[str], base_dir: str = "", max_dim: int | None = None) -> list:
+    """Decode each DDS into its RGBA8 mip list (missing/unsupported files
+    fall back to 1x1 magenta).  The list feeds both `build_texture_table`
+    and the opacity bake (cooker/opacity.py)."""
     from ..cooker import bindings
 
-    texture_mips = [[np.full((1, 1, 4), 255, np.uint8)]]  # id 0 = white
+    out = []
     for p in paths:
         full = os.path.join(base_dir, p) if base_dir else p
         try:
@@ -63,7 +52,30 @@ def build_texture_table(
             mips = [np.tile(np.array([255, 0, 255, 255], np.uint8), (1, 1, 1))]
         if max_dim is not None:
             mips = [m for m in mips if max(m.shape[0], m.shape[1]) <= max_dim] or [mips[-1]]
-        texture_mips.append(mips[:MAX_MIPS])
+        out.append(mips[:MAX_MIPS])
+    return out
+
+
+def build_texture_table(
+    paths: list[str] | None = None,
+    base_dir: str = "",
+    max_dim: int | None = None,
+    budget_bytes: int | None = 2 << 30,
+    mips: list | None = None,
+) -> TextureTable:
+    """Load DDS textures into one table.  Texture 0 is a 1x1 white dummy
+    (the reference reserves id 0 as 'no texture'); missing/unsupported files
+    fall back to 1x1 magenta.  Pass pre-decoded `mips` (load_texture_mips)
+    to skip loading.
+
+    `budget_bytes` bounds the HBM texel pool (the RGBA8 pool is ~1.3-4x the
+    BC source size, so a Bistro-class set would otherwise be unbounded): if
+    the full-resolution pool exceeds the budget, every texture's finest mips
+    are dropped uniformly (one level at a time) until it fits — the texture
+    equivalent of the capacity-drop discipline elsewhere."""
+    if mips is None:
+        mips = load_texture_mips(paths or [], base_dir, max_dim)
+    texture_mips = [[np.full((1, 1, 4), 255, np.uint8)]] + [list(m) for m in mips]
 
     if budget_bytes is not None:
         def pool_size(tm):

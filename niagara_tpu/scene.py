@@ -28,10 +28,9 @@ from .utils import math3d
 
 def _register_scene_dataclass(cls):
     names = [f.name for f in fields(cls)]
-    data_fields = [n for n in names if n != "meshlet_visibility_count"]
-    return jax.tree_util.register_dataclass(
-        cls, data_fields=data_fields, meta_fields=["meshlet_visibility_count"]
-    )
+    meta = [n for n in names if n in ("meshlet_visibility_count", "has_alpha_masks")]
+    data_fields = [n for n in names if n not in meta]
+    return jax.tree_util.register_dataclass(cls, data_fields=data_fields, meta_fields=meta)
 
 
 @dataclass
@@ -261,6 +260,9 @@ class DeviceScene:
     mat_textures: np.ndarray = None  # i32 [NM,4] albedo/normal/specular/emissive (+1-based into the texture table; 0 = none)
 
     meshlet_visibility_count: int = 0
+    # static flag: opacity masks baked (meshlet_alpha is real, not the
+    # 1-row zero placeholder) — gates the alpha-variant setup kernel
+    has_alpha_masks: bool = False
 
     @property
     def num_draws(self) -> int:
@@ -390,6 +392,7 @@ def upload(
         meshlet_triangle_count=geometry.meshlets.triangle_count.astype(np.int32),
         meshlet_cull_blocks=_build_cull_blocks(geometry.meshlets),
         meshlet_alpha=meshlet_alpha,
+        has_alpha_masks=alpha_masks is not None,
         mesh_center=geometry.meshes.center.astype(np.float32),
         mesh_radius=geometry.meshes.radius.astype(np.float32),
         mesh_lod_count=geometry.meshes.lod_count.astype(np.int32),

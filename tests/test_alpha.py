@@ -29,8 +29,9 @@ def setup_two_quads(alpha_row):
         verts = np.zeros((MESH_MAXVTX, 2), np.float32)
         verts[:4] = [[0, 0], [W, 0], [W, H], [0, H]]
         tri = np.zeros((MESH_MAXTRI, 3), np.int32)
-        tri[0] = [0, 1, 2]  # positive Olano-Greer det in y-down screen space
-        tri[1] = [0, 2, 3]
+        # clockwise in y-down screen coords = CCW in world = front-facing
+        tri[0] = [0, 2, 1]
+        tri[1] = [0, 3, 2]
         tri_valid = np.zeros(MESH_MAXTRI, bool)
         tri_valid[:2] = True
         uv = np.zeros((MESH_MAXVTX, 2), np.float32)
@@ -79,7 +80,7 @@ def rasterize(st):
     vis = jnp.full((n, raster_tile.TILE_H, raster_tile.TILE_W), raster.INVALID_FRAG, jnp.int32)
     depth, vis, _ = raster_tile.rasterize_tiles(
         st, depth, vis, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=1 << 10,
-        interpret=True,
+        interpret=True, alpha_test=True,
     )
     return (
         np.asarray(raster_tile.tiles_to_image(depth, H, W)),

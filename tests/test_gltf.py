@@ -211,3 +211,104 @@ def jnp_time(t):
     import jax.numpy as jnp
 
     return jnp.float32(t)
+
+
+def test_alpha_textured_scene_bakes_and_renders(tmp_path):
+    """End-to-end content path: glTF with an alpha-MASK textured material ->
+    texture load -> opacity bake -> upload -> frame render (post pass on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from niagara_tpu.cooker.opacity import bake_opacity
+    from niagara_tpu.render import frame as frame_mod, textures as tex_mod
+    from niagara_tpu.render.camera import Camera, RenderSettings
+    from niagara_tpu import scene as scene_mod
+    from tests.test_textures import write_dds_rgba
+
+    # quad with uvs, alpha-MASK material with a baseColorTexture
+    verts = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    nrm = np.tile([0, 0, 1.0], (4, 1)).astype(np.float32)
+    uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+    tris = np.array([[0, 1, 2], [0, 2, 3]], np.uint16)
+    buf = verts.tobytes() + nrm.tobytes() + uv.tobytes() + tris.tobytes()
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"uri": "data:application/octet-stream;base64," + base64.b64encode(buf).decode(),
+                     "byteLength": len(buf)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 48, "byteLength": 48},
+            {"buffer": 0, "byteOffset": 96, "byteLength": 32},
+            {"buffer": 0, "byteOffset": 128, "byteLength": 12},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 4, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": 4, "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5123, "count": 6, "type": "SCALAR"},
+        ],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+            "indices": 3, "material": 0}]}],
+        "materials": [{
+            "pbrMetallicRoughness": {"baseColorTexture": {"index": 0}},
+            "alphaMode": "MASK",
+        }],
+        "textures": [{"source": 0}],
+        "images": [{"uri": "cut.png"}],
+        "nodes": [{"mesh": 0, "translation": [0, 0, -4]}],
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+    }
+    path = tmp_path / "alpha.gltf"
+    path.write_text(json.dumps(doc))
+
+    # texture: left half transparent (the loader rewrites cut.png -> cut.dds)
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[:, :, :3] = 200
+    img[:, 8:, 3] = 255
+    write_dds_rgba(str(tmp_path / "cut.dds"), img)
+
+    sd = gltf.load_scene(str(path))
+    assert sd.texture_paths == ["cut.dds"]
+    assert int(sd.draws.post_pass[0]) == 1
+
+    mips = tex_mod.load_texture_mips(sd.texture_paths, base_dir=str(tmp_path))
+    masks = bake_opacity(sd.geometry, sd.draws, sd.materials, mips)
+    assert masks is not None
+    live = masks[..., 6] > 0
+    assert live.any(), "alpha-tested triangles must get masks"
+    # left-transparent: some cells transparent, some opaque
+    packed = (masks[live][:, :4].astype(np.uint64) << (16 * np.arange(4, dtype=np.uint64))).sum(1)
+    assert (packed != 0).any() and (packed != 0xFFFFFFFFFFFFFFFF).any()
+
+    table = tex_mod.build_texture_table(mips=mips)
+    ds = scene_mod.upload(sd.geometry, sd.draws, sd.materials, masks)
+    cfg = frame_mod.FrameConfig(
+        width=256, height=144, max_groups=2, cmd_capacity=64, cluster_capacity=64,
+        small_capacity=1 << 10, big_capacity=16, pair_capacity=1 << 10,
+        tri_capacity=256, post_passes=2, raster_interpret=True, bloom=False,
+    )
+    params, sp = frame_mod.make_frame_inputs(Camera(), RenderSettings(), cfg)
+    state = frame_mod.init_state(ds.num_draws, ds.meshlet_visibility_count)
+    scene = jax.device_put(ds)
+    for _ in range(2):
+        image, fb, state, stats = frame_mod.render_frame(
+            scene, state, params, sp, cfg, textures=jax.device_put(table)
+        )
+    vis = np.asarray(fb.vis) != 0x7FFFFFFF
+    assert vis.any(), "quad must rasterize"
+
+    # reference render without masks: the full quad footprint
+    ds_plain = scene_mod.upload(sd.geometry, sd.draws, sd.materials, None)
+    state_p = frame_mod.init_state(ds_plain.num_draws, ds_plain.meshlet_visibility_count)
+    scene_p = jax.device_put(ds_plain)
+    for _ in range(2):
+        _, fb_p, state_p, _ = frame_mod.render_frame(scene_p, state_p, params, sp, cfg)
+    vis_p = np.asarray(fb_p.vis) != 0x7FFFFFFF
+    x_all = np.nonzero(vis_p.any(axis=0))[0]
+    x_cut = np.nonzero(vis.any(axis=0))[0]
+    mid = (x_all.min() + x_all.max()) / 2
+    # masked render: roughly half the footprint, all right of the quad center
+    assert vis.sum() < 0.6 * vis_p.sum(), (vis.sum(), vis_p.sum())
+    assert x_cut.min() >= mid - 1, (x_cut.min(), mid)

@@ -13,12 +13,15 @@ from niagara_tpu.cooker.synth import synthesize_draws
 from niagara_tpu.ops.raster import INVALID_FRAG
 from test_frame import CFG, render
 
-# captured 2026-08-16 (CPU backend, tile rasterizer, 8-kitten line scene)
+# captured 2026-08-17 (CPU backend, tile rasterizer, 8-kitten line scene);
+# re-baked after the winding fix (glTF/OBJ CCW is now front-facing — the
+# same silhouette covers, so coverage held at 2118, but depths/shading
+# switched from back to front faces)
 GOLDEN = {
     "coverage": 2118,
-    "depth_sum": 67.568207,
-    "img_mean": 0.398353,
-    "unique_frags": 151,
+    "depth_sum": 72.492828,
+    "img_mean": 0.653711,
+    "unique_frags": 137,
 }
 
 

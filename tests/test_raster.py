@@ -37,6 +37,10 @@ def make_tc(screen_tris, width, height):
     for t, corners in enumerate(screen_tris):
         k = t // TRIS_PER_CLUSTER
         tl = t % TRIS_PER_CLUSTER
+        # tests author triangles CCW in y-down screen coords (the OLD front
+        # convention); world-CCW front-facing means CW on a y-down screen,
+        # so reverse each triangle's order here
+        corners = [corners[0], corners[2], corners[1]]
         for c, (x, y, zndc, vz) in enumerate(corners):
             i = tl * 3 + c
             sx[k, i], sy[k, i], zw[k, i], viewz[k, i] = x, y, zndc, vz

@@ -75,7 +75,7 @@ def test_fused_matches_xla_setup(pipeline):
     # non-FMA rounding differs in the cancelled bits, not the edge geometry)
     edge_scale = np.abs(b[:, :9]).max(axis=1, keepdims=True)
     diff_e = np.abs(a[:, :9] - b[:, :9])
-    assert (diff_e <= 1e-4 * np.abs(b[:, :9]) + 1e-5 * edge_scale + 1e-6).all()
+    assert (diff_e <= 1e-4 * np.abs(b[:, :9]) + 1e-4 * edge_scale + 1e-6).all()
 
     cols = list(range(12, 46))
     np.testing.assert_allclose(a[:, cols], b[:, cols], rtol=1e-4, atol=1e-4)

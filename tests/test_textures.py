@@ -251,3 +251,99 @@ def test_texture_budget_drops_fine_mips(tmp_path):
     t_cut = tex_mod.build_texture_table([p2], budget_bytes=2000)
     assert int(t_cut.mip_w[1, 0]) <= 16  # finest mip dropped
     assert int(t_cut.mip_count[1]) < 4
+
+
+def write_dds_bc6h(path, w, h, payload, signed=False):
+    pf = struct.pack("<I I 4s I I I I I", 32, 0x4, b"DX10", 0, 0, 0, 0, 0)
+    linear = ((w + 3) // 4) * ((h + 3) // 4) * 16
+    hdr = struct.pack("<I I I I I I I", 124, 0x1007 | 0x80000, h, w, linear, 0, 1) + b"\0" * 44
+    caps = struct.pack("<I I I I I", 0x1000, 0, 0, 0, 0)
+    dx10 = struct.pack("<I I I I I", 96 if signed else 95, 3, 0, 1, 0)
+    with open(path, "wb") as f:
+        f.write(b"DDS " + hdr + pf + caps + dx10 + payload)
+
+
+def test_bc6h_unsigned_matches_pillow(tmp_path):
+    """BC6H_UF16 fuzz vs Pillow's independent decoder (all mode families).
+    Tolerance 2/255: the two half->8bit conversions round differently."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0xBC6)
+    W = H = 32
+    nb = (W // 4) * (H // 4)
+    path = str(tmp_path / "t.dds")
+    from niagara_tpu.cooker import bindings
+
+    for _ in range(4):
+        payload = rng.integers(0, 256, nb * 16, dtype=np.uint8)
+        write_dds_bc6h(path, W, H, payload.tobytes())
+        mips, fmt = bindings.load_dds(path)
+        assert fmt == 8
+        ref = np.asarray(Image.open(io.BytesIO(open(path, "rb").read())).convert("RGB"))
+        np.testing.assert_allclose(
+            mips[0][..., :3].astype(int), ref.astype(int), atol=2
+        )
+
+
+def test_bc6h_signed_mode10_analytic():
+    """BC6H_SF16 spec oracle on a crafted raw-endpoint (mode 10) block:
+    10-bit signed endpoints, known indices -> exact half values.
+    (Pillow's SF16 path disagrees with the spec, so the oracle is analytic.)"""
+    import ctypes
+
+    from niagara_tpu.cooker.bindings import get_lib
+
+    lib = get_lib()
+    lib.ck_decode_bc6h_block.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint16), ctypes.c_int
+    ]
+
+    def put(bits, pos, val, n):
+        for i in range(n):
+            if (val >> i) & 1:
+                bits |= 1 << (pos + i)
+        return bits, pos + n
+
+    # endpoints: rw=+200, gw=-200 (10-bit two's complement), bw=511 (max)
+    # rx=+100, gx=-100, bx=0; indices: texel0 anchor (3 bits)=0, others=15
+    bits, pos = 0, 0
+    bits, pos = put(bits, pos, 0b00011, 5)  # mode 11 code (LSB first: 1,1,0,0,0)
+    for v in (200, (-200) & 1023, 511, 100, (-100) & 1023, 0):
+        bits, pos = put(bits, pos, v, 10)
+    bits, pos = put(bits, pos, 0, 3)  # anchor index (t0): 0
+    for _ in range(15):
+        bits, pos = put(bits, pos, 15, 4)
+    blk = bits.to_bytes(16, "little")
+
+    out = (ctypes.c_uint16 * 48)()
+    lib.ck_decode_bc6h_block(blk, out, 1)
+    halves = np.array(out[:], np.uint16).reshape(16, 3)
+    f = np.frombuffer(halves.tobytes(), np.float16).astype(np.float32).reshape(16, 3)
+
+    def unq_signed(v, bits=10):
+        s = v < 0
+        v = abs(v)
+        if v == 0:
+            u = 0
+        elif v >= (1 << (bits - 1)) - 1:
+            u = 0x7FFF
+        else:
+            u = ((v << 15) + 0x4000) >> (bits - 1)
+        return -u if s else u
+
+    def finish(v):
+        v = -(((-v) * 31) >> 5) if v < 0 else (v * 31) >> 5
+        return np.frombuffer(
+            np.uint16((0x8000 | -v) if v < 0 else v).tobytes(), np.float16
+        )[0]
+
+    w4 = [0, 4, 9, 13, 17, 21, 26, 30, 34, 38, 43, 47, 51, 55, 60, 64]
+    for t in range(16):
+        wgt = w4[0] if t == 0 else w4[15]
+        for c, (e0, e1) in enumerate(((200, 100), (-200, -100), (511, 0))):
+            a, b = unq_signed(e0), unq_signed(e1)
+            v = (a * (64 - wgt) + b * wgt + 32) >> 6
+            assert f[t, c] == pytest.approx(float(finish(v)), abs=1e-6), (t, c)

@@ -65,11 +65,20 @@ def main():
     width, height = map(int, args.size.split("x"))
     os.makedirs(args.out, exist_ok=True)
 
+    textures = None
+    texture_mips = None
     if args.scene[0].endswith((".gltf", ".glb")):
         from niagara_tpu.cooker import gltf
+        from niagara_tpu.render import textures as tex_mod
 
         sd = gltf.load_scene(args.scene[0])
         geometry, draws, materials = sd.geometry, sd.draws, sd.materials
+        if sd.texture_paths:
+            base = os.path.dirname(os.path.abspath(args.scene[0]))
+            texture_mips = tex_mod.load_texture_mips(sd.texture_paths, base_dir=base)
+            textures = jax.device_put(tex_mod.build_texture_table(mips=texture_mips))
+            print(f"texture table: {len(sd.texture_paths)} textures, "
+                  f"{textures.texels.shape[0] * 4 / 1e6:.1f} MB texels")
         cam = Camera()
         if sd.camera_position is not None:
             cam = Camera(position=sd.camera_position, orientation=sd.camera_orientation, fov_y=sd.camera_fov_y)
@@ -89,10 +98,20 @@ def main():
     if args.shadows:
         from niagara_tpu.ops import shadow as shadow_mod
 
-        bvh = jax.device_put(shadow_mod.build_scene_bvh(geometry, draws))
+        bvh, _ = shadow_mod.build_scene_rt(geometry, draws, materials, texture_mips)
+        bvh = jax.device_put(bvh)
         print(f"shadow BVH: {bvh.nodes.shape[0]} nodes, {bvh.tri_v0.shape[0]} tris")
 
-    scene = jax.device_put(upload(geometry, draws, materials))
+    alpha_masks = None
+    if texture_mips is not None:
+        from niagara_tpu.cooker.opacity import bake_opacity
+
+        alpha_masks = bake_opacity(geometry, draws, materials, texture_mips)
+        if alpha_masks is not None:
+            n_alpha = int((alpha_masks[..., 6] > 0).sum())
+            print(f"opacity bake: {n_alpha} alpha-tested triangles masked")
+
+    scene = jax.device_put(upload(geometry, draws, materials, alpha_masks))
 
     cfg = frame_mod.FrameConfig(
         width=width,
@@ -104,6 +123,8 @@ def main():
         late_cluster_capacity=1 << 14,
         late_tri_capacity=1 << 18,
         shadows=args.shadows,
+        shadow_quality=1 if (args.shadows and alpha_masks is not None) else 0,
+        post_passes=2 if (alpha_masks is not None) else 1,
         raster_interpret=jax.default_backend() == "cpu",
     )
     settings = RenderSettings()
@@ -117,7 +138,7 @@ def main():
 
         params, sp = frame_mod.make_frame_inputs(cam, settings, cfg, sun_direction=sun)
         prof.begin_frame()
-        image, fb, state, stats = frame_mod.render_frame(scene, state, params, sp, cfg, bvh=bvh)
+        image, fb, state, stats = frame_mod.render_frame(scene, state, params, sp, cfg, bvh=bvh, textures=textures)
         if args.debug:
             from niagara_tpu.ops import shade as shade_mod
 
