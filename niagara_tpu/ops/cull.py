@@ -225,25 +225,23 @@ def cluster_cull(
     orientation = xf[:, None, 4:8]
 
     # A command's 64 meshlets are CONSECUTIVE (task_offset + lane), so the
-    # cull rows come as ONE 1KB row gather per command from the pre-blocked
-    # f16 table (scene.meshlet_cull_blocks[m] = rows m..m+63) — measured ~4x
-    # cheaper than a [C,64] row gather and ~20x cheaper than vmapped dynamic
-    # slices.  All block values are f16-exact by construction (fp16-quantized
-    # bounds, integer cone bytes), so upcasting loses nothing.
+    # cull rows come as ONE flat 1KB row gather per command from the
+    # pre-blocked channel-major f16 table (scene.meshlet_cull_blocks[m] =
+    # channels of meshlets m..m+63; flat 512-lane rows avoid the 16x minor-
+    # dim padding a [M,64,8] table would carry).  All values are f16-exact
+    # by construction (fp16-quantized bounds, integer cone bytes).
     off_safe = jnp.clip(cmds.task_offset, 0, scene.meshlet_cull_blocks.shape[0] - 1)
-    blocks = scene.meshlet_cull_blocks[off_safe]  # [C,64,8] f16
-    blocks = blocks.astype(jnp.float32)
-    rows = jnp.concatenate(
-        [blocks[..., 0:4], blocks[..., 4:8] * (1.0 / 127.0)], axis=-1
-    )  # cone bytes -> snorm
-    center_local = rows[..., 0:3]
-    radius = rows[..., 3] * scale  # [C,64]
+    blocks = scene.meshlet_cull_blocks[off_safe].astype(jnp.float32)  # [C,512]
+    bch = lambda c: blocks[:, c * TASK_WGSIZE : (c + 1) * TASK_WGSIZE]  # [C,64]
+    center_local = jnp.stack([bch(0), bch(1), bch(2)], axis=-1)
+    radius = bch(3) * scale  # [C,64]
 
     world = cullmath.rotate_quat(center_local, orientation) * scale[..., None] + position
     center = world @ params.view[:3, :3].T + params.view[:3, 3]
 
-    cone_axis = cullmath.rotate_quat(rows[..., 4:7], orientation) @ params.view[:3, :3].T
-    cone_cutoff = rows[..., 7]
+    cone_local = jnp.stack([bch(4), bch(5), bch(6)], axis=-1) * (1.0 / 127.0)
+    cone_axis = cullmath.rotate_quat(cone_local, orientation) @ params.view[:3, :3].T
+    cone_cutoff = bch(7) * (1.0 / 127.0)
 
     visible = valid
     skip = jnp.zeros_like(valid)

@@ -66,8 +66,8 @@ def tiles_to_image(tiles, height, width):
 
 
 def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
-               mid_capacity: int = 8192, small_capacity: int = 1 << 15,
-               midb_capacity: int = 1 << 10):
+               mid_capacity: int | None = None, small_capacity: int | None = None,
+               midb_capacity: int | None = None, giant_capacity: int = 128):
     """(tile, tri) pair list sorted by tile.
 
     Pairs are packed as single u32 keys (tile << tri_bits | tri) so the sort
@@ -79,6 +79,16 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     n_tiles = tiles_x * tiles_y
     valid = setup["valid"]
     T = valid.shape[0]
+    # per-class compaction capacities scale with the triangle budget so big
+    # scenes don't silently overflow a class (drops are still counted).
+    # Larger classes emit more slots each, so their caps shrink faster —
+    # total sorted slots stay ~3x the tiny-class baseline.
+    if small_capacity is None:
+        small_capacity = max(1 << 15, T // 8)
+    if mid_capacity is None:
+        mid_capacity = max(8192, T // 64)
+    if midb_capacity is None:
+        midb_capacity = max(1 << 10, T // 512)
     tri_bits = max(T - 1, 1).bit_length()
     assert tri_bits + (n_tiles).bit_length() <= 32, (
         "packed pair key overflows u32; lower tri_capacity or tile count"
@@ -141,7 +151,7 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     tile_s, tri_s, over_s = emit_compacted(is_small, small_capacity, SMALL_TX, SMALL_TY)
     tile_a, tri_a, over_a = emit_compacted(is_mida, mid_capacity, MIDA_TX, MIDA_TY)
     tile_b, tri_b, over_b = emit_compacted(is_midb, midb_capacity, MID_TX, MID_TY)
-    tile_g, tri_g, over_g = emit_compacted(is_giant, 64, tiles_x, tiles_y)
+    tile_g, tri_g, over_g = emit_compacted(is_giant, giant_capacity, tiles_x, tiles_y)
     dropped = dropped + over_s + over_a + over_b + over_g
 
     tiles_all = jnp.concatenate([tile_t.reshape(-1), tile_s, tile_a, tile_b, tile_g])
@@ -169,10 +179,14 @@ def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
     start = tile_start_ref[i]
     end = tile_start_ref[i + 1]
 
-    # lane-aligned chunk window covering [start, end)
-    a0_off = (start // REC_CHUNK) * REC_CHUNK
+    # chunk window covering [start, end); the stream is chunk-major
+    # [NC, REC, 128] so every chunk is ONE contiguous ~28KB DMA (the earlier
+    # [REC, P] layout made each chunk 56 strided 512B reads — measured DMA
+    # rate ~1GB/s; contiguous blocks stream at full rate)
+    a0c = start // REC_CHUNK
+    a0_off = a0c * REC_CHUNK
     n_chunks = (end - a0_off + REC_CHUNK - 1) // REC_CHUNK
-    rmax = recs_ref.shape[1] - REC_CHUNK
+    ncmax = recs_ref.shape[0] - 1
 
     ox = (i % tiles_x) * TILE_W
     oy = (i // tiles_x) * TILE_H
@@ -183,11 +197,10 @@ def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
           + (jnp.float32(0.5) + oy.astype(jnp.float32)))
 
     def dma(slot, c):
-        off = jnp.minimum(a0_off + c * REC_CHUNK, rmax)
-        off = pl.multiple_of(off, REC_CHUNK)
+        ci = jnp.minimum(a0c + c, ncmax)
         return (
-            pltpu.make_async_copy(recs_ref.at[:, pl.ds(off, REC_CHUNK)], recs_smem.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(frag_ref.at[:, pl.ds(off, REC_CHUNK)], frag_smem.at[slot], sems.at[slot, 1]),
+            pltpu.make_async_copy(recs_ref.at[ci], recs_smem.at[slot], sems.at[slot, 0]),
+            pltpu.make_async_copy(frag_ref.at[ci], frag_smem.at[slot], sems.at[slot, 1]),
         )
 
     @pl.when(n_chunks > 0)
@@ -210,7 +223,11 @@ def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
         a.wait()
         b.wait()
 
-        def rec_body(j, carry2):
+        def rec_body(jj, carry2):
+          # manual 4x unroll: the per-record scalar reads + loop control
+          # dominate this kernel; unrolling lets the compiler pipeline them
+          for ju in range(4):
+            j = jj * 4 + ju
             depth, vis = carry2
             a0 = recs_smem[slot, 0, j]
             b0 = recs_smem[slot, 1, j]
@@ -267,9 +284,10 @@ def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
             tie = cover & (z == depth) & (frag < vis)
             new_depth = jnp.where(closer, z, depth)
             new_vis = jnp.where(closer | tie, frag, vis)
-            return new_depth, new_vis
+            carry2 = (new_depth, new_vis)
+          return carry2
 
-        return jax.lax.fori_loop(0, REC_CHUNK, rec_body, (depth, vis))
+        return jax.lax.fori_loop(0, REC_CHUNK // 4, rec_body, (depth, vis))
 
     depth0 = depth_in_ref[0]
     vis0 = vis_in_ref[0]
@@ -310,21 +328,25 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
         a2, b2, c2 = setup["e"][2]
         cols = [a0, b0, c0, a1, b1, c1, a2, b2, c2, setup["za"], setup["zb"], setup["zc"]]
         rows = jnp.stack(cols + [jnp.zeros_like(a0)] * (REC - 12), axis=-1)[pair_tri]
-    recs = rows.T
-    # pad columns so the kernel's fixed-size chunk DMA never reads OOB
-    recs = jnp.concatenate([recs, jnp.zeros((REC, 2 * REC_CHUNK), recs.dtype)], axis=1)
-    # fragment ids ride in their own [8, R] i32 array (row 0) so DMA slices
-    # stay tile-aligned without f32-bitcast denormal hazards
-    frag = jnp.zeros((8, recs.shape[1]), jnp.int32)
-    frag = frag.at[0, : pair_tri.shape[0]].set(pair_tri + frag_offset)
+    # chunk-major stream [NC, REC, 128]: each 128-record chunk is one
+    # contiguous DMA block for the kernels (see _raster_kernel)
+    P = rows.shape[0]
+    nc = -(-P // REC_CHUNK) + 1  # +1 slack chunk for the tail window
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((nc * REC_CHUNK - P, REC), rows.dtype)], axis=0
+    )
+    recs = jnp.swapaxes(rows.reshape(nc, REC_CHUNK, REC), 1, 2)  # [NC, REC, 128]
+    fr = jnp.zeros(nc * REC_CHUNK, jnp.int32).at[:P].set(pair_tri + frag_offset)
+    frag = jnp.zeros((nc, 8, REC_CHUNK), jnp.int32)
+    frag = frag.at[:, 0, :].set(fr.reshape(nc, REC_CHUNK))
 
     kernel = functools.partial(_raster_kernel, tiles_x=tiles_x, alpha_test=alpha_test)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # recs (12 coeff rows)
-            pl.BlockSpec(memory_space=pl.ANY),  # frag ids [8, R] i32
+            pl.BlockSpec(memory_space=pl.ANY),  # recs [NC, REC, 128]
+            pl.BlockSpec(memory_space=pl.ANY),  # frag [NC, 8, 128] i32
             pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
         ],
@@ -357,23 +379,23 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
 ATTR_CHANNELS = 12  # nx ny nz u v vz draw mat post vid0 vid1 vid2
 
 
-def _shade_kernel(tile_start_ref, recs_ref, frag_ref, vis_ref, attr_in_ref,
-                  attr_out_ref, recs_smem, frag_smem, sems, *, tiles_x):
+def _shade_kernel(*refs, tiles_x, n_streams):
     """Winners-only attribute interpolation over the visibility buffer.
 
-    Streams the same per-tile record chunks as the raster kernel; for each
-    record whose fragment id wins any pixel of the tile, evaluates the edge
-    functions (rows 0-8 of the record) as barycentric weights and
-    perspective-correct-interpolates the corner attributes (rows 16-47) into
-    dense per-pixel attribute planes.  Replaces a per-pixel [H,W]->32 row
-    gather that ran at ~40ns/pixel in XLA."""
-    i = pl.program_id(0)
-    start = tile_start_ref[i]
-    end = tile_start_ref[i + 1]
+    Streams the same per-tile record chunks as the raster kernel — for EVERY
+    pass's stream in one invocation (the attribute planes stay in registers
+    between streams instead of round-tripping [n_tiles, 12, 8, 128] through
+    HBM per pass).  For each record whose fragment id wins any pixel of the
+    tile, evaluates the edge functions (rows 0-8) as perspective weights and
+    interpolates the corner attributes (rows 16-47) into dense per-pixel
+    planes.  Replaces a per-pixel [H,W]->32 row gather that ran at
+    ~40ns/pixel in XLA."""
+    tile_starts = refs[:n_streams]
+    recs_refs = refs[n_streams : 2 * n_streams]
+    frag_refs = refs[2 * n_streams : 3 * n_streams]
+    vis_ref, attr_in_ref, attr_out_ref, recs_smem, frag_smem, sems = refs[3 * n_streams :]
 
-    a0_off = (start // REC_CHUNK) * REC_CHUNK
-    n_chunks = (end - a0_off + REC_CHUNK - 1) // REC_CHUNK
-    rmax = recs_ref.shape[1] - REC_CHUNK
+    i = pl.program_id(0)
 
     # pixel centers in screen space (records hold screen-space coefficients)
     ox = (i % tiles_x) * TILE_W
@@ -383,96 +405,116 @@ def _shade_kernel(tile_start_ref, recs_ref, frag_ref, vis_ref, attr_in_ref,
     fy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
           + (jnp.float32(0.5) + oy.astype(jnp.float32)))
 
-    def dma(slot, c):
-        off = jnp.minimum(a0_off + c * REC_CHUNK, rmax)
-        off = pl.multiple_of(off, REC_CHUNK)
-        return (
-            pltpu.make_async_copy(recs_ref.at[:, pl.ds(off, REC_CHUNK)], recs_smem.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(frag_ref.at[:, pl.ds(off, REC_CHUNK)], frag_smem.at[slot], sems.at[slot, 1]),
-        )
-
-    @pl.when(n_chunks > 0)
-    def _():
-        a, b = dma(0, 0)
-        a.start()
-        b.start()
-
     vis = vis_ref[0]
+    attrs = tuple(attr_in_ref[0, k] for k in range(ATTR_CHANNELS))
 
-    def chunk_body(c, attrs):
-        slot = c % 2
+    for s in range(n_streams):
+        start = tile_starts[s][i]
+        end = tile_starts[s][i + 1]
+        recs_ref = recs_refs[s]
+        frag_ref = frag_refs[s]
 
-        @pl.when(c + 1 < n_chunks)
-        def _():
-            a, b = dma((c + 1) % 2, c + 1)
+        a0c = start // REC_CHUNK
+        a0_off = a0c * REC_CHUNK
+        n_chunks = (end - a0_off + REC_CHUNK - 1) // REC_CHUNK
+        ncmax = recs_ref.shape[0] - 1
+
+        def dma(slot, c, recs_ref=recs_ref, frag_ref=frag_ref, a0c=a0c, ncmax=ncmax):
+            ci = jnp.minimum(a0c + c, ncmax)
+            return (
+                pltpu.make_async_copy(recs_ref.at[ci], recs_smem.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(frag_ref.at[ci], frag_smem.at[slot], sems.at[slot, 1]),
+            )
+
+        @pl.when(n_chunks > 0)
+        def _(dma=dma):
+            a, b = dma(0, 0)
             a.start()
             b.start()
 
-        a, b = dma(slot, c)
-        a.wait()
-        b.wait()
+        def chunk_body(c, attrs, dma=dma, n_chunks=n_chunks, a0_off=a0_off, start=start, end=end):
+            slot = c % 2
 
-        def rec_body(j, attrs):
-            frag = frag_smem[slot, 0, j]
-            gidx = a0_off + c * REC_CHUNK + j
-            live = (gidx >= start) & (gidx < end)
-            mask = (vis == frag) & live
-            hit = jnp.any(mask)
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                a, b = dma((c + 1) % 2, c + 1)
+                a.start()
+                b.start()
 
-            def shade(attrs):
-                r = lambda k: recs_smem[slot, k, j]
-                # Olano-Greer: the homogeneous edge functions ARE the
-                # perspective-correct interpolation weights — attr(p) =
-                # sum_j f_j u_j / sum u_j, no per-vertex division needed.
-                # e0 is through (A,B) -> weight of C; e1 (B,C) -> A;
-                # e2 (C,A) -> B (see compact_setup edge order).
-                e0 = r(0) * fx + r(1) * fy + r(2)
-                e1 = r(3) * fx + r(4) * fy + r(5)
-                e2 = r(6) * fx + r(7) * fy + r(8)
-                wsum = e0 + e1 + e2
-                inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
-                pw0 = e1 * inv
-                pw1 = e2 * inv
-                pw2 = e0 * inv
+            a, b = dma(slot, c)
+            a.wait()
+            b.wait()
 
-                def interp(o):
-                    return pw0 * r(16 + o) + pw1 * r(24 + o) + pw2 * r(32 + o)
+            def rec_body(jj, attrs):
+              # manual 2x unroll (see the raster kernel note)
+              for ju in range(2):
+                j = jj * 2 + ju
+                frag = frag_smem[slot, 0, j]
+                gidx = a0_off + c * REC_CHUNK + j
+                live = (gidx >= start) & (gidx < end)
+                mask = (vis == frag) & live
+                hit = jnp.any(mask)
 
-                vz = interp(2)
-                vals = [interp(3), interp(4), interp(5),   # normal
-                        interp(6), interp(7),              # uv
-                        vz,
-                        r(43), r(44), r(45),               # draw, mat, post
-                        r(40), r(41), r(42)]               # vids
-                new = [jnp.where(mask, v, attrs[k]) for k, v in enumerate(vals)]
-                return tuple(new)
+                def shade(attrs):
+                    r = lambda k: recs_smem[slot, k, j]
+                    # Olano-Greer: the homogeneous edge functions ARE the
+                    # perspective-correct interpolation weights — attr(p) =
+                    # sum_j f_j u_j / sum u_j, no per-vertex division needed.
+                    # e0 is through (A,B) -> weight of C; e1 (B,C) -> A;
+                    # e2 (C,A) -> B (see compact_setup edge order).
+                    e0 = r(0) * fx + r(1) * fy + r(2)
+                    e1 = r(3) * fx + r(4) * fy + r(5)
+                    e2 = r(6) * fx + r(7) * fy + r(8)
+                    wsum = e0 + e1 + e2
+                    inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
+                    pw0 = e1 * inv
+                    pw1 = e2 * inv
+                    pw2 = e0 * inv
 
-            return jax.lax.cond(hit, shade, lambda a: a, attrs)
+                    def interp(o):
+                        return pw0 * r(16 + o) + pw1 * r(24 + o) + pw2 * r(32 + o)
 
-        return jax.lax.fori_loop(0, REC_CHUNK, rec_body, attrs)
+                    vz = interp(2)
+                    vals = [interp(3), interp(4), interp(5),   # normal
+                            interp(6), interp(7),              # uv
+                            vz,
+                            r(43), r(44), r(45),               # draw, mat, post
+                            r(40), r(41), r(42)]               # vids
+                    new = [jnp.where(mask, v, attrs[k]) for k, v in enumerate(vals)]
+                    return tuple(new)
 
-    attrs0 = tuple(attr_in_ref[0, k] for k in range(ATTR_CHANNELS))
-    attrs = jax.lax.fori_loop(0, n_chunks, chunk_body, attrs0)
+                attrs = jax.lax.cond(hit, shade, lambda a: a, attrs)
+              return attrs
+
+            return jax.lax.fori_loop(0, REC_CHUNK // 2, rec_body, attrs)
+
+        attrs = jax.lax.fori_loop(0, n_chunks, chunk_body, attrs)
+
     for k in range(ATTR_CHANNELS):
         attr_out_ref[0, k] = attrs[k]
 
 
-def shade_tiles(stream, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool = False):
-    """Interpolate per-pixel attributes for one pass's records.
+def shade_tiles(streams, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool = False):
+    """Interpolate per-pixel attributes for one or more passes' records in a
+    single kernel launch (pass a stream dict or a list of them).
 
-    attr_tiles [n_tiles, ATTR_CHANNELS, TILE_H, TILE_W] carries planes from
-    earlier passes (pass chaining mirrors the raster kernel's depth/vis
-    chaining); returns the updated planes."""
+    attr_tiles [n_tiles, ATTR_CHANNELS, TILE_H, TILE_W] carries prior planes;
+    returns the updated planes."""
+    if isinstance(streams, dict):
+        streams = [streams]
+    n_streams = len(streams)
     n_tiles = vis_tiles.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=n_streams,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # recs [REC, R]
-            pl.BlockSpec(memory_space=pl.ANY),  # frag [8, R]
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, ATTR_CHANNELS, TILE_H, TILE_W), lambda i, *_: (i, 0, 0, 0)),
-        ],
+        in_specs=(
+            [pl.BlockSpec(memory_space=pl.ANY)] * n_streams  # recs [NC, REC, 128]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * n_streams  # frag [NC, 8, 128]
+            + [
+                pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, ATTR_CHANNELS, TILE_H, TILE_W), lambda i, *_: (i, 0, 0, 0)),
+            ]
+        ),
         out_specs=[
             pl.BlockSpec((1, ATTR_CHANNELS, TILE_H, TILE_W), lambda i, *_: (i, 0, 0, 0)),
         ],
@@ -483,11 +525,17 @@ def shade_tiles(stream, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool 
         ],
     )
     (attr_out,) = pl.pallas_call(
-        functools.partial(_shade_kernel, tiles_x=tiles_x),
+        functools.partial(_shade_kernel, tiles_x=tiles_x, n_streams=n_streams),
         out_shape=(jax.ShapeDtypeStruct((n_tiles, ATTR_CHANNELS, TILE_H, TILE_W), jnp.float32),),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(stream["tile_start"], stream["recs"], stream["frag"], vis_tiles, attr_tiles)
+    )(
+        *[s["tile_start"] for s in streams],
+        *[s["recs"] for s in streams],
+        *[s["frag"] for s in streams],
+        vis_tiles,
+        attr_tiles,
+    )
     return attr_out
 
 

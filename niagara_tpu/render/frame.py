@@ -365,10 +365,9 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             (n_tiles, raster_tile.ATTR_CHANNELS, raster_tile.TILE_H, raster_tile.TILE_W),
             jnp.float32,
         )
-        for s in streams:
-            attr_t = raster_tile.shade_tiles(
-                s, vis_t, attr_t, tiles_x=tiles_x, interpret=cfg.raster_interpret
-            )
+        attr_t = raster_tile.shade_tiles(
+            streams, vis_t, attr_t, tiles_x=tiles_x, interpret=cfg.raster_interpret
+        )
         attrs_img = raster_tile.attr_tiles_to_image(attr_t, cfg.height, cfg.width)
 
     return fb, tc, setup_all, new_state, stats, attrs_img

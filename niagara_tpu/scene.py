@@ -212,7 +212,7 @@ class DeviceScene:
     # cluster_cull fetches a command's 64 consecutive meshlets as ONE 1KB
     # row gather — measured ~4x cheaper than a [C,64] row gather.  Costs
     # 64x the base table (1 KB/meshlet); scene-static HBM.
-    meshlet_cull_blocks: np.ndarray  # f16 [M, 64, 8]
+    meshlet_cull_blocks: np.ndarray  # f16 [M, 512] channel-major (see _build_cull_blocks)
     meshlet_vertex_count: np.ndarray  # i32 [M]
     meshlet_triangle_count: np.ndarray  # i32 [M]
 
@@ -274,9 +274,13 @@ class DeviceScene:
 
 
 def _build_cull_blocks(meshlets: Meshlets) -> np.ndarray:
-    """[M, 64, 8] f16: row m = packed cull rows of meshlets m..m+63 (zero
-    padded past the end).  Cone axis/cutoff stay as raw int8 values (exact
-    in f16); cluster_cull divides by 127 after the gather."""
+    """[M, 512] f16: row m = channel-major cull data of meshlets m..m+63
+    (channel c occupies lanes [c*64, (c+1)*64): cx cy cz radius ax ay az
+    cutoff; zero padded past the end).  FLAT rows matter: a [M,64,8] table
+    would be laid out with the minor dim padded 8->128 (16x HBM and gather
+    waste); a 512-lane row is exactly 4 aligned lane tiles.  Cone axis/
+    cutoff stay raw int8 values (exact in f16); cluster_cull divides by 127
+    after the gather."""
     rows = np.concatenate(
         [
             meshlets.center.astype(np.float16),
@@ -289,7 +293,8 @@ def _build_cull_blocks(meshlets: Meshlets) -> np.ndarray:
     m = len(rows)
     padded = np.concatenate([rows, np.zeros((TASK_WGSIZE, 8), np.float16)], axis=0)
     idx = np.arange(m)[:, None] + np.arange(TASK_WGSIZE)[None, :]
-    return padded[idx]
+    block = padded[idx]  # [M, 64, 8]
+    return np.ascontiguousarray(np.transpose(block, (0, 2, 1))).reshape(m, 8 * TASK_WGSIZE)
 
 
 def upload(

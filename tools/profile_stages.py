@@ -110,9 +110,14 @@ def main():
         "emit_pairs(sort)", ep, st, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=cfg.pair_capacity)
     print(f"{'':28s} [pairs={int(pair_count)} huge_dropped={int(huge)}]", flush=True)
 
-    # record row-gather alone (the pair stream build)
-    rg = jax.jit(lambda rec, pt: rec[pt][:, : raster_tile.REC].T)
-    timed("rec row gather+T", rg, st["rec48"], pair_tri)
+    # record row-gather + chunk-major relayout alone (the pair stream build)
+    def stream_build(rec, pt):
+        rows = rec[pt][:, : raster_tile.REC]
+        P = rows.shape[0]
+        nc = -(-P // 128) + 1
+        rows = jnp.concatenate([rows, jnp.zeros((nc * 128 - P, raster_tile.REC), rows.dtype)], axis=0)
+        return jnp.swapaxes(rows.reshape(nc, 128, raster_tile.REC), 1, 2)
+    timed("stream build (gather+T)", jax.jit(stream_build), st["rec48"], pair_tri)
 
     def tile_raster(st):
         depth_t = jnp.zeros((n_tiles, raster_tile.TILE_H, raster_tile.TILE_W), jnp.float32)
