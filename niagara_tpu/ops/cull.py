@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TASK_WGSIZE
-from . import cullmath
+from . import cullmath, stream_compact
 
 
 @jax.tree_util.register_dataclass
@@ -143,54 +143,78 @@ def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, ca
     ceil(meshletCount/64) commands; draws overflowing `capacity` are dropped
     whole, like the reference's TASK_WGLIMIT check.
 
-    Scatter-cost note: with a deep LOD chain most emitted draws need exactly
-    one command, so the dense [D, max_groups] emission would waste ~90% of
-    its scatter updates on dead lanes.  Single-group draws scatter one packed
-    row each; the rare multi-group draws are compacted to [multi_capacity]
-    first and emit their dense group grid from there."""
+    Cost note: only a few percent of draws survive culling, so everything
+    beyond the survivor compaction runs at [capacity] scale.  The compaction
+    itself is one [D] cumsum plus one [D,2]-row scatter carrying a packed
+    (draw id, lod, visibility) word and the vis offset; per-draw LOD tables
+    are then row-gathered at [capacity] scale.  Measured 33ms -> ~12ms at 1M
+    draws (the residual is the irreducible [D] cumsum + scatter)."""
     D = scene.draw_mesh_index.shape[0]
     d = jnp.arange(D, dtype=jnp.int32)
-    # one-hot select over the baked per-draw LOD tables: dense VPU work
-    # instead of a [D]-element gather per field
-    lod_oh = jnp.arange(scene.draw_lod_meshlet_count.shape[1], dtype=jnp.int32)[None, :] == lod_index[:, None]
-    meshlet_count = jnp.sum(jnp.where(lod_oh, scene.draw_lod_meshlet_count, 0), axis=1)
-    meshlet_offset = jnp.sum(jnp.where(lod_oh, scene.draw_lod_meshlet_offset, 0), axis=1)
 
-    groups = jnp.where(emit, (meshlet_count + TASK_WGSIZE - 1) // TASK_WGSIZE, 0)
+    # 1) compact emitted draws to [capacity]: exclusive prefix sum for the
+    # slot, one scatter of (packed id|lod|vis, vis_offset) rows
+    emit_i = emit.astype(jnp.int32)
+    slots = jnp.cumsum(emit_i) - emit_i
+    sel = emit & (slots < capacity)
+    packed = (d << 5) | (jnp.clip(lod_index, 0, 15) << 1) | (draw_vis != 0).astype(jnp.int32)
+    tgt = jnp.where(sel, slots, capacity)
+    arr = jnp.zeros(capacity, dtype=jnp.int32).at[tgt].set(packed + 1, mode="drop")
+    n_draws = jnp.sum(sel)
+
+    # 2) unpack at [capacity] scale (vis_offset re-fetched with a small
+    # element gather rather than widening the [D]-scale scatter to 2 columns
+    # — scatter cost is per update, ~6ms per 1M on this chip)
+    pos = jnp.arange(capacity, dtype=jnp.int32)
+    live_d = pos < n_draws
+    pk = jnp.maximum(arr - 1, 0)
+    e_draw = pk >> 5
+    e_lod = (pk >> 1) & 15
+    e_vis = pk & 1
+    e_visoff = scene.draw_vis_offset.astype(jnp.int32)[e_draw]
+
+    # per-draw LOD tables: two short row gathers + a one-hot select
+    L = scene.draw_lod_meshlet_count.shape[1]
+    cnt_rows = scene.draw_lod_meshlet_count[e_draw]  # [cap, L]
+    off_rows = scene.draw_lod_meshlet_offset[e_draw]
+    lod_oh = jnp.arange(L, dtype=jnp.int32)[None, :] == e_lod[:, None]
+    meshlet_count = jnp.sum(jnp.where(lod_oh, cnt_rows, 0), axis=1) * live_d
+    meshlet_offset = jnp.sum(jnp.where(lod_oh, off_rows, 0), axis=1)
+
+    groups = jnp.where(live_d, (meshlet_count + TASK_WGSIZE - 1) // TASK_WGSIZE, 0)
     base = jnp.cumsum(groups) - groups  # exclusive prefix sum
     fits = base + groups <= capacity
-    cmd_dropped = jnp.sum(emit & ~fits)  # reference TASK_WGLIMIT drop, observable
+    # reference TASK_WGLIMIT drop, observable; draws beyond the compaction
+    # capacity would also overflow the command budget (>= 1 command each)
+    cmd_dropped = (jnp.sum(emit_i) - n_draws) + jnp.sum(live_d & ~fits)
     groups = jnp.where(fits, groups, 0)
     count = jnp.sum(groups)
 
-    # Scatter ONE marker per emitted DRAW (draw id + 1 at its base slot),
-    # then derive every command at [capacity] scale: a cumulative-max scan
-    # finds each slot's owning draw start, and the slot's distance from it is
-    # the group index.  One [D] element scatter + cheap capacity-scale work
-    # replaces per-command row scatters (measured 82ms -> ~18ms at 1M draws).
+    # 3) scatter ONE marker per draw (compacted index + 1 at its base slot),
+    # then derive every command: a cumulative-max scan finds each slot's
+    # owning draw start, and the slot's distance from it is the group index.
     slot1 = jnp.where(groups > 0, base, capacity)
-    arr_draw = jnp.zeros(capacity, dtype=jnp.int32).at[slot1].set(d + 1, mode="drop")
+    arr_draw = jnp.zeros(capacity, dtype=jnp.int32).at[slot1].set(pos + 1, mode="drop")
 
-    pos = jnp.arange(capacity, dtype=jnp.int32)
     start_pos = jax.lax.cummax(jnp.where(arr_draw > 0, pos, -1))
     started = start_pos >= 0
     sp = jnp.where(started, start_pos, 0)
-    cd = jnp.where(started, arr_draw[sp] - 1, 0)
+    ci = jnp.where(started, arr_draw[sp] - 1, 0)  # compacted draw index
     cg = jnp.where(started, pos - sp, 0)
 
     # liveness: within the owning draw's group range (slots between a
     # capacity-dropped draw's base and the next start decode to group
     # indices past the previous draw's count and die here)
-    c_mcount = meshlet_count.astype(jnp.int32)[cd]
+    c_mcount = meshlet_count.astype(jnp.int32)[ci]
     c_count = jnp.clip(c_mcount - cg * TASK_WGSIZE, 0, TASK_WGSIZE)
     live = started & (c_count > 0)
 
     return TaskCommands(
-        draw_id=cd,
-        task_offset=meshlet_offset.astype(jnp.int32)[cd] + cg * TASK_WGSIZE,
+        draw_id=e_draw[ci],
+        task_offset=meshlet_offset.astype(jnp.int32)[ci] + cg * TASK_WGSIZE,
         task_count=jnp.where(live, c_count, 0),
-        late_draw_visibility=draw_vis.astype(jnp.int32)[cd] * live,
-        vis_offset=scene.draw_vis_offset.astype(jnp.int32)[cd] + cg * TASK_WGSIZE,
+        late_draw_visibility=e_vis[ci] * live,
+        vis_offset=e_visoff[ci] + cg * TASK_WGSIZE,
         count=count.astype(jnp.int32),
         dropped=cmd_dropped.astype(jnp.int32),
     )
@@ -284,14 +308,11 @@ def cluster_cull(
 
     # late-pass visibility write-back (reference clustercull.comp.glsl:125-131).
     # Slot ranges are 64-aligned per draw, so each command owns exactly two
-    # u32 words: pack the 64 lane bits densely (VPU bit-weights) and scatter
-    # just 2 words per command — 32x fewer scatter updates than per-bit ops.
+    # u32 words: scatter just 2 words per command — 32x fewer scatter
+    # updates than per-bit ops.
     new_vis_words = vis_words
     if late:
-        bits64 = (valid & visible).astype(jnp.uint32)  # [C,64]
-        weights = jnp.left_shift(jnp.uint32(1), jnp.arange(32, dtype=jnp.uint32))
-        word_lo = jnp.sum(bits64[:, :32] * weights[None, :], axis=1, dtype=jnp.uint32)
-        word_hi = jnp.sum(bits64[:, 32:] * weights[None, :], axis=1, dtype=jnp.uint32)
+        word_lo, word_hi = stream_compact.pack_bits64(valid & visible)
         # only commands with any valid lane participate; dead command slots
         # (task_count == 0) must not clobber word 0
         cmd_live = (cmds.task_count > 0) & cluster_occ
@@ -301,19 +322,17 @@ def cluster_cull(
         new_vis_words = vis_words.at[w0].set(word_lo, mode="drop")
         new_vis_words = new_vis_words.at[w1].set(word_hi, mode="drop")
 
-    # compaction (reference's atomicAdd cluster append, clustercull:133-139)
-    emit = (visible & ~skip).reshape(-1)  # [C*64]
-    pos = jnp.cumsum(emit) - emit
-    cluster_count = jnp.sum(emit)
-    slot = jnp.where(emit & (pos < cluster_capacity), pos, cluster_capacity)
-
-    # (cmd, lane) = divmod(flat index, 64), so ONE scatter of the flat index
-    # carries both (scatter cost scales with the C*64 update count)
-    flat = jnp.zeros(cluster_capacity, dtype=jnp.int32).at[slot].set(
-        jnp.arange(C * TASK_WGSIZE, dtype=jnp.int32), mode="drop"
+    # compaction (reference's atomicAdd cluster append, clustercull:133-139).
+    # Segmented (stream_compact.py): a flat [C*64] cumsum+scatter costs
+    # ~5-6ms per 1M updates on this chip (~20ms here); the segment scheme
+    # scatters one marker per command instead.  Measured 53ms -> 36ms for
+    # the whole cluster cull at C=64K.
+    emit2d = visible & ~skip  # [C,64]
+    e_lo, e_hi = stream_compact.pack_bits64(emit2d)
+    pc = jnp.sum(emit2d, axis=1, dtype=jnp.int32)  # [C] popcount
+    cluster_cmd, cluster_lane, _, cluster_count = stream_compact.expand_segments(
+        e_lo, e_hi, pc, cluster_capacity
     )
-    cluster_cmd = flat // TASK_WGSIZE
-    cluster_lane = flat % TASK_WGSIZE
 
     cluster_dropped = jnp.maximum(cluster_count - cluster_capacity, 0).astype(jnp.int32)
     return (

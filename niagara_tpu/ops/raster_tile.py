@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import TILE_H, TILE_W
+from . import stream_compact
 from .raster import INVALID_FRAG, _compact
 from .setup_fused import REC
 
@@ -112,15 +113,10 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     dropped = jnp.int32(0)
 
     def compact_idx(mask, cap):
-        """Compact the indices where mask is set (one scatter; per-triangle
-        fields are then fetched with cap-sized gathers)."""
-        pos = jnp.cumsum(mask) - mask
-        slot = jnp.where(mask & (pos < cap), pos, cap)
-        idx = jnp.zeros(cap, dtype=jnp.int32).at[slot].set(
-            jnp.arange(mask.shape[0], dtype=jnp.int32), mode="drop"
-        )
-        n = jnp.sum(mask)
-        return idx, jnp.minimum(n, cap), jnp.maximum(n - cap, 0)
+        """Compact the indices where mask is set (segmented, no [T]-scale
+        scatter — see stream_compact.py); per-triangle fields are then
+        fetched with cap-sized gathers."""
+        return stream_compact.compact_mask_indices(mask, cap)
 
     def emit(tri_idx, sel, tx0s, ty0s, txss, tyss, cap_x, cap_y):
         """Dense [N, cap_x*cap_y] (tile, tri) emission; returns flat arrays."""
@@ -446,44 +442,43 @@ def _shade_kernel(*refs, tiles_x, n_streams):
             b.wait()
 
             def rec_body(jj, attrs):
-              # manual 2x unroll (see the raster kernel note)
+              # manual 2x unroll (see the raster kernel note).  No per-record
+              # cond: the winner-test any() reduction + branch cost more than
+              # the masked interpolation it skipped.
               for ju in range(2):
                 j = jj * 2 + ju
                 frag = frag_smem[slot, 0, j]
                 gidx = a0_off + c * REC_CHUNK + j
                 live = (gidx >= start) & (gidx < end)
                 mask = (vis == frag) & live
-                hit = jnp.any(mask)
 
-                def shade(attrs):
-                    r = lambda k: recs_smem[slot, k, j]
-                    # Olano-Greer: the homogeneous edge functions ARE the
-                    # perspective-correct interpolation weights — attr(p) =
-                    # sum_j f_j u_j / sum u_j, no per-vertex division needed.
-                    # e0 is through (A,B) -> weight of C; e1 (B,C) -> A;
-                    # e2 (C,A) -> B (see compact_setup edge order).
-                    e0 = r(0) * fx + r(1) * fy + r(2)
-                    e1 = r(3) * fx + r(4) * fy + r(5)
-                    e2 = r(6) * fx + r(7) * fy + r(8)
-                    wsum = e0 + e1 + e2
-                    inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
-                    pw0 = e1 * inv
-                    pw1 = e2 * inv
-                    pw2 = e0 * inv
+                r = lambda k: recs_smem[slot, k, j]
+                # Olano-Greer: the homogeneous edge functions ARE the
+                # perspective-correct interpolation weights — attr(p) =
+                # sum_j f_j u_j / sum u_j, no per-vertex division needed.
+                # e0 is through (A,B) -> weight of C; e1 (B,C) -> A;
+                # e2 (C,A) -> B (see compact_setup edge order).
+                e0 = r(0) * fx + r(1) * fy + r(2)
+                e1 = r(3) * fx + r(4) * fy + r(5)
+                e2 = r(6) * fx + r(7) * fy + r(8)
+                wsum = e0 + e1 + e2
+                inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
+                pw0 = e1 * inv
+                pw1 = e2 * inv
+                pw2 = e0 * inv
 
-                    def interp(o):
-                        return pw0 * r(16 + o) + pw1 * r(24 + o) + pw2 * r(32 + o)
+                def interp(o):
+                    return pw0 * r(16 + o) + pw1 * r(24 + o) + pw2 * r(32 + o)
 
-                    vz = interp(2)
-                    vals = [interp(3), interp(4), interp(5),   # normal
-                            interp(6), interp(7),              # uv
-                            vz,
-                            r(43), r(44), r(45),               # draw, mat, post
-                            r(40), r(41), r(42)]               # vids
-                    new = [jnp.where(mask, v, attrs[k]) for k, v in enumerate(vals)]
-                    return tuple(new)
-
-                attrs = jax.lax.cond(hit, shade, lambda a: a, attrs)
+                vz = interp(2)
+                vals = [interp(3), interp(4), interp(5),   # normal
+                        interp(6), interp(7),              # uv
+                        vz,
+                        r(43), r(44), r(45),               # draw, mat, post
+                        r(40), r(41), r(42)]               # vids
+                attrs = tuple(
+                    jnp.where(mask, v, attrs[k]) for k, v in enumerate(vals)
+                )
               return attrs
 
             return jax.lax.fori_loop(0, REC_CHUNK // 2, rec_body, attrs)

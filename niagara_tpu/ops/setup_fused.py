@@ -14,8 +14,9 @@ and the compacted records out.
 
 Pipeline (per 8-cluster grid step, sequential TPU grid):
   1. reconstruct f32 object position/normal/uv/vid from exact bf16-split
-     channels (scene.meshlet_channels via one one-hot MXU dot per corner,
-     done in XLA by `corner_dots`);
+     channels (scene.meshlet_channels via block-diagonal one-hot MXU dots
+     INSIDE the kernel, `_corner_fetch` — no [K,96,20] corner intermediates
+     ever touch HBM);
   2. object -> world -> camera -> homogeneous pixel coords per corner,
      edges = adjugate rows, depth plane, conservative AABB, validity
      (ops/raster.py compact_setup semantics, bit-identical math);
@@ -50,21 +51,53 @@ WINDOW = 1024  # placement window (128-aligned, >= 128 + TRIS + slack)
 GROUPS = WINDOW // 128
 
 
-def corner_dots(chan, tri):
-    """One-hot corner fetch on the MXU: [K,64,20] bf16 channels x [K,96,3]
-    corner indices -> 3x [K,20,96] bf16, CHANNEL-major (exact: each output
-    selects exactly one bf16 channel value).  Channel-major matters inside
-    the kernel: `ref[:, hi, :]` slices land at lane offset 0, which Mosaic's
-    concatenate requires — triangle-major `ref[:, :, hi]` reads carry the
-    channel as a lane offset and the record concat fails to lower."""
-    iota = jnp.arange(MESH_MAXVTX, dtype=jnp.int32)
-    dn = (((1,), (2,)), ((0,), (0,)))  # contract vertex dim -> [K, 20, 96]
+def _corner_fetch(chan_ref, trib_ref, prm_e3):
+    """In-kernel one-hot corner fetch on the MXU for one 8-cluster block.
+
+    Inputs: chan_ref [BLOCK, 20, 64] bf16 channel-major vertex channels,
+    trib_ref [BLOCK, 3, 96] bf16 corner ids.  Returns 3 corner matrices
+    [20*BLOCK, 96] f32 whose rows (ch*8 + k) hold channel ch of cluster k —
+    tile-aligned sublane slices [ch*8:(ch+1)*8] recover offset-0 [8,96]
+    per-channel blocks.
+
+    Why in-kernel: the XLA formulation materialized 3x [K,96,20] bf16 corner
+    arrays (~755MB/frame at bench capacities) just to feed this kernel; here
+    the fetch is one block-diagonal matmul per corner over data that already
+    streams in (chan is 4.5x smaller than the 3 corner arrays).
+
+    Exactness: both matmuls are one-hot on one side over bf16 payloads —
+    every output is a single bf16 value accumulated in f32."""
+    # chanbig [160, 64]: rows (ch*8 + k) = cluster k's channel ch
+    chanbig = jnp.concatenate(
+        [chan_ref[:, ch, :] for ch in range(20)], axis=0
+    )  # offsets all {0,0}: channel-major reads
+    # tile 8x along lanes then mask to block-diagonal [160, 512]:
+    # row (ch*8+k) keeps lanes [k*64, (k+1)*64)
+    tiled = jnp.concatenate([chanbig] * BLOCK, axis=1)  # [160, 512]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (20 * BLOCK, BLOCK * MESH_MAXVTX), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (20 * BLOCK, BLOCK * MESH_MAXVTX), 1)
+    diag = (lane // MESH_MAXVTX) == (sub % BLOCK)
+    lhs = jnp.where(diag, tiled, jnp.bfloat16(0))  # [160, 512] bf16
+
+    v_sub = jax.lax.broadcasted_iota(jnp.int32, (BLOCK * MESH_MAXVTX, MESH_MAXTRI), 0)
+    v_local = (v_sub % MESH_MAXVTX).astype(jnp.float32)
+    dn = (((1,), (0,)), ((), ()))
     outs = []
     for c in range(3):
-        oh = (tri[:, :, c, None] == iota[None, None, :]).astype(jnp.bfloat16)
+        # corner-id row per cluster via one-hot row pick (offset-0 [1,96]),
+        # broadcast down the cluster's 64 vertex rows
+        e_c = (prm_e3 == c).astype(jnp.float32)  # [1,3]
+        rows = []
+        for k in range(BLOCK):
+            tri_k = jax.lax.dot_general(
+                e_c, trib_ref[k].astype(jnp.float32), dn, preferred_element_type=jnp.float32
+            )  # [1, 96]
+            rows.append(jnp.broadcast_to(tri_k, (MESH_MAXVTX, MESH_MAXTRI)))
+        tric = jnp.concatenate(rows, axis=0)  # [512, 96]
+        ohbig = (v_local == tric).astype(jnp.bfloat16)  # block-diagonal one-hot
         outs.append(
-            jax.lax.dot_general(chan, oh, dn, preferred_element_type=jnp.bfloat16)
-        )
+            jax.lax.dot_general(lhs, ohbig, dn, preferred_element_type=jnp.float32)
+        )  # [160, 96] f32
     return outs
 
 
@@ -72,15 +105,16 @@ def _setup_kernel_alpha(*args):
     _setup_kernel(*args)
 
 
-def _setup_kernel_noalpha(cnt_ref, c0, c1, c2, xform, meta, prm, rec_out, aabb_out,
+def _setup_kernel_noalpha(cnt_ref, chan, trib, xform, meta, prm, rec_out, aabb_out,
                           count_out, *scratch):
-    _setup_kernel(cnt_ref, c0, c1, c2, xform, meta, None, prm, rec_out, aabb_out,
+    _setup_kernel(cnt_ref, chan, trib, xform, meta, None, prm, rec_out, aabb_out,
                   count_out, *scratch)
 
 
 def _setup_kernel(
     cnt_ref,  # scalar prefetch: [1] i32 live cluster count
-    c0_ref, c1_ref, c2_ref,  # [BLOCK, 20, 96] bf16 corner channels (channel-major)
+    chan_ref,  # [BLOCK, 20, 64] bf16 vertex channels (channel-major)
+    trib_ref,  # [BLOCK, 3, 96] bf16 corner ids
     xform_ref,  # [BLOCK, 8] f32 (pos, scale, quat)
     meta_ref,  # [BLOCK, 4] i32 (draw, mat, post, tri_count)
     alpha_ref,  # [BLOCK, 8, 96] f32 opacity mask channels, or None (no-alpha variant)
@@ -106,10 +140,15 @@ def _setup_kernel(
     @pl.when(live_block)
     def _process():
 
-        def ch(ref, hi, lo=None):
-            v = ref[:, hi, :].astype(jnp.float32)
+        # in-kernel corner fetch: 3x [20*BLOCK, 96] f32 matrices, rows
+        # (ch*8 + k) = channel ch of cluster k (see _corner_fetch)
+        e3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+        corner_mats = _corner_fetch(chan_ref, trib_ref, e3)
+
+        def ch(mat, hi, lo=None):
+            v = mat[hi * BLOCK : (hi + 1) * BLOCK, :]
             if lo is not None:
-                v = v + ref[:, lo, :].astype(jnp.float32)
+                v = v + mat[lo * BLOCK : (lo + 1) * BLOCK, :]
             return v  # [BLOCK, 96]
 
         # per-cluster transform scalars broadcast over the 96 tri lanes
@@ -140,7 +179,7 @@ def _setup_kernel(
             return ox, oy, oz
 
         corners = []
-        for ref in (c0_ref, c1_ref, c2_ref):
+        for ref in corner_mats:
             px = ch(ref, 0, 1)
             py = ch(ref, 2, 3)
             pz = ch(ref, 4, 5)
@@ -378,11 +417,9 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
 
     Returns a setup dict compatible with ops/raster.compact_setup's output
     (rec48/rec16/valid/x0..y1/shade_rec/tri_k/tri_t/count)."""
-    K = tc["tri"].shape[0]
+    K = tc["chan"].shape[0]
     assert K % BLOCK == 0, "cluster capacity must be a multiple of BLOCK"
     cap_pad = -(-capacity // 128) * 128 + 128  # slack for the final padded flush
-
-    c0, c1, c2 = corner_dots(tc["chan"], tc["tri"])
 
     meta = jnp.stack(
         [tc["draw_id"], tc["mat_index"], tc["post_pass"], tc["tri_count"]], axis=-1
@@ -400,9 +437,8 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
 
     with_alpha = "alpha" in tc
     in_specs = [
-        pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((BLOCK, 20, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((BLOCK, 20, MESH_MAXVTX), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((BLOCK, 3, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec((BLOCK, 8), lambda i, *_: (i, 0)),
         pl.BlockSpec((BLOCK, 4), lambda i, *_: (i, 0)),
     ]
@@ -436,7 +472,8 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
 
     operands = [
         jnp.reshape(tc["count"], (-1,))[:1].astype(jnp.int32),
-        c0, c1, c2,
+        tc["chan"],
+        tc["trib"],
         tc["xform"],
         meta,
     ]

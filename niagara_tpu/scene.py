@@ -197,11 +197,12 @@ class DeviceScene:
     # one [M,64,8] row (position, object normal, uv) so transform_clusters
     # fetches all per-vertex data with a single row gather
     meshlet_vdata: np.ndarray  # f32 [M, MESH_MAXVTX, 8]
-    # bf16-split channel table for the fused setup kernel's one-hot corner
+    # bf16-split channel table for the fused setup kernel's in-kernel corner
     # fetch: object position/normal/uv as exact 2-component bf16 splits
-    # (sources are fp16/snorm10 quantized) + vertex-id bytes.  Layout:
-    # 0-5 pos hi/lo xyz, 6-11 normal hi/lo, 12-15 uv hi/lo, 16-18 vid bytes
-    meshlet_channels: np.ndarray  # bf16 [M, MESH_MAXVTX, 20]
+    # (sources are fp16/snorm10 quantized) + vertex-id bytes, CHANNEL-major.
+    # Channels: 0-5 pos hi/lo xyz, 6-11 normal hi/lo, 12-15 uv hi/lo,
+    # 16-18 vid bytes
+    meshlet_channels: np.ndarray  # bf16 [M, 20, MESH_MAXVTX]
     meshlet_center: np.ndarray  # f32 [M,3]
     meshlet_radius: np.ndarray  # f32 [M]
     meshlet_cone_axis: np.ndarray  # f32 [M,3] (snorm8 / 127)
@@ -245,6 +246,10 @@ class DeviceScene:
     draw_lod_meshlet_offset: np.ndarray = None  # i32 [D, MAX_LODS]
     # transform row (pos, scale, quat): ONE 32B row gather per command/cluster
     draw_xform_row: np.ndarray = None  # f32 [D, 8]
+
+    # triangle corner ids as bf16 channels (ids < 64, exact) for the fused
+    # setup kernel's in-kernel one-hot corner fetch
+    meshlet_tri_bf: np.ndarray = None  # bf16 [M, 3, MESH_MAXTRI]
 
     # per-triangle opacity masks for alpha-tested meshes (cooker/opacity.py):
     # channel-major [Ma, 8, MESH_MAXTRI] — 4 mask halves + uv rect (zero idu
@@ -371,7 +376,15 @@ def upload(
         (vid64 >> 16).astype(ml_dtypes.bfloat16),
         np.zeros_like(vid64, dtype=ml_dtypes.bfloat16),
     ]
-    meshlet_channels = np.stack(chan_parts, axis=-1)  # [M, 64, 20]
+    # CHANNEL-major [M, 20, 64]: the fused setup kernel reads ref[:, ch, :]
+    # at layout offset 0 (vertex-major reads carry lane offsets Mosaic's
+    # concat rejects) and feeds its in-kernel block-diagonal corner fetch
+    meshlet_channels = np.ascontiguousarray(np.stack(chan_parts, axis=1))  # [M, 20, 64]
+    # triangle corner ids as bf16 channels [M, 3, 96] (ids < 64, exact) for
+    # the in-kernel one-hot build
+    meshlet_tri_bf = np.ascontiguousarray(
+        np.transpose(tris.astype(ml_dtypes.bfloat16), (0, 2, 1))
+    )  # [M, 3, 96]
 
     if alpha_masks is not None:
         meshlet_alpha = np.ascontiguousarray(
@@ -389,6 +402,7 @@ def upload(
         meshlet_tris=tris,
         meshlet_vdata=meshlet_vdata,
         meshlet_channels=meshlet_channels,
+        meshlet_tri_bf=meshlet_tri_bf,
         meshlet_center=geometry.meshlets.center.astype(np.float32),
         meshlet_radius=geometry.meshlets.radius.astype(np.float32),
         meshlet_cone_axis=(geometry.meshlets.cone_axis.astype(np.float32) / 127.0),
