@@ -381,28 +381,41 @@ def _shade_kernel(*refs, tiles_x, n_streams):
     Streams the same per-tile record chunks as the raster kernel — for EVERY
     pass's stream in one invocation (the attribute planes stay in registers
     between streams instead of round-tripping [n_tiles, 12, 8, 128] through
-    HBM per pass).  For each record whose fragment id wins any pixel of the
-    tile, evaluates the edge functions (rows 0-8) as perspective weights and
-    interpolates the corner attributes (rows 16-47) into dense per-pixel
-    planes.  Replaces a per-pixel [H,W]->32 row gather that ran at
-    ~40ns/pixel in XLA."""
+    HBM per pass).
+
+    MXU gather formulation: a per-record scalar loop costs ~90 VPU
+    cycles/record (measured; the interpolation itself, after the winner-test
+    branch was already removed).  Instead, each 128-record chunk builds a
+    one-hot winner matrix OH[rec, px] = (frag[rec] == vis[px]) and gathers
+    the WINNING record's whole 56-coefficient column to every pixel with one
+    [REC,128] x [128,1024] matmul (3 bf16 splits reconstruct f32 exactly —
+    each pixel column selects a single record).  Interpolation then runs
+    once per PIXEL per chunk on the gathered coefficients; non-winning
+    chunks contribute exact zeros (empty one-hot column -> wsum 0 -> masked
+    inverse 0), so per-chunk results simply SUM across chunks and streams.
+    Pixels are laid out [1, 1024] (lane-major) so the whole tile is one
+    matmul N dimension; the wrapper reshapes to/from [8, 128] tiles in XLA
+    where reshapes are free.  Measured ~2.2K cycles per chunk vs ~11.5K for
+    the scalar loop."""
     tile_starts = refs[:n_streams]
     recs_refs = refs[n_streams : 2 * n_streams]
     frag_refs = refs[2 * n_streams : 3 * n_streams]
-    vis_ref, attr_in_ref, attr_out_ref, recs_smem, frag_smem, sems = refs[3 * n_streams :]
+    vis_ref, attr_in_ref, attr_out_ref, recs_vmem, frag_vmem, sems = refs[3 * n_streams :]
 
     i = pl.program_id(0)
 
-    # pixel centers in screen space (records hold screen-space coefficients)
+    # pixel centers in screen space, [1, 1024] lane-major: lane = y*128 + x
     ox = (i % tiles_x) * TILE_W
     oy = (i // tiles_x) * TILE_H
-    fx = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-          + (jnp.float32(0.5) + ox.astype(jnp.float32)))
-    fy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-          + (jnp.float32(0.5) + oy.astype(jnp.float32)))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H * TILE_W), 1)
+    fx = (lane % TILE_W).astype(jnp.float32) + (jnp.float32(0.5) + ox.astype(jnp.float32))
+    fy = (lane // TILE_W).astype(jnp.float32) + (jnp.float32(0.5) + oy.astype(jnp.float32))
 
-    vis = vis_ref[0]
-    attrs = tuple(attr_in_ref[0, k] for k in range(ATTR_CHANNELS))
+    visv = vis_ref[0, 0:1, :].astype(jnp.float32)  # [1, 1024]; ids < 2^24 exact
+    acc = tuple(attr_in_ref[0, k] for k in range(ATTR_CHANNELS))  # [1,1024] each
+
+    sub128 = jax.lax.broadcasted_iota(jnp.int32, (REC_CHUNK, 1), 0)
+    dn_k1 = (((1,), (0,)), ((), ()))
 
     for s in range(n_streams):
         start = tile_starts[s][i]
@@ -418,8 +431,8 @@ def _shade_kernel(*refs, tiles_x, n_streams):
         def dma(slot, c, recs_ref=recs_ref, frag_ref=frag_ref, a0c=a0c, ncmax=ncmax):
             ci = jnp.minimum(a0c + c, ncmax)
             return (
-                pltpu.make_async_copy(recs_ref.at[ci], recs_smem.at[slot], sems.at[slot, 0]),
-                pltpu.make_async_copy(frag_ref.at[ci], frag_smem.at[slot], sems.at[slot, 1]),
+                pltpu.make_async_copy(recs_ref.at[ci], recs_vmem.at[slot], sems.at[slot, 0]),
+                pltpu.make_async_copy(frag_ref.at[ci], frag_vmem.at[slot], sems.at[slot, 1]),
             )
 
         @pl.when(n_chunks > 0)
@@ -428,7 +441,7 @@ def _shade_kernel(*refs, tiles_x, n_streams):
             a.start()
             b.start()
 
-        def chunk_body(c, attrs, dma=dma, n_chunks=n_chunks, a0_off=a0_off, start=start, end=end):
+        def chunk_body(c, acc, dma=dma, n_chunks=n_chunks, a0_off=a0_off, start=start, end=end):
             slot = c % 2
 
             @pl.when(c + 1 < n_chunks)
@@ -441,52 +454,55 @@ def _shade_kernel(*refs, tiles_x, n_streams):
             a.wait()
             b.wait()
 
-            def rec_body(jj, attrs):
-              # manual 2x unroll (see the raster kernel note).  No per-record
-              # cond: the winner-test any() reduction + branch cost more than
-              # the masked interpolation it skipped.
-              for ju in range(2):
-                j = jj * 2 + ju
-                frag = frag_smem[slot, 0, j]
-                gidx = a0_off + c * REC_CHUNK + j
-                live = (gidx >= start) & (gidx < end)
-                mask = (vis == frag) & live
+            # one-hot winner matrix [128 rec, 1024 px]: frag ids as a
+            # sublane column (2D transpose) vs the winner row; records
+            # outside this tile's [start, end) range masked off
+            fragT = jnp.transpose(frag_vmem[slot, 0:1, :].astype(jnp.float32))  # [128,1]
+            gidx = a0_off + c * REC_CHUNK + sub128
+            liveT = (gidx >= start) & (gidx < end)
+            oh = ((fragT == visv) & liveT).astype(jnp.bfloat16)  # [128, 1024]
 
-                r = lambda k: recs_smem[slot, k, j]
-                # Olano-Greer: the homogeneous edge functions ARE the
-                # perspective-correct interpolation weights — attr(p) =
-                # sum_j f_j u_j / sum u_j, no per-vertex division needed.
-                # e0 is through (A,B) -> weight of C; e1 (B,C) -> A;
-                # e2 (C,A) -> B (see compact_setup edge order).
-                e0 = r(0) * fx + r(1) * fy + r(2)
-                e1 = r(3) * fx + r(4) * fy + r(5)
-                e2 = r(6) * fx + r(7) * fy + r(8)
-                wsum = e0 + e1 + e2
-                inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
-                pw0 = e1 * inv
-                pw1 = e2 * inv
-                pw2 = e0 * inv
+            # gather the winning record's 56 coefficients to each pixel:
+            # 3 exact bf16 splits, f32 accumulation (one-hot contraction)
+            recs = recs_vmem[slot]  # [REC, 128] f32
+            s1 = recs.astype(jnp.bfloat16)
+            r1 = recs - s1.astype(jnp.float32)
+            s2 = r1.astype(jnp.bfloat16)
+            s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
+            C = jax.lax.dot_general(s1, oh, dn_k1, preferred_element_type=jnp.float32)
+            C = C + jax.lax.dot_general(s2, oh, dn_k1, preferred_element_type=jnp.float32)
+            C = C + jax.lax.dot_general(s3, oh, dn_k1, preferred_element_type=jnp.float32)
+            # C [REC, 1024]: per-pixel coefficients of the winning record
 
-                def interp(o):
-                    return pw0 * r(16 + o) + pw1 * r(24 + o) + pw2 * r(32 + o)
+            r = lambda k: C[k : k + 1, :]  # [1, 1024]
+            # Olano-Greer: the homogeneous edge functions ARE the
+            # perspective-correct interpolation weights — attr(p) =
+            # sum_j f_j u_j / sum u_j, no per-vertex division needed.
+            # e0 is through (A,B) -> weight of C; e1 (B,C) -> A;
+            # e2 (C,A) -> B (see compact_setup edge order).
+            e0 = r(0) * fx + r(1) * fy + r(2)
+            e1 = r(3) * fx + r(4) * fy + r(5)
+            e2 = r(6) * fx + r(7) * fy + r(8)
+            wsum = e0 + e1 + e2
+            inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
+            pw0 = e1 * inv
+            pw1 = e2 * inv
+            pw2 = e0 * inv
 
-                vz = interp(2)
-                vals = [interp(3), interp(4), interp(5),   # normal
-                        interp(6), interp(7),              # uv
-                        vz,
-                        r(43), r(44), r(45),               # draw, mat, post
-                        r(40), r(41), r(42)]               # vids
-                attrs = tuple(
-                    jnp.where(mask, v, attrs[k]) for k, v in enumerate(vals)
-                )
-              return attrs
+            def interp(o):
+                return pw0 * r(16 + o) + pw1 * r(24 + o) + pw2 * r(32 + o)
 
-            return jax.lax.fori_loop(0, REC_CHUNK // 2, rec_body, attrs)
+            vals = [interp(3), interp(4), interp(5),   # normal
+                    interp(6), interp(7),              # uv
+                    interp(2),                         # viewz
+                    r(43), r(44), r(45),               # draw, mat, post
+                    r(40), r(41), r(42)]               # vids
+            return tuple(acc[k] + v for k, v in enumerate(vals))
 
-        attrs = jax.lax.fori_loop(0, n_chunks, chunk_body, attrs)
+        acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
 
     for k in range(ATTR_CHANNELS):
-        attr_out_ref[0, k] = attrs[k]
+        attr_out_ref[0, k] = acc[k]
 
 
 def shade_tiles(streams, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool = False):
@@ -499,6 +515,7 @@ def shade_tiles(streams, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool
         streams = [streams]
     n_streams = len(streams)
     n_tiles = vis_tiles.shape[0]
+    PX = TILE_H * TILE_W
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_streams,
         grid=(n_tiles,),
@@ -506,32 +523,34 @@ def shade_tiles(streams, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool
             [pl.BlockSpec(memory_space=pl.ANY)] * n_streams  # recs [NC, REC, 128]
             + [pl.BlockSpec(memory_space=pl.ANY)] * n_streams  # frag [NC, 8, 128]
             + [
-                pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, ATTR_CHANNELS, TILE_H, TILE_W), lambda i, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((1, 1, PX), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((1, ATTR_CHANNELS, 1, PX), lambda i, *_: (i, 0, 0, 0)),
             ]
         ),
         out_specs=[
-            pl.BlockSpec((1, ATTR_CHANNELS, TILE_H, TILE_W), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, ATTR_CHANNELS, 1, PX), lambda i, *_: (i, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, REC, REC_CHUNK), jnp.float32),
-            pltpu.SMEM((2, 8, REC_CHUNK), jnp.int32),
+            pltpu.VMEM((2, REC, REC_CHUNK), jnp.float32),
+            pltpu.VMEM((2, 8, REC_CHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
+    # tiles enter the kernel lane-major ([1, 1024] pixels: one matmul N
+    # dimension); these reshapes are free at the XLA level
     (attr_out,) = pl.pallas_call(
         functools.partial(_shade_kernel, tiles_x=tiles_x, n_streams=n_streams),
-        out_shape=(jax.ShapeDtypeStruct((n_tiles, ATTR_CHANNELS, TILE_H, TILE_W), jnp.float32),),
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, ATTR_CHANNELS, 1, PX), jnp.float32),),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
         *[s["tile_start"] for s in streams],
         *[s["recs"] for s in streams],
         *[s["frag"] for s in streams],
-        vis_tiles,
-        attr_tiles,
+        vis_tiles.reshape(n_tiles, 1, PX),
+        attr_tiles.reshape(n_tiles, ATTR_CHANNELS, 1, PX),
     )
-    return attr_out
+    return attr_out.reshape(n_tiles, ATTR_CHANNELS, TILE_H, TILE_W)
 
 
 def attr_tiles_to_image(attr_tiles, height, width):

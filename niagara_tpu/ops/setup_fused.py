@@ -47,7 +47,7 @@ TRIS = BLOCK * MESH_MAXTRI  # 768 triangle slots per step
 # record row width (f32): 0-15 raster coeffs, 16-47 shading attributes,
 # 48-55 opacity mask (4 halves + uv rect; cooker/opacity.py)
 REC = 56
-WINDOW = 1024  # placement window (128-aligned, >= 128 + TRIS + slack)
+WINDOW = 896  # placement window (128-aligned, >= 128 + TRIS; max fill 895)
 GROUPS = WINDOW // 128
 
 
@@ -326,35 +326,54 @@ def _setup_kernel(
         t2f = t2.astype(jnp.float32)
         t3 = (recbigT - t1f - t2f).astype(jnp.bfloat16)
 
+        # wide single-dot placement: instead of 8 per-cluster-row placement
+        # dots x 3 splits (24 launches, each padding K=96->128 and N=64->128),
+        # stack all 8 rows along the contraction axis (columns r*96+t) and
+        # all 3 bf16 splits on top of that — ONE [WINDOW, 3*768] x [3*768,
+        # NCOL] dot.  ~1.5x fewer MXU cycles and 8x fewer f32 accumulate
+        # passes over the [WINDOW, NCOL] output.
         grank_f = grank.astype(jnp.float32)  # [8,96], values < WINDOW (exact)
-        j_sub = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, MESH_MAXTRI), 0).astype(jnp.float32)
+        j_sub = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, BLOCK * MESH_MAXTRI), 0).astype(jnp.float32)
         i_384 = jax.lax.broadcasted_iota(jnp.int32, (NCOL * BLOCK, NCOL), 0)
         c_384 = jax.lax.broadcasted_iota(jnp.int32, (NCOL * BLOCK, NCOL), 1)
         r_sub = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
         dn = (((1,), (0,)), ((), ()))
 
-        def place_row(r, placed):
-            # one-hot row picks (offset-0 [1,96] results, MXU-exact)
+        # one-hot row picks (offset-0 [1,96] results, MXU-exact), then a
+        # lane concat to [1, 768] wide rank / validity rows
+        g_parts, v_parts = [], []
+        for r in range(BLOCK):
             e_r = (r_sub == r).astype(jnp.float32)  # [1,8]
-            grank_r = jax.lax.dot_general(e_r, grank_f, dn, preferred_element_type=jnp.float32)
-            vf_r = jax.lax.dot_general(e_r, vf, dn, preferred_element_type=jnp.float32)
-            Pb = ((j_sub == grank_r) & (vf_r > 0.5)).astype(jnp.bfloat16)  # [WINDOW,96]
+            g_parts.append(jax.lax.dot_general(e_r, grank_f, dn, preferred_element_type=jnp.float32))
+            v_parts.append(jax.lax.dot_general(e_r, vf, dn, preferred_element_type=jnp.float32))
+        grank_wide = jnp.concatenate(g_parts, axis=1)  # [1, 768]
+        vf_wide = jnp.concatenate(v_parts, axis=1)
+        Pb = ((j_sub == grank_wide) & (vf_wide > 0.5)).astype(jnp.bfloat16)  # [WINDOW, 768]
 
-            S_r = ((i_384 % BLOCK == r) & (i_384 // BLOCK == c_384)).astype(jnp.bfloat16)
-            for t in (t1, t2, t3):
-                # f32 accumulate (Mosaic requires 32-bit acc), cast back to
-                # bf16 — exact: each output selects exactly one bf16 value
-                rec_rT = jax.lax.dot_general(
-                    t, S_r, dn, preferred_element_type=jnp.float32
+        # record rows k = r*96 + t -> record (r, t); the select dots are
+        # cheap ([96,448]x[448,NCOL]); f32 accumulate (Mosaic requires
+        # 32-bit acc), cast back to bf16 — exact: each output selects
+        # exactly one bf16 value
+        sel_mats = [
+            ((i_384 % BLOCK == r) & (i_384 // BLOCK == c_384)).astype(jnp.bfloat16)
+            for r in range(BLOCK)
+        ]
+        splits = []
+        for t in (t1, t2, t3):
+            splits.append(jnp.concatenate([
+                jax.lax.dot_general(
+                    t, sel_mats[r], dn, preferred_element_type=jnp.float32
                 ).astype(jnp.bfloat16)
-                placed = placed + jax.lax.dot_general(
-                    Pb, rec_rT, dn, preferred_element_type=jnp.float32
-                )
-            return placed
-
-        placed = jax.lax.fori_loop(
-            0, BLOCK, place_row, jnp.zeros((WINDOW, NCOL), jnp.float32)
-        )
+                for r in range(BLOCK)
+            ], axis=0))  # [768, NCOL]
+        # MXU N pads to 128 and NCOL is 64, so pack splits 1+2 side by side
+        # in the N dimension (full utilization); split 3 rides a half-padded
+        # dot.  2 launches instead of 24 small ones (measured 109 -> 73ms
+        # for the whole kernel vs the per-row fori_loop formulation).
+        rec12 = jnp.concatenate([splits[0], splits[1]], axis=1)  # [768, 2*NCOL]
+        d12 = jax.lax.dot_general(Pb, rec12, dn, preferred_element_type=jnp.float32)
+        d3 = jax.lax.dot_general(Pb, splits[2], dn, preferred_element_type=jnp.float32)
+        placed = d12[:, :NCOL] + d12[:, NCOL:] + d3
 
         window[...] = placed[:, :REC]
         window[0:128, :] = window[0:128, :] + pending[...]
