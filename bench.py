@@ -103,6 +103,41 @@ def main():
     covered = int(np.asarray((fb.vis != 0x7FFFFFFF)[::8, ::8].sum()) * 64)
     print(f"[bench] {frame_ms:.2f}ms/frame over {frames} chained frames; covered px ~{covered}", file=sys.stderr)
 
+    if int(os.environ.get("BENCH_SHADOW", 1)):
+        # ray-traced sun shadows on the same scene (reference
+        # niagara.cpp:1792-1855): two-level BVH (one BLAS for the kitten
+        # mesh, TLAS over all instances), host refit, traced at 1/2 res
+        from niagara_tpu.ops import shadow as shadow_mod
+
+        t0 = time.time()
+        bvh, rt_static = shadow_mod.build_scene_rt(geometry, draws)
+        build_s = time.time() - t0
+        t0 = time.time()
+        bvh = shadow_mod.refit_tlas(rt_static, draws)
+        refit_s = time.time() - t0
+        bvh = jax.device_put(bvh)
+        sh_fn = jax.jit(
+            lambda d: shadow_mod.shadow_pass(
+                d, bvh,
+                sun_direction=sp.sun_direction,
+                inverse_view_projection=sp.inverse_view_projection,
+                width=width, height=height, scale=2,
+            )
+        )
+        t0 = time.time()
+        shimg = sh_fn(fb.depth)
+        _ = np.asarray(shimg[:1, :1])
+        print(f"[bench] shadow compile+first {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        for _ in range(3):
+            shimg = sh_fn(fb.depth)
+        _ = np.asarray(shimg[:1, :1])
+        shadow_ms = (time.time() - t0) / 3 * 1000
+        lit = float(np.asarray(shimg[::8, ::8].mean()))
+        print(f"[bench] shadow_pass {shadow_ms:.2f}ms at 1/2 res "
+              f"(TLAS build {build_s:.1f}s, refit {refit_s:.2f}s, "
+              f"{draw_count} instances, mean lit {lit:.3f})", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"kitten_{draw_count//1000}k_draws_{width}x{height}_frame_time",
         "value": round(frame_ms, 3),

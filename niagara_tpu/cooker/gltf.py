@@ -5,8 +5,10 @@ nodes/meshes/materials/lights/cameras/animations, quantize vertex streams,
 cook every primitive through the native cooker, and classify draws into post
 passes (opaque / alpha-test / transmission).
 
-Self-contained parser: .gltf (JSON + .bin / data URIs) and .glb containers.
-meshopt-compression and Draco extensions are not supported yet.
+Self-contained parser: .gltf (JSON + .bin / data URIs) and .glb containers,
+including EXT_meshopt_compression bufferViews (meshopt_codec.py; reference
+scene.cpp:405-471).  Draco is not supported (the reference doesn't read it
+either).
 """
 
 from __future__ import annotations
@@ -63,6 +65,7 @@ class _Gltf:
                 self.json = json.load(f)
                 self.bin = None
         self._buffers = {}
+        self._decoded_views = {}
 
     def _load_glb(self, f):
         magic, version, _length = struct.unpack("<III", f.read(12))
@@ -96,6 +99,28 @@ class _Gltf:
         self._buffers[index] = data
         return data
 
+    def view_bytes(self, bv_index: int) -> tuple[bytes, int]:
+        """BufferView payload + its base offset within the returned bytes.
+
+        Handles EXT_meshopt_compression (reference scene.cpp:405-471): the
+        compressed payload lives in the extension's buffer/offset/length and
+        decompresses to count*byteStride bytes replacing the view."""
+        bv = self.json["bufferViews"][bv_index]
+        ext = bv.get("extensions", {}).get("EXT_meshopt_compression")
+        if ext is None:
+            return self.buffer(bv["buffer"]), bv.get("byteOffset", 0)
+        if bv_index in self._decoded_views:
+            return self._decoded_views[bv_index], 0
+        from . import meshopt_codec
+
+        off = ext.get("byteOffset", 0)
+        comp = self.buffer(ext["buffer"])[off : off + ext["byteLength"]]
+        out = meshopt_codec.decode_buffer_view(
+            comp, ext["mode"], ext["count"], ext["byteStride"], ext.get("filter", "NONE")
+        )
+        self._decoded_views[bv_index] = out
+        return out, 0
+
     def accessor(self, index: int) -> np.ndarray:
         """Decode an accessor to float32 (normalized ints scaled) or raw ints
         for SCALAR index data."""
@@ -109,9 +134,10 @@ class _Gltf:
             out = np.zeros((n, ncomp), dtype=dtype)
         else:
             bv = self.json["bufferViews"][acc["bufferView"]]
-            data = self.buffer(bv["buffer"])
-            offset = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
-            stride = bv.get("byteStride", itemsize)
+            data, base = self.view_bytes(acc["bufferView"])
+            offset = base + acc.get("byteOffset", 0)
+            ext = bv.get("extensions", {}).get("EXT_meshopt_compression")
+            stride = (ext or bv).get("byteStride", itemsize)
             if stride == itemsize:
                 out = np.frombuffer(data, dtype=dtype, count=n * ncomp, offset=offset).reshape(n, ncomp)
             else:
