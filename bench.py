@@ -116,13 +116,14 @@ def main():
         bvh = shadow_mod.refit_tlas(rt_static, draws)
         refit_s = time.time() - t0
         bvh = jax.device_put(bvh)
-        sh_fn = jax.jit(
-            lambda d: shadow_mod.shadow_pass(
-                d, bvh,
-                sun_direction=sp.sun_direction,
-                inverse_view_projection=sp.inverse_view_projection,
-                width=width, height=height, scale=2,
-            )
+        # chunked mode: the trace dispatches in host-synced rounds (a single
+        # 0.5M-ray full-depth program runs ~35s and can trip the pooled
+        # chip's program watchdog), with early exit once every ray resolves
+        sh_fn = lambda d: shadow_mod.shadow_pass(
+            d, bvh,
+            sun_direction=sp.sun_direction,
+            inverse_view_projection=sp.inverse_view_projection,
+            width=width, height=height, scale=2, chunked=True,
         )
         t0 = time.time()
         shimg = sh_fn(fb.depth)
@@ -134,9 +135,51 @@ def main():
         _ = np.asarray(shimg[:1, :1])
         shadow_ms = (time.time() - t0) / 3 * 1000
         lit = float(np.asarray(shimg[::8, ::8].mean()))
-        print(f"[bench] shadow_pass {shadow_ms:.2f}ms at 1/2 res "
+        print(f"[bench] shadow_pass(rt) {shadow_ms:.2f}ms at 1/2 res "
               f"(TLAS build {build_s:.1f}s, refit {refit_s:.2f}s, "
               f"{draw_count} instances, mean lit {lit:.3f})", file=sys.stderr)
+
+    if int(os.environ.get("BENCH_SUNMAP", 1)):
+        # rasterized sun shadow map — the TPU-native production path
+        # (ops/sunmap.py): render the scene from the sun with the same
+        # meshlet pipeline, then PCF depth-compare at full res
+        from functools import partial as _partial
+
+        from niagara_tpu.ops import sunmap as sunmap_mod
+
+        sf = sunmap_mod.fit_sun_to_draws(np.asarray(sp.sun_direction), draws)
+        build_map = _partial(
+            sunmap_mod.build_static_sun_map, scene, sf,
+            map_w=2048, map_h=2048,
+            cmd_capacity=cfg.cmd_capacity, cluster_capacity=cfg.cluster_capacity,
+            # 2048x2048 -> 4096 tiles (13 key bits), so tri capacity is
+            # capped at 2^19 to keep the packed (tile, tri) sort key in u32
+            tri_capacity=min(cfg.tri_capacity, 1 << 19),
+            pair_capacity=cfg.pair_capacity,
+            max_groups=cfg.max_groups,
+        )
+        t0 = time.time()
+        smap, sm_drops = build_map()
+        _ = np.asarray(smap[:1, :1])
+        print(f"[bench] static sun map compile+build {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        smap, sm_drops = build_map()
+        _ = np.asarray(smap[:1, :1])
+        map_ms = (time.time() - t0) * 1000
+        sm_fn = jax.jit(lambda d, m: sunmap_mod.shadow_map_pass(
+            d, sf, m, inverse_view_projection=sp.inverse_view_projection,
+            width=width, height=height))
+        term = sm_fn(fb.depth, smap)
+        _ = np.asarray(term[:1, :1])
+        t0 = time.time()
+        for _ in range(3):
+            term = sm_fn(fb.depth, smap)
+        _ = np.asarray(term[:1, :1])
+        term_ms = (time.time() - t0) / 3 * 1000
+        lit = float(np.asarray(term[::8, ::8].mean()))
+        print(f"[bench] static sun_map build {map_ms:.1f}ms once (2048x2048, "
+              f"dropped {int(sm_drops)}) + per-frame resolve {term_ms:.2f}ms "
+              f"at {width}x{height}; mean lit {lit:.3f}", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"kitten_{draw_count//1000}k_draws_{width}x{height}_frame_time",

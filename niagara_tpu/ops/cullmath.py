@@ -114,8 +114,10 @@ def sample_pyramid_min(pyramid_atlas: jnp.ndarray, uv: jnp.ndarray, level: jnp.n
 
 
 def oct_encode(v: jnp.ndarray) -> jnp.ndarray:
+    # guarded: a degenerate (zero) normal encodes to (0,0) instead of NaN —
+    # NaN here would survive the validity select and poison the composite
     denom = jnp.abs(v[..., 0]) + jnp.abs(v[..., 1]) + jnp.abs(v[..., 2])
-    p = v[..., :2] / denom[..., None]
+    p = v[..., :2] / jnp.maximum(denom[..., None], 1e-20)
     s = jnp.where(v[..., :2] >= 0, 1.0, -1.0)
     r = jnp.where((v[..., 2] <= 0)[..., None], (1.0 - jnp.abs(p[..., ::-1])) * s, p)
     return r

@@ -146,7 +146,7 @@ def transform_meta(scene, cluster_cmd, cluster_lane, cluster_count, cmds):
     mi = jnp.clip(mi, 0, scene.meshlet_tris.shape[0] - 1)
 
     out = dict(
-        chan=scene.meshlet_channels[mi],  # [K,20,64] bf16 — one 2.5KB row gather
+        chan=scene.meshlet_channels[mi],  # [K,10,128] bf16 — one layout-tight 2.5KB row gather
         trib=scene.meshlet_tri_bf[mi],  # [K,3,96] bf16 corner ids
         tri_count=scene.meshlet_triangle_count[mi],  # [K]
         xform=scene.draw_xform_row[draw_id],  # [K,8]

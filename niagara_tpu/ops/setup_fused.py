@@ -54,7 +54,9 @@ GROUPS = WINDOW // 128
 def _corner_fetch(chan_ref, trib_ref, prm_e3):
     """In-kernel one-hot corner fetch on the MXU for one 8-cluster block.
 
-    Inputs: chan_ref [BLOCK, 20, 64] bf16 channel-major vertex channels,
+    Inputs: chan_ref [BLOCK, 10, 128] bf16 pair-packed vertex channels
+    (channel 2p in lanes 0-63 of row p, channel 2p+1 in lanes 64-127 — the
+    layout-tight form; a 64-lane minor dim would be padded 2x by XLA),
     trib_ref [BLOCK, 3, 96] bf16 corner ids.  Returns 3 corner matrices
     [20*BLOCK, 96] f32 whose rows (ch*8 + k) hold channel ch of cluster k —
     tile-aligned sublane slices [ch*8:(ch+1)*8] recover offset-0 [8,96]
@@ -65,12 +67,29 @@ def _corner_fetch(chan_ref, trib_ref, prm_e3):
     the fetch is one block-diagonal matmul per corner over data that already
     streams in (chan is 4.5x smaller than the 3 corner arrays).
 
-    Exactness: both matmuls are one-hot on one side over bf16 payloads —
+    Exactness: all matmuls are one-hot on one side over bf16 payloads —
     every output is a single bf16 value accumulated in f32."""
-    # chanbig [160, 64]: rows (ch*8 + k) = cluster k's channel ch
-    chanbig = jnp.concatenate(
-        [chan_ref[:, ch, :] for ch in range(20)], axis=0
-    )  # offsets all {0,0}: channel-major reads
+    dn0 = (((1,), (0,)), ((), ()))
+    # unpack the channel pairs with one-hot lane/row dots (lane slices at
+    # offset 64 can't feed Mosaic's concat, so the halves are split on the
+    # MXU instead): chan2big [80, 128] rows (p*8 + k)
+    chan2big = jnp.concatenate([chan_ref[:, p, :] for p in range(10)], axis=0)
+    l_sub = jax.lax.broadcasted_iota(jnp.int32, (2 * MESH_MAXVTX, MESH_MAXVTX), 0)
+    l_lane = jax.lax.broadcasted_iota(jnp.int32, (2 * MESH_MAXVTX, MESH_MAXVTX), 1)
+    h_lo = (l_sub == l_lane).astype(jnp.bfloat16)  # [128, 64]
+    h_hi = (l_sub == l_lane + MESH_MAXVTX).astype(jnp.bfloat16)
+    lo = jax.lax.dot_general(chan2big, h_lo, dn0, preferred_element_type=jnp.float32)
+    hi = jax.lax.dot_general(chan2big, h_hi, dn0, preferred_element_type=jnp.float32)
+    # interleave rows: chanbig[ch*8+k] = (ch even ? lo : hi)[(ch//2)*8 + k]
+    q_sub = jax.lax.broadcasted_iota(jnp.int32, (20 * BLOCK, 10 * BLOCK), 0)
+    r_lane = jax.lax.broadcasted_iota(jnp.int32, (20 * BLOCK, 10 * BLOCK), 1)
+    src = (q_sub // 16) * BLOCK + (q_sub % BLOCK)
+    p_even = (((q_sub // BLOCK) % 2 == 0) & (r_lane == src)).astype(jnp.bfloat16)
+    p_odd = (((q_sub // BLOCK) % 2 == 1) & (r_lane == src)).astype(jnp.bfloat16)
+    chanbig = (
+        jax.lax.dot_general(p_even, lo.astype(jnp.bfloat16), dn0, preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(p_odd, hi.astype(jnp.bfloat16), dn0, preferred_element_type=jnp.float32)
+    ).astype(jnp.bfloat16)  # [160, 64]: rows (ch*8 + k) = cluster k's channel ch
     # tile 8x along lanes then mask to block-diagonal [160, 512]:
     # row (ch*8+k) keeps lanes [k*64, (k+1)*64)
     tiled = jnp.concatenate([chanbig] * BLOCK, axis=1)  # [160, 512]
@@ -113,7 +132,7 @@ def _setup_kernel_noalpha(cnt_ref, chan, trib, xform, meta, prm, rec_out, aabb_o
 
 def _setup_kernel(
     cnt_ref,  # scalar prefetch: [1] i32 live cluster count
-    chan_ref,  # [BLOCK, 20, 64] bf16 vertex channels (channel-major)
+    chan_ref,  # [BLOCK, 10, 128] bf16 vertex channels (pair-packed channel-major)
     trib_ref,  # [BLOCK, 3, 96] bf16 corner ids
     xform_ref,  # [BLOCK, 8] f32 (pos, scale, quat)
     meta_ref,  # [BLOCK, 4] i32 (draw, mat, post, tri_count)
@@ -456,7 +475,7 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
 
     with_alpha = "alpha" in tc
     in_specs = [
-        pl.BlockSpec((BLOCK, 20, MESH_MAXVTX), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((BLOCK, 10, 2 * MESH_MAXVTX), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec((BLOCK, 3, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
         pl.BlockSpec((BLOCK, 8), lambda i, *_: (i, 0)),
         pl.BlockSpec((BLOCK, 4), lambda i, *_: (i, 0)),

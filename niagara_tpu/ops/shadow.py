@@ -263,7 +263,7 @@ def _rotate_conj(v, q):
 
 
 def trace_any_hit(bvh: ShadowBVH, origin, direction, t_min=1e-3, t_max=1e30, max_steps=1024,
-                  alpha_test: bool = False):
+                  alpha_test: bool = False, state=None, return_state: bool = False):
     """Two-level any-hit occlusion test for a batch of rays.
 
     origin/direction: [N,3] world space.  Returns occluded [N] bool.  One
@@ -409,19 +409,48 @@ def trace_any_hit(bvh: ShadowBVH, origin, direction, t_min=1e-3, t_max=1e30, max
             steps + 1,
         )
 
-    zi = jnp.zeros(N, dtype=jnp.int32)
-    state0 = (
-        zi,  # ptr (tlas-local)
-        jnp.zeros(N, dtype=bool),  # in_blas
-        zi, zi, zi,  # base, ncount, tbase
-        jnp.full((N,), tlas_count, dtype=jnp.int32),  # resume (walk-off = done)
-        jnp.zeros((N, 3), jnp.float32),  # o_obj
-        jnp.zeros((N, 3), jnp.float32),  # d_obj
-        jnp.zeros(N, dtype=bool),  # hit
-        jnp.int32(0),
-    )
+    if state is None:
+        zi = jnp.zeros(N, dtype=jnp.int32)
+        state0 = (
+            zi,  # ptr (tlas-local)
+            jnp.zeros(N, dtype=bool),  # in_blas
+            zi, zi, zi,  # base, ncount, tbase
+            jnp.full((N,), tlas_count, dtype=jnp.int32),  # resume (walk-off = done)
+            jnp.zeros((N, 3), jnp.float32),  # o_obj
+            jnp.zeros((N, 3), jnp.float32),  # d_obj
+            jnp.zeros(N, dtype=bool),  # hit
+            jnp.int32(0),
+        )
+    else:
+        state0 = tuple(state[:9]) + (jnp.int32(0),)  # fresh step budget
     out = jax.lax.while_loop(cond, body, state0)
+    if return_state:
+        done = ~out[1] & (out[0] >= tlas_count)
+        alive = jnp.sum(~done & ~out[8])
+        return out, alive
     return out[8]
+
+
+def trace_any_hit_chunked(bvh: ShadowBVH, origin, direction, *, t_min=1e-3, t_max=1e30,
+                          round_steps: int = 128, max_rounds: int = 16,
+                          alpha_test: bool = False):
+    """Host-looped any-hit trace: same walk as trace_any_hit but split into
+    rounds of `round_steps` iterations with a host sync between dispatches.
+
+    Two reasons: (a) long-running single device programs get killed on
+    shared/pooled chips (a 0.5M-ray 1024-step trace runs ~35s as one
+    program); (b) the loop exits as soon as every ray has resolved instead
+    of running the worst lane's budget blind."""
+    f = jax.jit(partial(
+        trace_any_hit, t_min=t_min, t_max=t_max, max_steps=round_steps,
+        alpha_test=alpha_test, return_state=True,
+    ))
+    state = None
+    for _ in range(max_rounds):
+        state, alive = f(bvh, origin, direction, state=state)
+        if int(jax.device_get(alive)) == 0:
+            break
+    return state[8]
 
 
 def checkerboard_fill(shadow, d_small, parity: int = 0):
@@ -495,12 +524,18 @@ def shadow_pass(
     znear: float = 0.1,
     parity: int = 0,
     quality: int = 0,
+    chunked: bool = False,
 ):
     """Full shadow pipeline (reference shadow.comp + shadowfill + shadowblur,
     niagara.cpp:1792-1855): trace (optionally checkerboarded + at a reduced
     resolution — the TPU perf knob the reference doesn't need), jittered sun
     direction for penumbra, depth-weighted reconstruction, depth-aware
-    bilateral blur, upsample to [H,W] shadow term in [0,1]."""
+    bilateral blur, upsample to [H,W] shadow term in [0,1].
+
+    chunked=True splits the trace into host-synced rounds (required for big
+    scenes on shared chips — see trace_any_hit_chunked); the caller must NOT
+    wrap shadow_pass in jit in that mode."""
+    trace = trace_any_hit_chunked if chunked else trace_any_hit
     sw, sh = width // scale, height // scale
 
     # reconstruct world positions at low-res pixel centers
@@ -551,11 +586,11 @@ def shadow_pass(
         ys = jnp.broadcast_to(jnp.arange(sh)[:, None], xs.shape)
         o_half = wpos[ys, xs].reshape(-1, 3)
         d_half = dirs[ys, xs].reshape(-1, 3)
-        occ_half = trace_any_hit(bvh, o_half, d_half, alpha_test=quality >= 1).reshape(sh, sw // 2)
+        occ_half = trace(bvh, o_half, d_half, alpha_test=quality >= 1).reshape(sh, sw // 2)
         occluded = jnp.zeros((sh, sw), dtype=bool).at[ys, xs].set(occ_half)
     else:
         origins = wpos.reshape(-1, 3)
-        occluded = trace_any_hit(bvh, origins, dirs.reshape(-1, 3), alpha_test=quality >= 1)
+        occluded = trace(bvh, origins, dirs.reshape(-1, 3), alpha_test=quality >= 1)
         occluded = occluded.reshape(sh, sw)
 
     shadow = jnp.where(occluded, 0.0, 1.0)

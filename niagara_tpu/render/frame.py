@@ -393,7 +393,18 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
         bloom_half = bloom.compute_bloom(g0, cfg.width, cfg.height)
         bloom_img = bloom.sample_bloom_fullres(bloom_half, cfg.width, cfg.height)
     shadow_img = None
-    if cfg.shadows and bvh is not None:
+    if cfg.shadows and isinstance(bvh, tuple):
+        # rasterized sun-map shadows (ops/sunmap.py): bvh = (sun_frame,
+        # sun_map) prebuilt by the caller — the TPU-native fast path
+        from ..ops import sunmap as sunmap_mod
+
+        sf, smap = bvh
+        shadow_img = sunmap_mod.shadow_map_pass(
+            fb.depth, sf, smap,
+            inverse_view_projection=shade_params.inverse_view_projection,
+            width=cfg.width, height=cfg.height,
+        )
+    elif cfg.shadows and bvh is not None:
         shadow_img = shadow.shadow_pass(
             fb.depth,
             bvh,

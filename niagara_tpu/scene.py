@@ -202,7 +202,7 @@ class DeviceScene:
     # (sources are fp16/snorm10 quantized) + vertex-id bytes, CHANNEL-major.
     # Channels: 0-5 pos hi/lo xyz, 6-11 normal hi/lo, 12-15 uv hi/lo,
     # 16-18 vid bytes
-    meshlet_channels: np.ndarray  # bf16 [M, 20, MESH_MAXVTX]
+    meshlet_channels: np.ndarray  # bf16 [M, 10, 2*MESH_MAXVTX] pair-packed channels
     meshlet_center: np.ndarray  # f32 [M,3]
     meshlet_radius: np.ndarray  # f32 [M]
     meshlet_cone_axis: np.ndarray  # f32 [M,3] (snorm8 / 127)
@@ -376,10 +376,15 @@ def upload(
         (vid64 >> 16).astype(ml_dtypes.bfloat16),
         np.zeros_like(vid64, dtype=ml_dtypes.bfloat16),
     ]
-    # CHANNEL-major [M, 20, 64]: the fused setup kernel reads ref[:, ch, :]
-    # at layout offset 0 (vertex-major reads carry lane offsets Mosaic's
-    # concat rejects) and feeds its in-kernel block-diagonal corner fetch
-    meshlet_channels = np.ascontiguousarray(np.stack(chan_parts, axis=1))  # [M, 20, 64]
+    # CHANNEL-major, PAIR-PACKED [M, 10, 128]: channel 2p in lanes 0-63 of
+    # row p, channel 2p+1 in lanes 64-127.  A [*, 20, 64] bf16 table would
+    # be padded 64->128 lanes by XLA's tiled layout, doubling both HBM
+    # residency and the per-frame cluster gather; the 128-lane packing is
+    # layout-tight and the kernel re-splits the halves with one-hot lane
+    # dots (setup_fused._corner_fetch)
+    meshlet_channels = np.ascontiguousarray(np.stack(chan_parts, axis=1)).reshape(
+        -1, 10, 2 * MESH_MAXVTX
+    )  # [M, 10, 128]
     # triangle corner ids as bf16 channels [M, 3, 96] (ids < 64, exact) for
     # the in-kernel one-hot build
     meshlet_tri_bf = np.ascontiguousarray(

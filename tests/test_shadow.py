@@ -318,3 +318,24 @@ def test_alpha_tested_any_hit():
     hit_q1 = np.asarray(shadow.trace_any_hit(bvh, o, d, alpha_test=True))
     np.testing.assert_array_equal(hit_q0, [True, True])  # opaque-only: both occlude
     np.testing.assert_array_equal(hit_q1, [False, True])  # alpha-tested punches through
+
+
+def test_chunked_trace_matches_single_loop(rng):
+    """trace_any_hit_chunked (host-synced rounds, early exit) must produce
+    the same occlusion bits as the single while_loop trace."""
+    pts = rng.uniform(-1, 1, size=(900, 3)).astype(np.float32)
+    idx = np.arange(900, dtype=np.uint32)
+    nodes, order = bindings.build_bvh(pts, idx)
+    tris = pts[idx.reshape(-1, 3)][order]
+    bvh = jax.device_put(shadow.single_blas(nodes, tris))
+    origins = rng.uniform(-2, 2, size=(128, 3)).astype(np.float32)
+    origins[:, 2] = -3.0
+    dirs = np.tile([0.0, 0.0, 1.0], (128, 1)).astype(np.float32)
+    ref = np.asarray(shadow.trace_any_hit(bvh, jnp.array(origins), jnp.array(dirs)))
+    # tiny rounds force many host-loop iterations + the early-exit path
+    got = np.asarray(
+        shadow.trace_any_hit_chunked(
+            bvh, jnp.array(origins), jnp.array(dirs), round_steps=17, max_rounds=200
+        )
+    )
+    np.testing.assert_array_equal(ref, got)

@@ -1,0 +1,153 @@
+"""Rasterized sun shadow map (ops/sunmap.py) — the TPU-native fast path for
+the reference's RT sun shadows.  Checks: an occluder shadows the ground
+exactly under its sun-projected footprint, and the map path agrees with the
+BVH-traced path on the same scene."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from niagara_tpu.cooker.cook import cook_obj_meshes
+from niagara_tpu.cooker.synth import synthesize_draws
+from niagara_tpu.ops import shadow, sunmap
+from niagara_tpu.scene import upload
+
+QUAD_OVER_PLANE = """
+# big ground plane at y=0 (two triangles), small square occluder at y=2
+v -10 0 -10
+v  10 0 -10
+v  10 0  10
+v -10 0  10
+vn 0 1 0
+f 1//1 3//1 2//1
+f 1//1 4//1 3//1
+"""
+
+OCCLUDER = """
+v -1 0 -1
+v  1 0 -1
+v  1 0  1
+v -1 0  1
+vn 0 1 0
+f 1//1 3//1 2//1
+f 1//1 4//1 3//1
+"""
+
+
+def _scene(tmp_path):
+    p1 = tmp_path / "plane.obj"
+    p2 = tmp_path / "occ.obj"
+    p1.write_text(QUAD_OVER_PLANE)
+    p2.write_text(OCCLUDER)
+    g = cook_obj_meshes([str(p1), str(p2)], build_lods=False)
+    draws = synthesize_draws(g.meshes.count, draw_count=2)
+    draws.mesh_index[:] = [0, 1]
+    draws.position[:] = np.array([[0, 0, 0], [0, 2, 0]], np.float32)
+    draws.scale[:] = 1.0
+    draws.orientation[:] = np.array([0, 0, 0, 1], np.float32)
+    return g, draws
+
+
+def test_sun_map_shadows_footprint(tmp_path):
+    g, draws = _scene(tmp_path)
+    scene = jax.device_put(upload(g, draws))
+    sun = np.array([0.0, 1.0, 0.0], np.float32)  # straight down: footprint == occluder
+    sf = sunmap.fit_sun(sun, [-12, -1, -12], [12, 3, 12])
+
+    smap, _, dropped = sunmap.render_sun_map(
+        scene, sf, camera_position=jnp.zeros(3), lod_target=jnp.float32(1e-6),
+        lod_enabled=jnp.int32(0), map_w=256, map_h=256,
+        cmd_capacity=64, cluster_capacity=64, tri_capacity=1 << 10,
+        pair_capacity=1 << 12, interpret=True,
+    )
+    assert int(dropped) == 0
+    smap = np.asarray(smap)
+    assert (smap > 0).sum() > 1000, "sun map is empty"
+
+    # sample points on the ground: directly under the occluder -> shadowed;
+    # far away on the plane -> lit
+    pts = jnp.array([
+        [0.0, 0.0, 0.0],   # under the occluder
+        [0.5, 0.0, 0.5],   # still under (occluder spans +-1)
+        [5.0, 0.0, 5.0],   # open ground
+        [-8.0, 0.0, 3.0],  # open ground
+    ])
+    term = np.asarray(sunmap.sample_shadow(jnp.asarray(smap), sf, pts))
+    assert term[0] < 0.25, term
+    assert term[1] < 0.25, term
+    assert term[2] > 0.75, term
+    assert term[3] > 0.75, term
+
+
+def test_sun_map_matches_rt_trace(tmp_path):
+    """Map-path shadow decisions match the BVH-traced path on the same
+    scene (away from the footprint boundary where the two sampling patterns
+    legitimately differ)."""
+    g, draws = _scene(tmp_path)
+    scene = jax.device_put(upload(g, draws))
+    sun = np.array([0.2, 1.0, 0.1], np.float32)
+    sun = sun / np.linalg.norm(sun)
+    sf = sunmap.fit_sun(sun, [-12, -1, -12], [12, 3, 12])
+    smap, _, _ = sunmap.render_sun_map(
+        scene, sf, camera_position=jnp.zeros(3), lod_target=jnp.float32(1e-6),
+        lod_enabled=jnp.int32(0), map_w=512, map_h=512,
+        cmd_capacity=64, cluster_capacity=64, tri_capacity=1 << 10,
+        pair_capacity=1 << 13, interpret=True,
+    )
+
+    bvh, _ = shadow.build_scene_rt(g, draws)
+    bvh = jax.device_put(bvh)
+
+    rng = np.random.default_rng(0)
+    pts = np.zeros((128, 3), np.float32)
+    pts[:, 0] = rng.uniform(-9, 9, 128)
+    pts[:, 2] = rng.uniform(-9, 9, 128)
+    pts[:, 1] = 0.01  # just above the ground plane
+
+    dirs = np.tile(sun, (128, 1)).astype(np.float32)
+    occ_rt = np.asarray(shadow.trace_any_hit(bvh, jnp.asarray(pts), jnp.asarray(dirs)))
+    term_map = np.asarray(sunmap.sample_shadow(smap, sf, jnp.asarray(pts)))
+
+    # compare only points decisively inside/outside the footprint: project
+    # the point along the sun to the occluder plane (y=2) and keep points
+    # >2 texels from the square's edge
+    t = (2.0 - pts[:, 1]) / sun[1]
+    foot = pts + t[:, None] * sun[None, :]
+    margin = 24.0 / 512 * 2  # 2 texels in world units
+    inside = (np.abs(foot[:, 0]) < 1 - margin) & (np.abs(foot[:, 2]) < 1 - margin)
+    outside = (np.abs(foot[:, 0]) > 1 + margin) | (np.abs(foot[:, 2]) > 1 + margin)
+    decisive = inside | outside
+
+    agree = (term_map < 0.5) == occ_rt
+    assert agree[decisive].mean() > 0.97, (
+        f"map vs rt disagreement {1 - agree[decisive].mean():.3f}"
+    )
+
+
+def test_static_map_batched_matches_single(tmp_path):
+    """build_static_sun_map's draw-id batching (cached-map path for 1M-draw
+    scenes) must produce the same map as one unbatched render."""
+    g, draws = _scene(tmp_path)
+    scene = jax.device_put(upload(g, draws))
+    sun = np.array([0.1, 1.0, 0.2], np.float32)
+    sun /= np.linalg.norm(sun)
+    sf = sunmap.fit_sun_to_draws(sun, draws, margin=12.0)
+    ext = np.asarray(sf["hi"] - sf["lo"])
+    texel = float(max(ext[0] / 256, ext[1] / 256))
+    single, _, _ = sunmap.render_sun_map(
+        scene, sf, map_w=256, map_h=256, texel_world=texel,
+        cmd_capacity=64, cluster_capacity=64, tri_capacity=1 << 10,
+        pair_capacity=1 << 12, interpret=True,
+    )
+    batched, dropped = sunmap.build_static_sun_map(
+        scene, sf, map_w=256, map_h=256, batch=1,
+        cmd_capacity=64, cluster_capacity=64, tri_capacity=1 << 10,
+        pair_capacity=1 << 12, interpret=True,
+    )
+    assert int(dropped) == 0
+    # jit-vs-eager FMA contraction differs by a few ulps through the
+    # edge-equation/depth-plane chain
+    np.testing.assert_allclose(np.asarray(single), np.asarray(batched), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(single) > 0, np.asarray(batched) > 0)
