@@ -340,6 +340,27 @@ def build_bvh_boxes(boxes_min: np.ndarray, boxes_max: np.ndarray, max_leaf: int 
     return nodes[:n], order
 
 
+def refit_bvh_boxes(nodes: np.ndarray, boxes_min: np.ndarray, boxes_max: np.ndarray) -> np.ndarray:
+    """Topology-preserving bound update of a box BVH from build_bvh_boxes
+    (the Vulkan MODE_UPDATE refit, reference niagara.cpp:1476-1482): new
+    leaf boxes in the build's leaf `order`, node AABBs recomputed bottom-up.
+    Returns the updated nodes array (a copy)."""
+    lib = get_lib()
+    lib.ck_refit_bvh_boxes.restype = None
+    lib.ck_refit_bvh_boxes.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_void_p, ctypes.c_uint32,
+    ]
+    nodes = np.ascontiguousarray(nodes, np.float32).copy()
+    boxes = np.concatenate(
+        [np.ascontiguousarray(boxes_min, np.float32), np.ascontiguousarray(boxes_max, np.float32)],
+        axis=-1,
+    )
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    if len(nodes):
+        lib.ck_refit_bvh_boxes(_ptr(nodes), len(nodes), _ptr(boxes), len(boxes))
+    return nodes
+
+
 def load_dds(path: str):
     """Decode a DDS texture (BC1-5 / RGBA8) to RGBA8 mips.
 

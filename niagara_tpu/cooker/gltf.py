@@ -395,10 +395,14 @@ def load_scene(path: str, build_lods: bool = True) -> SceneData:
         uri = img.get("uri", "")
         # source images ship as png/jpg URIs but the cooked asset set stores
         # pre-compressed DDS next to them (reference scene.cpp:682-705
-        # rewrites extensions the same way)
+        # rewrites extensions the same way) — but only when the sibling DDS
+        # actually exists; assets genuinely shipping png/jpg keep their path
+        # (and the texture loader warns instead of silently falling back)
         dot = uri.rfind(".")
         if dot > 0 and not uri.lower().endswith(".dds"):
-            uri = uri[:dot] + ".dds"
+            dds_uri = uri[:dot] + ".dds"
+            if not g.dir or os.path.exists(os.path.join(g.dir, dds_uri)):
+                uri = dds_uri
         out.texture_paths.append(uri)
 
     out.animations = _load_animations(g, anim_node_draw)

@@ -253,36 +253,47 @@ class _VertexFifo:
         return self.data[(self.offset - 1 - i) & 15]
 
 
+# codeaux table: (feb, fec) byte pairs for the edge-miss fast path.  These
+# are the meshoptimizer v1 defaults; entries 14/15 are reserved (codes
+# 0xfe/0xff carry an explicit aux byte instead), and since v1 embeds the
+# table in the last 16 bytes of the stream, decoders accept any table.
+_CODEAUX_TABLE = [0x00, 0x76, 0x87, 0x56, 0x67, 0x78, 0xA9, 0x86,
+                  0x65, 0x89, 0x68, 0x98, 0x01, 0x69, 0x00, 0x00]
+
+
 def encode_index_buffer(indices: np.ndarray) -> bytes:
-    """indices: flat [3*tris] u32 triangle list."""
+    """indices: flat [3*tris] u32 triangle list.
+
+    Mirrors decode_index_buffer exactly (same fifo disciplines, conditional
+    pushes, last-delta codes); see that function for the wire format notes.
+    Triangles whose leading edge hits the edge fifo are emitted in the
+    matched rotation — decode restores each triangle up to a
+    winding-preserving cyclic rotation (geometrically identical; see
+    tests/test_meshopt.py::test_rotation_unobservable)."""
     idx = np.asarray(indices, np.uint32).reshape(-1, 3)
     codes = bytearray()
     aux = bytearray()
     edges, verts = _EdgeFifo(), _VertexFifo()
     next_v = 0
     last = 0
-
-    # codeaux table: (feb, fec) byte pairs for the edge-miss path; embedding
-    # the table in the tail (the v1 mechanism) makes any table valid
-    table = [0x00, 0x76, 0x87, 0x56, 0x67, 0x78, 0x98, 0x86,
-             0x65, 0x89, 0x68, 0x57, 0x75, 0x69, 0x96, 0x58]
-    tbl_index = {b: i for i, b in enumerate(table)}
+    tbl_index = {b: i for i, b in enumerate(_CODEAUX_TABLE[:14])}
 
     def enc_index(v):
         nonlocal last
-        aux_delta = _zigzag32(int(v) - int(last))
-        _vbyte_encode(aux, aux_delta)
+        _vbyte_encode(aux, _zigzag32(int(v) - int(last)))
         last = int(v)
 
     for tri in idx:
         a, b, c = (int(x) for x in tri)
-        # rotate so (a,b) hits the edge fifo if any rotation does
+        # edge fifo search: most-recent entry first, rotations in order per
+        # entry — matches upstream getEdgeFifo's priority
         rot = [(a, b, c), (b, c, a), (c, a, b)]
         fe, ra = -1, rot[0]
-        for r in rot:
-            f = edges.find(r[0], r[1])
-            if f >= 0:
-                fe, ra = f, r
+        for i in range(16):
+            ent = edges.get(i)
+            hit = next((r for r in rot if (r[0], r[1]) == ent), None)
+            if hit is not None:
+                fe, ra = i, hit
                 break
         a, b, c = ra
         if fe >= 0:
@@ -290,27 +301,51 @@ def encode_index_buffer(indices: np.ndarray) -> bytes:
             if c == next_v:
                 codes.append((fe << 4) | 0)
                 next_v += 1
-            elif 0 <= fc < 14:
-                codes.append((fe << 4) | (fc + 1))
+                verts.push(c)
+            elif 1 <= fc < 13:
+                # vertex-fifo position encoded directly (1..12); the
+                # referenced vertex is NOT re-pushed
+                codes.append((fe << 4) | fc)
+            elif c == last - 1:
+                codes.append((fe << 4) | 13)  # fec - (fec ^ 3) = -1
+                last = c
+                verts.push(c)
+            elif c == last + 1:
+                codes.append((fe << 4) | 14)  # fec - (fec ^ 3) = +1
+                last = c
+                verts.push(c)
             else:
                 codes.append((fe << 4) | 15)
                 enc_index(c)
-            verts.push(c)
+                verts.push(c)
             edges.push(c, b)
             edges.push(a, c)
         else:
-            # no edge: emit a via next/explicit, b and c via (feb, fec)
-            if a == next_v:
-                fea = 0
+            # no edge hit: a rides next/explicit, b and c ride (feb, fec).
+            # Pushes interleave with the fifo lookups (a enters the fifo
+            # before b's position is measured, etc.) — decode mirrors this.
+            fea = 0 if a == next_v else 15
+            if fea == 0:
                 next_v += 1
+            verts.push(a)
+            fb = verts.find(b)
+            if b == next_v:
+                feb = 0
+                next_v += 1
+            elif 0 <= fb < 13:
+                feb = fb + 1
             else:
-                fea = 15
-            feb = 0 if b == next_v else (verts.find(b) + 1 if 0 <= verts.find(b) < 14 else 15)
-            if feb == 0:
+                feb = 15
+            verts.push(b, feb == 0 or feb == 15)
+            fc = verts.find(c)
+            if c == next_v:
+                fec = 0
                 next_v += 1
-            fec = 0 if c == next_v else (verts.find(c) + 1 if 0 <= verts.find(c) < 14 else 15)
-            if fec == 0:
-                next_v += 1
+            elif 0 <= fc < 13:
+                fec = fc + 1
+            else:
+                fec = 15
+            verts.push(c, fec == 0 or fec == 15)
             auxbyte = (feb << 4) | fec
             if fea == 0 and auxbyte in tbl_index:
                 codes.append(0xF0 | tbl_index[auxbyte])
@@ -323,9 +358,6 @@ def encode_index_buffer(indices: np.ndarray) -> bytes:
                 enc_index(b)
             if fec == 15:
                 enc_index(c)
-            verts.push(a)
-            verts.push(b)
-            verts.push(c)
             edges.push(b, a)
             edges.push(c, b)
             edges.push(a, c)
@@ -333,17 +365,35 @@ def encode_index_buffer(indices: np.ndarray) -> bytes:
     out = bytearray([INDEX_HEADER])
     out.extend(codes)
     out.extend(aux)
-    out.extend(bytes(table))
+    out.extend(bytes(_CODEAUX_TABLE))
     return bytes(out)
 
 
 def decode_index_buffer(data: bytes, count: int) -> np.ndarray:
-    """Returns flat [count] u32 (count = 3 * triangles)."""
+    """Returns flat [count] u32 (count = 3 * triangles).
+
+    Follows the meshoptimizer v1 triangle wire format (consumed by the
+    reference via EXT_meshopt_compression, scene.cpp:405-471): header byte
+    0xE0|version; one code byte per triangle; a shared varint/aux data
+    stream; the 16-byte codeaux table in the stream tail.  Per code byte
+    (fe = high nibble, fec = low nibble):
+
+      * fe < 15: edge-fifo hit at position fe giving (a, b).  fec 0 = c is
+        `next` (incrementing); 1..12 = vertex-fifo position read directly
+        (entry offset-1-fec), NOT re-pushed; 13/14 = c is last-1 / last+1
+        (v1 only); 15 = explicit zigzag-varint delta vs `last`.
+      * fe == 15: codes 0xF0..0xFD read (feb, fec) from the embedded
+        codeaux table with a = next; 0xFE/0xFF read an explicit aux byte
+        (0xFF additionally makes a explicit).  b and c decode like c above
+        but with fifo positions biased by the interleaved a/b pushes.
+    """
     data = bytes(data)
     if not data or (data[0] & 0xF0) != 0xE0:
         raise ValueError("bad triangle codec header")
-    if data[0] != INDEX_HEADER:
-        raise ValueError(f"unsupported triangle codec version {data[0] & 0x0F}")
+    version = data[0] & 0x0F
+    if version > 1:
+        raise ValueError(f"unsupported triangle codec version {version}")
+    fecmax = 13 if version >= 1 else 15
     n_tri = count // 3
     table = data[-16:]
     codes = data[1 : 1 + n_tri]
@@ -366,14 +416,19 @@ def decode_index_buffer(data: bytes, count: int) -> np.ndarray:
             fe = code >> 4
             a, b = edges.get(fe)
             fec = code & 15
-            if fec == 0:
-                c = next_v
-                next_v += 1
-            elif fec < 15:
-                c = verts.get(fec - 1)
+            if fec < fecmax:
+                cf = verts.get(fec)
+                c = next_v if fec == 0 else cf
+                if fec == 0:
+                    next_v += 1
+                verts.push(c, fec == 0)
             else:
-                c = dec_index()
-            verts.push(c)
+                if fec != 15:
+                    c = last + (fec - (fec ^ 3))  # 13 -> last-1, 14 -> last+1
+                    last = c
+                else:
+                    c = dec_index()
+                verts.push(c)
             edges.push(c, b)
             edges.push(a, c)
         else:
@@ -384,29 +439,29 @@ def decode_index_buffer(data: bytes, count: int) -> np.ndarray:
                 auxbyte = data[pos]
                 pos += 1
                 fea = 0 if code == 0xFE else 15
+                if auxbyte == 0:
+                    next_v = 0  # explicit zero aux = index restart (v1)
             feb, fec = auxbyte >> 4, auxbyte & 15
             if fea == 0:
                 a = next_v
                 next_v += 1
             else:
                 a = dec_index()
-            if feb == 0:
-                b = next_v
-                next_v += 1
-            elif feb < 15:
-                b = verts.get(feb - 1)
-            else:
-                b = dec_index()
-            if fec == 0:
-                c = next_v
-                next_v += 1
-            elif fec < 15:
-                c = verts.get(fec - 1)
-            else:
-                c = dec_index()
             verts.push(a)
-            verts.push(b)
-            verts.push(c)
+            # feb/fec are 1-based fifo positions measured AFTER the
+            # preceding pushes of this triangle (encoder interleaves)
+            b = next_v if feb == 0 else verts.get(feb - 1)
+            if feb == 0:
+                next_v += 1
+            elif feb == 15:
+                b = dec_index()
+            verts.push(b, feb == 0 or feb == 15)
+            c = next_v if fec == 0 else verts.get(fec - 1)
+            if fec == 0:
+                next_v += 1
+            elif fec == 15:
+                c = dec_index()
+            verts.push(c, fec == 0 or fec == 15)
             edges.push(b, a)
             edges.push(c, b)
             edges.push(a, c)
@@ -418,11 +473,17 @@ def decode_index_buffer(data: bytes, count: int) -> np.ndarray:
 
 
 def encode_index_sequence(indices: np.ndarray) -> bytes:
+    """meshoptimizer index-sequence codec: each value is a vbyte whose low
+    bit selects one of TWO running baselines; the rest is a zigzag delta
+    against (and update of) that baseline — line strips with restart
+    indices keep both streams short."""
     out = bytearray([SEQUENCE_HEADER])
-    last = 0
+    last = [0, 0]
     for v in np.asarray(indices, np.uint32):
-        _vbyte_encode(out, _zigzag32(int(v) - last))
-        last = int(v)
+        v = int(v)
+        cur = 0 if abs(v - last[0]) <= abs(v - last[1]) else 1
+        _vbyte_encode(out, (_zigzag32(v - last[cur]) << 1) | cur)
+        last[cur] = v
     return bytes(out)
 
 
@@ -430,12 +491,16 @@ def decode_index_sequence(data: bytes, count: int) -> np.ndarray:
     data = bytes(data)
     if not data or (data[0] & 0xF0) != 0xD0:
         raise ValueError("bad index sequence header")
+    if (data[0] & 0x0F) > 1:
+        raise ValueError(f"unsupported sequence codec version {data[0] & 0x0F}")
     out = np.zeros(count, np.uint32)
-    pos, last = 1, 0
+    pos = 1
+    last = [0, 0]
     for i in range(count):
-        d, pos = _vbyte_decode(data, pos)
-        last = last + _unzigzag32(d)
-        out[i] = last
+        v, pos = _vbyte_decode(data, pos)
+        cur = v & 1
+        last[cur] = last[cur] + _unzigzag32(v >> 1)
+        out[i] = last[cur]
     return out
 
 

@@ -221,3 +221,55 @@ extern "C" uint32_t ck_build_bvh_boxes(const float* boxes, uint32_t count,
 	memcpy(out_order, b.order.data(), count * sizeof(uint32_t));
 	return nodeCount;
 }
+
+// Topology-preserving bound refit (reference TLAS MODE_UPDATE,
+// niagara.cpp:1476-1482): recompute node AABBs bottom-up over the existing
+// DFS skip-pointer layout.  Reverse DFS order visits children before
+// parents; internal node i's children are i+1 and skip(i+1) (the second
+// child starts where the first subtree ends; this builder always splits in
+// two).  boxes = [count][6] floats in LEAF order (the `order` permutation
+// from the original build).  O(nodes), no allocation.
+extern "C" void ck_refit_bvh_boxes(float* nodes, uint32_t node_count,
+    const float* boxes, uint32_t count)
+{
+	(void)count;
+	for (uint32_t ii = node_count; ii-- > 0;)
+	{
+		float* n = nodes + (size_t)ii * 8;
+		int32_t leaf;
+		memcpy(&leaf, n + 7, 4);
+		if (leaf >= 0)
+		{
+			uint32_t first = (uint32_t)leaf >> 4;
+			uint32_t cnt = (uint32_t)leaf & 15;
+			Box b;
+			b.reset();
+			for (uint32_t t = 0; t < cnt; ++t)
+			{
+				b.add(&boxes[(first + t) * 6 + 0]);
+				b.add(&boxes[(first + t) * 6 + 3]);
+			}
+			memcpy(n + 0, b.mn, 12);
+			memcpy(n + 3, b.mx, 12);
+		}
+		else
+		{
+			int32_t skip, skip1;
+			memcpy(&skip, n + 6, 4);
+			const float* c1 = nodes + (size_t)(ii + 1) * 8;
+			memcpy(&skip1, c1 + 6, 4);
+			Box b;
+			b.reset();
+			b.add(c1 + 0);
+			b.add(c1 + 3);
+			if (skip1 < skip) // second child exists
+			{
+				const float* c2 = nodes + (size_t)skip1 * 8;
+				b.add(c2 + 0);
+				b.add(c2 + 3);
+			}
+			memcpy(n + 0, b.mn, 12);
+			memcpy(n + 3, b.mx, 12);
+		}
+	}
+}

@@ -267,6 +267,24 @@ def compact_setup(tc, width, height, znear, capacity: int):
     zb = (ka * eBC[1] + kb * eCA[1] + kc * eAB[1]) * inv_det
     zc = (ka * eBC[2] + kb * eCA[2] + kc * eAB[2]) * inv_det
 
+    # post passes render double-sided with a depth bias (reference
+    # niagara.cpp:1647-1648: cull mode NONE + depth bias 16 — foliage and
+    # decals are back-face visible).  Back-facing post triangles keep their
+    # exact depth plane (det sign cancels in za/zb/zc) but need their edge
+    # signs flipped so the e >= 0 coverage convention holds; the bias is a
+    # relative 16-ulp-class push toward the camera in reverse-Z.
+    post = tc.get("post_pass")
+    if post is not None:
+        is_post = jnp.broadcast_to((post > 0)[:, None], det.shape)
+        flip = is_post & (det < 0.0)
+        sgn = jnp.where(flip, -1.0, 1.0)
+        eAB = tuple(e * sgn for e in eAB)
+        eBC = tuple(e * sgn for e in eBC)
+        eCA = tuple(e * sgn for e in eCA)
+        zbias = jnp.where(is_post, 1.0 + 2.0**-19, 1.0)
+        za, zb, zc = za * zbias, zb * zbias, zc * zbias
+        front = front | flip
+
     # screen-space corners (guarded division) for the AABB and the fallback
     # shading record; triangles with any corner at w<=0 get a conservative
     # full-screen AABB (their projected corners are meaningless, but edge +
@@ -338,12 +356,21 @@ def compact_setup(tc, width, height, znear, capacity: int):
 
     # one wide row gather for both records (gather setup cost is per-row,
     # so 16+32 columns in a single pass beats two separate gathers)
-    both = jnp.concatenate([rec, rec_shade], axis=-1)[tidx]  # [cap, 48]
-    out = both[:, :16]
-    shade_rec = both[:, 16:]
-    # pad to the REC=56 layout (cols 48-55 = opacity mask, zero on this
-    # fallback path: raster-time alpha testing lives in the tile pipeline)
-    both = jnp.concatenate([both, jnp.zeros((both.shape[0], 8), both.dtype)], axis=-1)
+    if "alpha" in tc:
+        # opacity-mask channels ride cols 48-55 (cooker/opacity.py layout),
+        # enabling raster-time alpha test on this path too (the sun map
+        # renders alpha-tested casters through here)
+        rec_alpha = jnp.stack(
+            [tc["alpha"][:, i, :] for i in range(8)], axis=-1
+        ).reshape(K * MESH_MAXTRI, 8)
+        both = jnp.concatenate([rec, rec_shade, rec_alpha], axis=-1)[tidx]  # [cap, 56]
+        out = both[:, :16]
+        shade_rec = both[:, 16:48]
+    else:
+        both = jnp.concatenate([rec, rec_shade], axis=-1)[tidx]  # [cap, 48]
+        out = both[:, :16]
+        shade_rec = both[:, 16:]
+        both = jnp.concatenate([both, jnp.zeros((both.shape[0], 8), both.dtype)], axis=-1)
     live = jnp.arange(capacity, dtype=jnp.int32) < count
 
     return dict(

@@ -159,7 +159,11 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     packed = (tiles_all.astype(jnp.uint32) << tri_bits) | tris_all.astype(jnp.uint32)
     (packed_sorted,) = jax.lax.sort((packed,), num_keys=1)
 
-    pair_count = jnp.sum(tiles_all < n_tiles)
+    pair_count = jnp.sum(tiles_all < n_tiles).astype(jnp.int32)
+    # pairs sorted past pair_capacity are truncated below — count them as
+    # dropped (they would otherwise vanish silently while the per-class
+    # overflow counters read 0)
+    dropped = dropped + jnp.maximum(pair_count - pair_capacity, 0)
     packed_sorted = packed_sorted[:pair_capacity]
     pair_tri = (packed_sorted & jnp.uint32((1 << tri_bits) - 1)).astype(jnp.int32)
 

@@ -251,6 +251,20 @@ def _setup_kernel(
         zb = (ka * eBC[1] + kb * eCA[1] + kc * eAB[1]) * inv_det
         zc = (ka * eBC[2] + kb * eCA[2] + kc * eAB[2]) * inv_det
 
+        # post passes are double-sided with a reverse-Z depth bias
+        # (reference niagara.cpp:1647-1648: cull mode NONE + depth bias 16):
+        # back-facing post triangles keep their exact depth plane (det sign
+        # cancels) but flip edge signs for the e >= 0 coverage convention.
+        is_post = jnp.broadcast_to(meta_ref[:, 2:3] > 0, det.shape)
+        flip = is_post & (det < 0.0)
+        sgn = jnp.where(flip, -1.0, 1.0)
+        eAB = tuple(e * sgn for e in eAB)
+        eBC = tuple(e * sgn for e in eBC)
+        eCA = tuple(e * sgn for e in eCA)
+        zbias = jnp.where(is_post, 1.0 + 2.0**-19, 1.0)
+        za, zb, zc = za * zbias, zb * zbias, zc * zbias
+        front = front | flip
+
         def sdiv(h, w):
             return h / jnp.where(w > 1e-9, w, 1e-9)
 

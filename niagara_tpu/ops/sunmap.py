@@ -184,7 +184,7 @@ def transform_sun(scene, sf, ccmd, clane, ccount, cmds, map_w: int, map_h: int):
         live[:, None]
         & (jnp.arange(tri.shape[1])[None, :] < tri_count[:, None])
     )
-    return dict(
+    out = dict(
         tri_valid=tri_valid,
         vid=vid,
         hx=px,  # w == 1: homogeneous == screen coords
@@ -195,7 +195,15 @@ def transform_sun(scene, sf, ccmd, clane, ccount, cmds, map_w: int, map_h: int):
         draw_id=draw_id,
         mi=mi,
         count=jnp.reshape(ccount, (1,)),
+        # post-class casters render double-sided (backface flip in
+        # compact_setup) and alpha-test against their opacity masks —
+        # foliage casts cutout shadows (reference shadow.comp.glsl:78-123)
+        post_pass=scene.draw_post_pass[draw_id],
     )
+    if getattr(scene, "has_alpha_masks", False):
+        out["alpha"] = scene.meshlet_alpha[mi]
+        out["uv"] = vdata[..., 6:8]  # the raster-time test maps uv -> cell
+    return out
 
 
 def render_sun_map(scene, sf, *, camera_position=None, lod_target=None, lod_enabled=1,
@@ -226,11 +234,15 @@ def render_sun_map(scene, sf, *, camera_position=None, lod_target=None, lod_enab
     if depth_tiles is None:
         depth_tiles = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.float32)
     vis_t = jnp.full((n_tiles, TILE_H, TILE_W), raster.INVALID_FRAG, jnp.int32)
-    depth_tiles, vis_t, _ = raster_tile.rasterize_tiles(
+    depth_tiles, vis_t, rst = raster_tile.rasterize_tiles(
         st, depth_tiles, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
         pair_capacity=pair_capacity, interpret=interpret,
+        # alpha-test casters against their baked opacity masks so cutouts
+        # (foliage) cast holed shadows; static variant — opaque-only scenes
+        # pay nothing
+        alpha_test=bool(getattr(scene, "has_alpha_masks", False)),
     )
-    dropped = cmds.dropped + coverflow + st["dropped"]
+    dropped = cmds.dropped + coverflow + st["dropped"] + rst["huge_dropped"]
     return raster_tile.tiles_to_image(depth_tiles, map_h, map_w), depth_tiles, dropped
 
 

@@ -48,7 +48,10 @@ def load_texture_mips(paths: list[str], base_dir: str = "", max_dim: int | None 
         full = os.path.join(base_dir, p) if base_dir else p
         try:
             mips, _fmt = bindings.load_dds(full)
-        except Exception:
+        except Exception as e:
+            import sys
+
+            print(f"[textures] WARNING: {full}: {e} — using 1x1 magenta", file=sys.stderr)
             mips = [np.tile(np.array([255, 0, 255, 255], np.uint8), (1, 1, 1))]
         if max_dim is not None:
             mips = [m for m in mips if max(m.shape[0], m.shape[1]) <= max_dim] or [mips[-1]]

@@ -107,7 +107,11 @@ def test_alpha_cutout_punches_through_depth():
     xs = (np.arange(W) + 0.5) / W  # pixel-center u (uv == screen/size here)
     cell = np.clip(np.floor((xs - 0.0) * 8.0), 0, 7)
     near_expected = cell >= 4.0
-    np.testing.assert_array_equal(depth[0], np.where(near_expected, 0.6, 0.3).astype(np.float32))
+    # near quad is post-class: carries the reference's post-pass depth bias
+    # (a relative 2^-19 push toward the camera in reverse-Z)
+    np.testing.assert_allclose(
+        depth[0], np.where(near_expected, 0.6, 0.3).astype(np.float32), rtol=3e-6
+    )
     # every pixel covered by something
     assert (vis != raster.INVALID_FRAG).all()
 
@@ -116,7 +120,58 @@ def test_opaque_mask_row_is_noop():
     """A zero idu (no alpha test) leaves the near quad fully covering."""
     row = np.zeros(8, np.float32)
     depth, _ = rasterize(setup_two_quads(row))
-    np.testing.assert_array_equal(depth, np.full((H, W), 0.6, np.float32))
+    # post-class near quad carries the post-pass depth bias (2^-19 relative)
+    np.testing.assert_allclose(depth, np.full((H, W), 0.6, np.float32), rtol=3e-6)
+
+
+def setup_backface_quad(post_pass: int):
+    """One BACK-facing full-screen quad (winding reversed vs setup_two_quads)
+    at z=0.6 with the given post class.  Reference renders postPass>=1 with
+    cull mode NONE (niagara.cpp:1647-1648) — double-sided foliage."""
+    from niagara_tpu.config import MESH_MAXTRI, MESH_MAXVTX
+
+    verts = np.zeros((MESH_MAXVTX, 2), np.float32)
+    verts[:4] = [[0, 0], [W, 0], [W, H], [0, H]]
+    tri = np.zeros((MESH_MAXTRI, 3), np.int32)
+    tri[0] = [0, 1, 2]  # reversed: CCW in y-down screen = back-facing
+    tri[1] = [0, 2, 3]
+    tri_valid = np.zeros(MESH_MAXTRI, bool)
+    tri_valid[:2] = True
+    K = 1
+    tc = dict(
+        tri_valid=jnp.array(tri_valid[None]),
+        vid=jnp.zeros((K, MESH_MAXVTX), jnp.int32),
+        hx=jnp.array(verts[None, :, 0]),
+        hy=jnp.array(verts[None, :, 1]),
+        zw=jnp.full((K, MESH_MAXVTX), 0.6, jnp.float32),
+        viewz=jnp.ones((K, MESH_MAXVTX), jnp.float32),
+        normal=jnp.zeros((K, MESH_MAXVTX, 3), jnp.float32),
+        uv=jnp.zeros((K, MESH_MAXVTX, 2), jnp.float32),
+        tri=jnp.array(tri[None]),
+        draw_id=jnp.zeros(K, jnp.int32),
+        mat_index=jnp.zeros(K, jnp.int32),
+        post_pass=jnp.array([post_pass], jnp.int32),
+    )
+    return raster.compact_setup(tc, W, H, 0.1, 64)
+
+
+def test_backfacing_post_quad_renders():
+    """postPass>=1 disables backface culling (+ depth bias): a back-facing
+    alpha-class quad must rasterize with its exact depth.  This is the
+    wrong-image bug VERDICT round-2 Missing #4 (foliage is double-sided)."""
+    st = setup_backface_quad(post_pass=1)
+    assert int(st["count"]) == 2
+    depth, vis = rasterize(st)
+    # depth bias: z scaled by (1 + 2^-19); exact to one bias step
+    np.testing.assert_allclose(depth, np.full((H, W), 0.6, np.float32), rtol=3e-6)
+    assert (depth >= 0.6).all()  # bias pushes toward the camera (reverse-Z)
+    assert (vis != raster.INVALID_FRAG).all()
+
+
+def test_backfacing_opaque_quad_still_culled():
+    """post_pass == 0 keeps the reference's backface cull."""
+    st = setup_backface_quad(post_pass=0)
+    assert int(st["count"]) == 0
 
 
 def test_bake_mesh_masks_halves():

@@ -87,6 +87,50 @@ def test_fused_matches_xla_setup(pipeline):
     assert np.abs(z_got - z_ref).max() < 4e-3
 
 
+def test_fused_backface_flip_matches_xla(kitten_geometry):
+    """post_pass=1 draws render double-sided (reference niagara.cpp:1647-1648
+    cull NONE): the fused kernel and compact_setup must agree on the
+    back-face records too — more records than the post=0 run, same outputs."""
+    draws = synthesize_draws(kitten_geometry.meshes.count, draw_count=16)
+    draws.position[:] = draws.position * 0.02
+    draws.position[:, 2] = -3.0 - 0.1 * np.arange(16)
+    draws.post_pass[:] = 1
+    ds = upload(kitten_geometry, draws)
+    params, _ = make_cull_params(Camera(), W, H, 128, 64, RenderSettings())
+    p = params[0] if isinstance(params, tuple) else params
+
+    levels, ph, pw = pyramid.pyramid_shape(W, H)
+    atlas = jnp.zeros((levels, ph, pw), jnp.float32)
+    dvb = jnp.ones(ds.num_draws, dtype=jnp.int32)
+    import dataclasses as _dc
+    p1 = _dc.replace(p, post_pass=jnp.int32(1))
+    emit, lod, _ = cull.draw_cull(ds, p1, dvb, atlas, late=False, pyramid_shape=(ph, pw))
+    cmds = cull.build_task_commands(ds, emit, lod, dvb, max_groups=8, capacity=1 << 10)
+    words = jnp.full(-(-max(ds.meshlet_visibility_count, 64) // 64) * 2, 0xFFFFFFFF, dtype=jnp.uint32)
+    ccmd, clane, ccount, _, _ = cull.cluster_cull(
+        ds, p1, cmds, words, atlas, late=False, pyramid_shape=(ph, pw), cluster_capacity=512
+    )
+    assert int(ccount) > 0
+
+    tc = raster.transform_clusters(
+        ds, ccmd, clane, ccount, cmds, p.view, p.p00, p.p11, p.znear, W, H
+    )
+    ref = raster.compact_setup(tc, W, H, float(p.znear), CAP)
+    tm = raster.transform_meta(ds, ccmd, clane, ccount, cmds)
+    got = setup_fused.setup_compact(tm, p, W, H, CAP, interpret=True)
+
+    n = int(ref["count"])
+    assert int(got["count"]) == n and n > 0
+    np.testing.assert_array_equal(np.asarray(got["tri_k"][:n]), np.asarray(ref["tri_k"][:n]))
+    np.testing.assert_array_equal(np.asarray(got["tri_t"][:n]), np.asarray(ref["tri_t"][:n]))
+
+    # the double-sided run must include back-facing records: rerun with
+    # post=0 on the same clusters and check it keeps strictly fewer
+    tc0 = dict(tc, post_pass=jnp.zeros_like(tc["post_pass"]))
+    ref0 = raster.compact_setup(tc0, W, H, float(p.znear), CAP)
+    assert int(ref0["count"]) < n
+
+
 def test_fused_count_respects_capacity(pipeline):
     ds, params, cmds, ccmd, clane, ccount = pipeline
     tm = raster.transform_meta(ds, ccmd, clane, ccount, cmds)
