@@ -292,6 +292,51 @@ def build_static_sun_map(scene, sf, *, map_w: int = 2048, map_h: int = 2048,
     return img, dropped
 
 
+def pack_sun_map(sun_map):
+    """Quad-pack the map for the resolve: row (y*W + x) holds the 2x2 PCF
+    footprint [z(x,y), z(x+1,y), z(x,y+1), z(x+1,y+1)] (edge-clamped) so one
+    16-byte row gather replaces four element gathers.  Gathers on this chip
+    are latency-bound (~11-15ns/row regardless of width, tools/bwprobe.py),
+    so the packed resolve runs ~4x the unpacked one.  Build is dense (cheap);
+    rebuild whenever the map changes."""
+    h, w = sun_map.shape
+    zx = jnp.concatenate([sun_map[:, 1:], sun_map[:, -1:]], axis=1)
+    zy = jnp.concatenate([sun_map[1:, :], sun_map[-1:, :]], axis=0)
+    zxy = jnp.concatenate([zx[1:, :], zx[-1:, :]], axis=0)
+    return jnp.stack([sun_map, zx, zy, zxy], axis=-1).reshape(h * w, 4)
+
+
+def sample_shadow_packed(packed, map_h, map_w, sf, wpos, *, bias_texels: float = 1.5):
+    """sample_shadow against a pack_sun_map row table — bit-identical
+    decisions (the clamped-tap algebra reduces to fx/fy zeroing, verified in
+    tests/test_sunmap.py), one gather per position."""
+    sc = wpos @ sf["rows"].T
+    ext = sf["hi"] - sf["lo"]
+    px = (sc[..., 0] - sf["lo"][0]) / ext[0] * map_w - 0.5
+    py = (sc[..., 1] - sf["lo"][1]) / ext[1] * map_h - 0.5
+    d01 = (sc[..., 2] - sf["lo"][2]) / ext[2]
+    z_here = 1.0 - 0.998 * d01
+    texel_world = jnp.maximum(ext[0] / map_w, ext[1] / map_h)
+    bias = 0.998 * bias_texels * texel_world / ext[2]
+
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    # out-of-range base indices clamp to the border row with the matching
+    # fractional weight zeroed: identical to clamping each tap separately
+    fx = jnp.where(x0 < 0, 0.0, px - x0)
+    fy = jnp.where(y0 < 0, 0.0, py - y0)
+    x0 = jnp.clip(x0, 0, map_w - 1)
+    y0 = jnp.clip(y0, 0, map_h - 1)
+    quad = packed[y0 * map_w + x0]  # [..., 4]
+    lit = jnp.where(quad <= (z_here + bias)[..., None], 1.0, 0.0)
+    return (
+        lit[..., 0] * (1 - fx) * (1 - fy)
+        + lit[..., 1] * fx * (1 - fy)
+        + lit[..., 2] * (1 - fx) * fy
+        + lit[..., 3] * fx * fy
+    )
+
+
 def sample_shadow(sun_map, sf, wpos, *, bias_texels: float = 1.5):
     """Shadow term in [0,1] for world positions [..,3]: 2x2 PCF depth
     compare against the sun map (role of the traced occlusion bit +
@@ -336,12 +381,15 @@ def sample_shadow(sun_map, sf, wpos, *, bias_texels: float = 1.5):
 
 
 def shadow_map_pass(depth, sf, sun_map, *, inverse_view_projection, width: int, height: int,
-                    bias_texels: float = 1.5, scale: int = 2):
+                    bias_texels: float = 1.5, scale: int = 2, packed=None,
+                    map_shape=None):
     """Shadow term from the camera depth buffer: reconstruct world
     positions, PCF-sample the sun map (analog of ops/shadow.py's
     shadow_pass output contract).  Like the RT path, the term is computed
     at 1/scale resolution and upsampled — the per-pixel map gathers are the
-    cost (element gathers run ~100M/s on this chip), not the math."""
+    cost (element gathers run ~100M/s on this chip), not the math.  Pass
+    `packed` (pack_sun_map) to fold the 4 PCF taps into one row gather
+    (sun_map may then be None; give map_shape)."""
     sw, sh = width // scale, height // scale
     d_small = depth[::scale, ::scale][:sh, :sw]
     px = (jnp.arange(sw, dtype=jnp.float32) + 0.5) / sw
@@ -359,7 +407,11 @@ def shadow_map_pass(depth, sf, sun_map, *, inverse_view_projection, width: int, 
     )
     wposh = clip @ inverse_view_projection.T
     wpos = wposh[..., :3] / jnp.where(jnp.abs(wposh[..., 3:]) < 1e-20, 1e-20, wposh[..., 3:])
-    term = sample_shadow(sun_map, sf, wpos, bias_texels=bias_texels)
+    if packed is not None:
+        mh, mw = map_shape if map_shape is not None else sun_map.shape
+        term = sample_shadow_packed(packed, mh, mw, sf, wpos, bias_texels=bias_texels)
+    else:
+        term = sample_shadow(sun_map, sf, wpos, bias_texels=bias_texels)
     term = jnp.where(d_small > 0.0, term, 1.0)
     if scale == 1:
         return term

@@ -153,6 +153,46 @@ def test_static_map_batched_matches_single(tmp_path):
     np.testing.assert_array_equal(np.asarray(single) > 0, np.asarray(batched) > 0)
 
 
+def test_packed_resolve_matches_unpacked(tmp_path):
+    """sample_shadow_packed (one 16-byte row gather per position) must make
+    bit-identical lit/shadow decisions to sample_shadow's four element
+    gathers, including at the map border where the clamped-tap algebra is
+    replaced by fractional-weight zeroing."""
+    g, draws = _scene(tmp_path)
+    scene = jax.device_put(upload(g, draws))
+    sun = np.array([0.3, 1.0, -0.2], np.float32)
+    sun /= np.linalg.norm(sun)
+    sf = sunmap.fit_sun(sun, [-12, -1, -12], [12, 3, 12])
+    smap, _, _ = sunmap.render_sun_map(
+        scene, sf, camera_position=jnp.zeros(3), lod_target=jnp.float32(1e-6),
+        lod_enabled=jnp.int32(0), map_w=128, map_h=128,
+        cmd_capacity=64, cluster_capacity=64, tri_capacity=1 << 10,
+        pair_capacity=1 << 12, interpret=True,
+    )
+    packed = sunmap.pack_sun_map(smap)
+
+    rng = np.random.default_rng(7)
+    pts = np.zeros((512, 3), np.float32)
+    # include points well past the map border to stress the clamp path
+    pts[:, 0] = rng.uniform(-20, 20, 512)
+    pts[:, 2] = rng.uniform(-20, 20, 512)
+    pts[:, 1] = rng.uniform(-0.5, 2.5, 512)
+
+    a = np.asarray(sunmap.sample_shadow(smap, sf, jnp.asarray(pts)))
+    b = np.asarray(sunmap.sample_shadow_packed(packed, 128, 128, sf, jnp.asarray(pts)))
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # and through the full-screen pass contract
+    depth = jnp.full((32, 32), 0.5, jnp.float32)
+    ivp = jnp.eye(4)
+    t1 = sunmap.shadow_map_pass(
+        depth, sf, smap, inverse_view_projection=ivp, width=32, height=32, scale=1)
+    t2 = sunmap.shadow_map_pass(
+        depth, sf, None, inverse_view_projection=ivp, width=32, height=32, scale=1,
+        packed=packed, map_shape=(128, 128))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-6)
+
+
 OCCLUDER_UV = """
 v -1 0 -1
 v  1 0 -1
