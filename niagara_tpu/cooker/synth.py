@@ -55,3 +55,53 @@ def synthesize_draws(mesh_count: int, draw_count: int = 1_000_000, scene_radius:
         post_pass=np.zeros(n, dtype=np.int32),
         material_index=np.zeros(n, dtype=np.int32),
     )
+
+
+def synthesize_planar_uvs(geometry, tiles: float = 6.0) -> None:
+    """In-place: XZ-planar uv chart for meshes cooked from uv-less OBJs
+    (kitten.obj has no vt records), normalized to [0, tiles] over the scene
+    bounds.  Gives the synthetic benchmark scene real uv variation so
+    textured shading exercises scattered gathers, not one hot texel."""
+    pos = geometry.vpos.astype(np.float32)
+    lo = pos.min(axis=0)
+    ext = np.maximum(pos.max(axis=0) - lo, 1e-6)
+    uv = (pos[:, [0, 2]] - lo[[0, 2]]) / ext[[0, 2]] * tiles
+    geometry.vuv = uv.astype(np.float16)
+
+
+def synthesize_materials(draw_count: int, num_materials: int = 8, tex_size: int = 256,
+                         seed: int = 7):
+    """Synthetic textured material set for the benchmark scene: checkerboard
+    albedo textures (distinct colors per material), the last material
+    alpha-tested with a cutout checker (foliage stand-in).
+
+    Returns (materials dict, texture_mips list, material_index [D] i32,
+    post_pass [D] i32 — 1/num_materials of draws in the alpha class)."""
+    rng = np.random.default_rng(seed)
+    texture_mips = []
+    for t in range(num_materials):
+        base = np.zeros((tex_size, tex_size, 4), np.uint8)
+        yy, xx = np.mgrid[0:tex_size, 0:tex_size]
+        checker = ((xx // 16 + yy // 16) % 2).astype(bool)
+        c0 = rng.integers(60, 255, 3)
+        c1 = rng.integers(60, 255, 3)
+        base[..., :3] = np.where(checker[..., None], c0, c1).astype(np.uint8)
+        base[..., 3] = 255
+        if t == num_materials - 1:
+            base[..., 3] = np.where(checker, 255, 0).astype(np.uint8)
+        mips = [base]
+        while mips[-1].shape[0] > 1:
+            mips.append(mips[-1][::2, ::2])
+        texture_mips.append(mips)
+    materials = dict(
+        diffuse=np.ones((num_materials, 4), np.float32),
+        specular=np.tile(np.array([[1.0, 1.0, 1.0, 0.3]], np.float32), (num_materials, 1)),
+        emissive=np.zeros((num_materials, 3), np.float32),
+        textures=np.concatenate(
+            [np.arange(num_materials, dtype=np.int32)[:, None],
+             np.full((num_materials, 3), -1, np.int32)], axis=1,
+        ),
+    )
+    material_index = (np.arange(draw_count) % num_materials).astype(np.int32)
+    post_pass = (material_index == num_materials - 1).astype(np.int32)
+    return materials, texture_mips, material_index, post_pass

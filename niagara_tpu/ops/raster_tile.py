@@ -376,7 +376,11 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
 
 
 # attribute-plane channel layout produced by the shade kernel
-ATTR_CHANNELS = 12  # nx ny nz u v vz draw mat post vid0 vid1 vid2
+# channel 12 (duv) is the triangle's uv-to-pixel area ratio before texture
+# dimensions — the visibility-buffer stand-in for hardware uv derivatives
+# (render/textures.select_mip consumes duv * tex_w * tex_h), which lets the
+# dense G-buffer fast path pick mips without any per-pixel record gather
+ATTR_CHANNELS = 13  # nx ny nz u v vz draw mat post vid0 vid1 vid2 duv
 
 
 def _shade_kernel(*refs, tiles_x, n_streams):
@@ -496,11 +500,24 @@ def _shade_kernel(*refs, tiles_x, n_streams):
             def interp(o):
                 return pw0 * r(16 + o) + pw1 * r(24 + o) + pw2 * r(32 + o)
 
+            # per-triangle uv derivative ratio (constant over the triangle):
+            # |d(uv)| / |d(screen)| from the record's corner attributes —
+            # the same quantities shade_gbuffer reads, so mip picks match
+            # bit-exactly (textures.select_mip computes the ratio this way)
+            uv_area = jnp.abs(
+                (r(30) - r(22)) * (r(39) - r(23)) - (r(31) - r(23)) * (r(38) - r(22))
+            )
+            px_area = jnp.abs(
+                (r(24) - r(16)) * (r(33) - r(17)) - (r(25) - r(17)) * (r(32) - r(16))
+            )
+            duv = uv_area / jnp.maximum(px_area, 1e-6)
+
             vals = [interp(3), interp(4), interp(5),   # normal
                     interp(6), interp(7),              # uv
                     interp(2),                         # viewz
                     r(43), r(44), r(45),               # draw, mat, post
-                    r(40), r(41), r(42)]               # vids
+                    r(40), r(41), r(42),               # vids
+                    duv]
             return tuple(acc[k] + v for k, v in enumerate(vals))
 
         acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)

@@ -17,6 +17,7 @@ irregularity into the raster scatter, so shading is fully dense.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..config import MESH_MAXTRI
@@ -96,36 +97,25 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
     nrm = normal
 
     if textures is not None:
-        from ..render import textures as tex_mod
-
-        tex_ids = scene.mat_textures[mat]  # [H,W,4]
         # per-fragment mip from the triangle's texel/pixel area ratio
         u0, u1, u2 = uv0, uv1, uv2
-        # tangents fetched lazily (texture path only): 3 row gathers + quat
+        uv_area = jnp.abs(
+            (u1[..., 0] - u0[..., 0]) * (u2[..., 1] - u0[..., 1])
+            - (u1[..., 1] - u0[..., 1]) * (u2[..., 0] - u0[..., 0])
+        )
+        px_area = jnp.abs(
+            (sx[1] - sx[0]) * (sy[2] - sy[0]) - (sy[1] - sy[0]) * (sx[2] - sx[0])
+        )
+        duv = uv_area / jnp.maximum(px_area, 1e-6)
+        albedo, specgloss, emissive, nmap, tex_ids = _sample_materials(
+            scene, textures, mat, uv, duv, albedo, specgloss, emissive
+        )
+
+        # TBN from interpolated vertex tangents (reference mesh.frag.glsl:
+        # 78-80); tangents fetched lazily (texture path only): 3 row gathers
         q = scene.draw_orientation[draw_id]
         tangent = interp3(scene.tangents[vids[0]], scene.tangents[vids[1]], scene.tangents[vids[2]])
         tangent_xyz = cullmath.rotate_quat(tangent[..., :3], q)
-        albedo_id = tex_ids[..., 0]
-        tw = textures.mip_w[jnp.clip(albedo_id, 0, textures.mip_count.shape[0] - 1), 0]
-        th = textures.mip_h[jnp.clip(albedo_id, 0, textures.mip_count.shape[0] - 1), 0]
-        mip = tex_mod.select_mip(u0, u1, u2, sx[0], sy[0], sx[1], sy[1], sx[2], sy[2], tw, th)
-
-        def tex(idx):
-            return tex_mod.sample(textures, tex_ids[..., idx], uv, mip)
-
-        albedo_t = tex(0)
-        albedo = albedo * jnp.where(
-            (tex_ids[..., 0] > 0)[..., None],
-            jnp.concatenate([cullmath.from_srgb(albedo_t[..., :3]), albedo_t[..., 3:]], axis=-1),
-            1.0,
-        )
-        nmap = tex(1)[..., :3] * 2.0 - 1.0
-        specgloss_t = cullmath.from_srgb(tex(2))
-        specgloss = specgloss * jnp.where((tex_ids[..., 2] > 0)[..., None], specgloss_t, 1.0)
-        emissive_t = cullmath.from_srgb(tex(3)[..., :3])
-        emissive = emissive * jnp.where((tex_ids[..., 3] > 0)[..., None], emissive_t, 1.0)
-
-        # TBN normal mapping (reference mesh.frag.glsl:78-80)
         tlen = jnp.sqrt(jnp.sum(tangent_xyz * tangent_xyz, axis=-1, keepdims=True))
         tdir = tangent_xyz / jnp.maximum(tlen, 1e-20)
         bitangent = jnp.cross(nrm, tdir) * tangent[..., 3:4]
@@ -162,15 +152,85 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
     return g0, g1, valid
 
 
-def gbuffer_from_attrs(attrs_img, valid, scene, textures=None):
+def _sample_materials(scene, textures, mat, uv, duv, albedo, specgloss, emissive):
+    """Texture sampling shared by both shading paths: one mip pick from the
+    albedo texture's dimensions, four table samples, factor modulation
+    (reference mesh.frag.glsl:62-80).  Returns the modulated factors plus
+    the raw normal-map vector and the tex-id image."""
+    from ..render import textures as tex_mod
+
+    tex_ids = scene.mat_textures[mat]  # [H,W,4]
+    albedo_id = tex_ids[..., 0]
+    tw = textures.mip_w[jnp.clip(albedo_id, 0, textures.mip_count.shape[0] - 1), 0]
+    th = textures.mip_h[jnp.clip(albedo_id, 0, textures.mip_count.shape[0] - 1), 0]
+    mip = tex_mod.select_mip_from_ratio(duv, tw, th)
+
+    def tex(idx):
+        return tex_mod.sample(textures, tex_ids[..., idx], uv, mip)
+
+    albedo_t = tex(0)
+    albedo = albedo * jnp.where(
+        (tex_ids[..., 0] > 0)[..., None],
+        jnp.concatenate([cullmath.from_srgb(albedo_t[..., :3]), albedo_t[..., 3:]], axis=-1),
+        1.0,
+    )
+    nmap = tex(1)[..., :3] * 2.0 - 1.0
+    specgloss_t = cullmath.from_srgb(tex(2))
+    specgloss = specgloss * jnp.where((tex_ids[..., 2] > 0)[..., None], specgloss_t, 1.0)
+    emissive_t = cullmath.from_srgb(tex(3)[..., :3])
+    emissive = emissive * jnp.where((tex_ids[..., 3] > 0)[..., None], emissive_t, 1.0)
+    return albedo, specgloss, emissive, nmap, tex_ids
+
+
+def _screen_space_tbn(wpos, uv, nrm):
+    """Tangent frame from screen-space finite differences of world position
+    and uv (Schüler, "Normal Mapping Without Precomputed Tangents").
+
+    The dense fast path has no per-pixel vertex-tangent gather (that gather
+    is exactly the cost it exists to avoid), so normal maps use derivative
+    tangents — the same quantities a GPU fragment quad would produce with
+    dFdx/dFdy.  Differs from the reference's precomputed vertex tangents by
+    design; interiors of triangles agree to ~1e-2 on continuous uv charts
+    (tests/test_textured_fast.py), silhouette/boundary pixels may not."""
+    def ddx(a):
+        d = a[:, 1:] - a[:, :-1]
+        return jnp.concatenate([d, d[:, -1:]], axis=1)
+
+    def ddy(a):
+        # upward difference: image rows run top-down, but the tangent-frame
+        # convention wants derivatives in a y-up screen space (otherwise the
+        # computed tangent flips sign)
+        d = a[:-1, :] - a[1:, :]
+        return jnp.concatenate([d, d[-1:, :]], axis=0)
+
+    dp1, dp2 = ddx(wpos), ddy(wpos)
+    du1, dv1 = ddx(uv[..., 0]), ddx(uv[..., 1])
+    du2, dv2 = ddy(uv[..., 0]), ddy(uv[..., 1])
+    dp2perp = jnp.cross(dp2, nrm)
+    dp1perp = jnp.cross(nrm, dp1)
+    t = dp2perp * du1[..., None] + dp1perp * du2[..., None]
+    b = dp2perp * dv1[..., None] + dp1perp * dv2[..., None]
+    inv = jax.lax.rsqrt(
+        jnp.maximum(
+            jnp.maximum(jnp.sum(t * t, axis=-1), jnp.sum(b * b, axis=-1)), 1e-20
+        )
+    )[..., None]
+    return t * inv, b * inv
+
+
+def gbuffer_from_attrs(attrs_img, valid, scene, textures=None, *, depth=None,
+                       inverse_view_projection=None):
     """Dense G-buffer encode from per-pixel attribute planes produced by the
     Pallas shade kernel (ops/raster_tile.shade_tiles) — no per-pixel record
     gather.  Channel layout: 0-2 world normal, 3-4 uv, 5 viewz, 6 draw id,
-    7 material, 8 postPass, 9-11 corner vertex ids.
+    7 material, 8 postPass, 9-11 corner vertex ids, 12 uv-derivative ratio.
 
-    The textured path (mip selection needs per-triangle derivatives) still
-    goes through shade_gbuffer; this fast path covers untextured scenes
-    (reference OBJ mode) where materials are per-draw factors only."""
+    With `textures`, samples albedo/specular/emissive and alpha-tests
+    postPass>0 pixels exactly like shade_gbuffer (channel 12 carries the
+    per-triangle uv derivative, so mip picks are bit-identical).  Normal
+    maps additionally need `depth` + `inverse_view_projection` for the
+    screen-space tangent frame (_screen_space_tbn) — pass them when any
+    material carries a normal map."""
     normal = attrs_img[..., 0:3]
     mat = attrs_img[..., 7].astype(jnp.int32)
 
@@ -178,7 +238,7 @@ def gbuffer_from_attrs(attrs_img, valid, scene, textures=None):
     nrm = normal / jnp.maximum(nlen, 1e-20)
 
     nm = scene.mat_diffuse.shape[0]
-    if nm == 1:
+    if nm == 1 and textures is None:
         albedo = jnp.broadcast_to(scene.mat_diffuse[0], nrm.shape[:-1] + (4,))
         specgloss = jnp.broadcast_to(scene.mat_specular[0], nrm.shape[:-1] + (4,))
         emissive = jnp.broadcast_to(scene.mat_emissive[0], nrm.shape[:-1] + (3,))
@@ -186,6 +246,37 @@ def gbuffer_from_attrs(attrs_img, valid, scene, textures=None):
         albedo = scene.mat_diffuse[mat]
         specgloss = scene.mat_specular[mat]
         emissive = scene.mat_emissive[mat]
+
+    if textures is not None:
+        uv = attrs_img[..., 3:5]
+        duv = attrs_img[..., 12]
+        post = attrs_img[..., 8].astype(jnp.int32)
+        albedo, specgloss, emissive, nmap, tex_ids = _sample_materials(
+            scene, textures, mat, uv, duv, albedo, specgloss, emissive
+        )
+        if depth is not None and inverse_view_projection is not None:
+            h, w = depth.shape
+            px = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
+            py = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / h
+            clip = jnp.stack(
+                [
+                    jnp.broadcast_to(px * 2.0 - 1.0, depth.shape),
+                    jnp.broadcast_to(1.0 - py * 2.0, depth.shape),
+                    depth,
+                    jnp.ones_like(depth),
+                ],
+                axis=-1,
+            )
+            wposh = clip @ inverse_view_projection.T
+            wpos = wposh[..., :3] / jnp.where(
+                jnp.abs(wposh[..., 3:]) < 1e-20, 1e-20, wposh[..., 3:]
+            )
+            tdir, bdir = _screen_space_tbn(wpos, uv, nrm)
+            mapped = nmap[..., 0:1] * tdir + nmap[..., 1:2] * bdir + nmap[..., 2:3] * nrm
+            mlen = jnp.sqrt(jnp.sum(mapped * mapped, axis=-1, keepdims=True))
+            mapped = mapped / jnp.maximum(mlen, 1e-20)
+            nrm = jnp.where((tex_ids[..., 1] > 0)[..., None], mapped, nrm)
+        valid = valid & ~((post > 0) & (albedo[..., 3] < 0.5))
 
     lum = jnp.array([0.3, 0.6, 0.1], dtype=jnp.float32)
     emissivef = jnp.sum(emissive * lum, axis=-1) / (jnp.sum(albedo[..., :3] * lum, axis=-1) + 1e-3)

@@ -381,11 +381,16 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
     cfg.shadows is set (reference shadow pipeline niagara.cpp:1792-1855)."""
     fb, tc, setup_all, new_state, stats, attrs_img = frame_core(scene, state, params, cfg)
 
-    if attrs_img is not None and textures is None:
+    if attrs_img is not None:
         # fast path: attributes already interpolated per pixel by the Pallas
-        # shade kernel; only dense material math remains
+        # shade kernel; material math + texture sampling run dense (the duv
+        # attribute channel carries the mip derivative, and normal maps use
+        # the screen-space tangent frame — no per-pixel record gather)
         valid_px = fb.vis != raster.INVALID_FRAG
-        g0, g1, valid = shade.gbuffer_from_attrs(attrs_img, valid_px, scene)
+        g0, g1, valid = shade.gbuffer_from_attrs(
+            attrs_img, valid_px, scene, textures=textures, depth=fb.depth,
+            inverse_view_projection=shade_params.inverse_view_projection,
+        )
     else:
         g0, g1, valid = shade.shade_gbuffer(fb, tc, setup_all, scene, cfg.width, cfg.height, textures=textures)
     bloom_img = None
@@ -395,15 +400,26 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
     shadow_img = None
     if cfg.shadows and isinstance(bvh, tuple):
         # rasterized sun-map shadows (ops/sunmap.py): bvh = (sun_frame,
-        # sun_map) prebuilt by the caller — the TPU-native fast path
+        # sun_map) prebuilt by the caller — the TPU-native fast path.  A
+        # 3-tuple (sun_frame, packed_quads, (map_h, map_w)) selects the
+        # packed resolve (one row gather per position, sunmap.pack_sun_map).
         from ..ops import sunmap as sunmap_mod
 
-        sf, smap = bvh
-        shadow_img = sunmap_mod.shadow_map_pass(
-            fb.depth, sf, smap,
-            inverse_view_projection=shade_params.inverse_view_projection,
-            width=cfg.width, height=cfg.height,
-        )
+        if len(bvh) == 3:
+            sf, packed, map_shape = bvh
+            shadow_img = sunmap_mod.shadow_map_pass(
+                fb.depth, sf, None,
+                inverse_view_projection=shade_params.inverse_view_projection,
+                width=cfg.width, height=cfg.height,
+                packed=packed, map_shape=map_shape,
+            )
+        else:
+            sf, smap = bvh
+            shadow_img = sunmap_mod.shadow_map_pass(
+                fb.depth, sf, smap,
+                inverse_view_projection=shade_params.inverse_view_projection,
+                width=cfg.width, height=cfg.height,
+            )
     elif cfg.shadows and bvh is not None:
         shadow_img = shadow.shadow_pass(
             fb.depth,

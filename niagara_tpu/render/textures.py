@@ -158,13 +158,22 @@ def sample(table: TextureTable, tex_id, uv, mip, *, bilinear: bool = True):
     return top * (1 - fy) + bot * fy
 
 
+def select_mip_from_ratio(duv, tex_w, tex_h):
+    """Mip level from the triangle's uv-to-pixel area ratio `duv` (before
+    texture dimensions).  Shared by the record-gather path (select_mip) and
+    the dense attrs fast path (the Pallas shade kernel emits duv as an
+    attribute channel), so both pick bit-identical mips."""
+    ratio = duv * tex_w.astype(jnp.float32) * tex_h.astype(jnp.float32)
+    return jnp.clip(0.5 * jnp.log2(jnp.maximum(ratio, 1.0)), 0, MAX_MIPS - 1).astype(jnp.int32)
+
+
 def select_mip(uv0, uv1, uv2, p0x, p0y, p1x, p1y, p2x, p2y, tex_w, tex_h):
     """Per-fragment mip from the triangle's texel-to-pixel area ratio (the
     visibility-buffer replacement for hardware uv derivatives)."""
     uv_area = jnp.abs(
         (uv1[..., 0] - uv0[..., 0]) * (uv2[..., 1] - uv0[..., 1])
         - (uv1[..., 1] - uv0[..., 1]) * (uv2[..., 0] - uv0[..., 0])
-    ) * tex_w.astype(jnp.float32) * tex_h.astype(jnp.float32)
+    )
     px_area = jnp.abs((p1x - p0x) * (p2y - p0y) - (p1y - p0y) * (p2x - p0x))
-    ratio = uv_area / jnp.maximum(px_area, 1e-6)
-    return jnp.clip(0.5 * jnp.log2(jnp.maximum(ratio, 1.0)), 0, MAX_MIPS - 1).astype(jnp.int32)
+    duv = uv_area / jnp.maximum(px_area, 1e-6)
+    return select_mip_from_ratio(duv, tex_w, tex_h)

@@ -67,11 +67,27 @@ def probe(quick: bool = True) -> dict:
     t = _timed(lambda i, tb: tb[i], (idx, jnp.zeros(1 << 21, jnp.float32)))
     out["gather_elem_ns"] = round(t / R * 1e9, 1)
 
-    # u32 sort at pair-emission scale
-    if not quick:
-        keys32 = jax.random.randint(key, (1 << 22,), 0, 1 << 30, dtype=jnp.uint32)
-        t = _timed(lambda k: jax.lax.sort((k,), num_keys=1)[0], (keys32,))
-        out["sort4M_u32_ms"] = round(t * 1e3, 2)
+    # wide row gathers (cluster-channel fetch scale: 2.5KB rows)
+    idx64k = jax.random.randint(key, (1 << 16,), 0, 1 << 14, dtype=jnp.int32)
+    tbl = jnp.zeros((1 << 14, 640), jnp.float32)
+    t = _timed(lambda i, tb: tb[i], (idx64k, tbl))
+    out["gather_row2560B_ns_row"] = round(t / (1 << 16) * 1e9, 1)
+    out["gather_row2560B_gbps"] = round((1 << 16) * 2560 / t / 1e9, 2)
+
+    # MXU: bf16 matmul at frame-kernel scale (2048^3 = 17.2 GFLOP)
+    a = jnp.ones((2048, 2048), jnp.bfloat16)
+    t = _timed(
+        lambda x, y: jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ),
+        (a, a),
+    )
+    out["mxu_bf16_tflops"] = round(2 * 2048**3 / t / 1e12, 1)
+
+    # u32 sort at pair-emission scale (the emit_pairs primitive)
+    keys32 = jax.random.randint(key, (1 << 22,), 0, 1 << 30, dtype=jnp.uint32)
+    t = _timed(lambda k: jax.lax.sort((k,), num_keys=1)[0], (keys32,), n=3)
+    out["sort4M_u32_ms"] = round(t * 1e3, 2)
     return out
 
 
