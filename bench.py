@@ -34,6 +34,13 @@ import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+# BENCH_CPU=1: wiring smoke-test off-chip (Pallas kernels interpreted).
+# The env var alone is not enough — the axon PJRT plugin registers at
+# interpreter start and wins unless the config flag forces CPU.
+_CPU = int(os.environ.get("BENCH_CPU", 0))
+if _CPU:
+    jax.config.update("jax_platforms", "cpu")
+
 from niagara_tpu.cooker.cook import cook_or_load
 from niagara_tpu.cooker.opacity import bake_opacity
 from niagara_tpu.cooker import synth
@@ -44,7 +51,6 @@ from niagara_tpu.render.camera import Camera, RenderSettings
 from niagara_tpu.scene import upload
 
 KITTEN = "/root/reference/data/kitten.obj"
-MAP_W = MAP_H = 2048
 
 
 def main():
@@ -55,6 +61,7 @@ def main():
     textured = int(os.environ.get("BENCH_TEXTURES", 1))
     with_shadows = int(os.environ.get("BENCH_SUNMAP", 1))
     with_alpha = int(os.environ.get("BENCH_ALPHA", 1))
+    map_wh = int(os.environ.get("BENCH_MAP", 2048))
 
     t0 = time.time()
     geometry = cook_or_load([KITTEN], cache_dir=os.path.join(os.path.dirname(__file__), ".cache"))
@@ -101,6 +108,7 @@ def main():
         late_tri_capacity=int(os.environ.get("BENCH_LATE_TRI_CAP", 1 << 18)),
         post_passes=2 if (with_alpha and textured) else 1,
         shadows=bool(with_shadows),
+        raster_interpret=bool(_CPU),
     )
 
     cam = Camera()
@@ -117,27 +125,28 @@ def main():
         sf = sunmap_mod.fit_sun_to_draws(np.asarray(sp.sun_direction), draws)
         build_map = _partial(
             sunmap_mod.build_static_sun_map, scene, sf,
-            map_w=MAP_W, map_h=MAP_H,
+            map_w=map_wh, map_h=map_wh,
             cmd_capacity=cfg.cmd_capacity, cluster_capacity=cfg.cluster_capacity,
             # 2048x2048 -> 4096 tiles (13 key bits), so tri capacity is
             # capped at 2^19 to keep the packed (tile, tri) sort key in u32
             tri_capacity=min(cfg.tri_capacity, 1 << 19),
             pair_capacity=cfg.pair_capacity,
             max_groups=cfg.max_groups,
+            interpret=bool(_CPU),
         )
         t0 = time.time()
         smap, sm_drops = build_map()
         packed = jax.jit(sunmap_mod.pack_sun_map)(smap)
         _ = np.asarray(packed[:1, :1])
         print(f"[bench] static sun map build+pack {time.time()-t0:.1f}s "
-              f"(compile incl.; {MAP_W}x{MAP_H}, dropped {int(sm_drops)})", file=sys.stderr)
+              f"(compile incl.; {map_wh}x{map_wh}, dropped {int(sm_drops)})", file=sys.stderr)
         t0 = time.time()
         smap, sm_drops = build_map()
         packed = jax.jit(sunmap_mod.pack_sun_map)(smap)
         _ = np.asarray(packed[:1, :1])
         print(f"[bench] sun map rebuild {1000*(time.time()-t0):.1f}ms warm "
               f"(amortized: static scenes reuse it every frame)", file=sys.stderr)
-        shadow_ctx = (sf, packed, (MAP_H, MAP_W))
+        shadow_ctx = (sf, packed, (map_wh, map_wh))
 
     render = lambda st: frame_mod.render_frame(
         scene, st, params, sp, cfg, bvh=shadow_ctx, textures=table

@@ -253,21 +253,25 @@ def build_static_sun_map(scene, sf, *, map_w: int = 2048, map_h: int = 2048,
                          batch: int = 1 << 14, cmd_capacity: int = 1 << 16,
                          cluster_capacity: int = 1 << 16, tri_capacity: int = 1 << 19,
                          pair_capacity: int = 1 << 20, max_groups: int = 8,
-                         texel_world: float | None = None, interpret: bool = False):
+                         texel_world: float | None = None, interpret: bool = False,
+                         num_draws: int | None = None, return_tiles: bool = False):
     """Cached sun map for static scenes: host loop over draw-id batches so a
     1M-instance scene (1 command per draw — the sun sees everything) never
     overflows the per-pass command or cluster capacities (batch defaults to
     16K draws: ~4 texel-LOD meshlets per draw headroom at 64K clusters).
     LOD is texel-based, so the result is camera-independent and reusable
-    every frame; animated draws belong in a small per-frame overlay instead.
+    every frame; animated draws belong in a per-frame `update_sun_map`
+    overlay instead (cap the static build with `num_draws` when animated
+    draws occupy the tail id range).
     Returns ([map_h, map_w] map, total drop count — must be 0 for a
-    complete map; shrink `batch` if not)."""
+    complete map; shrink `batch` if not), plus the raw depth tiles when
+    `return_tiles` (the cached input of update_sun_map)."""
     import functools
 
     if texel_world is None:
         ext = np.asarray(jax.device_get(sf["hi"] - sf["lo"]))
         texel_world = float(max(ext[0] / map_w, ext[1] / map_h))
-    D = int(scene.num_draws)
+    D = int(scene.num_draws) if num_draws is None else int(num_draws)
     n_batches = -(-D // batch)
 
     key = (map_w, map_h, cmd_capacity, cluster_capacity, tri_capacity,
@@ -289,7 +293,34 @@ def build_static_sun_map(scene, sf, *, map_w: int = 2048, map_h: int = 2048,
         rng = (jnp.int32(b * batch), jnp.int32(min((b + 1) * batch, D)))
         img, tiles, drop_b = step(scene, sf, draw_range=rng, depth_tiles=tiles)
         dropped = dropped + drop_b
+    if return_tiles:
+        return img, dropped, tiles
     return img, dropped
+
+
+def update_sun_map(scene, sf, static_tiles, draw_range, *, map_w: int = 2048,
+                   map_h: int = 2048, texel_world: float | None = None, **kw):
+    """Per-frame sun-map update for animated scenes: rasterize only the
+    animated draw-id range onto the CACHED static depth tiles (the
+    static/dynamic shadow-map split; reference re-traces every frame on RT
+    cores, niagara.cpp:1792-1855 — here the static 99% of the scene is
+    amortized and the animated tail costs one small raster pass).
+
+    `static_tiles` comes from build_static_sun_map(..., num_draws=first
+    animated id, return_tiles=True).  Reverse depth merges by max, which is
+    order-independent, so the result is identical to a full rebuild at the
+    animated draws' current transforms.  `scene` must carry the CURRENT
+    transforms (render.animation.apply_to_draws).  Jit-friendly: wrap in
+    jax.jit with static capacities for per-frame use.
+
+    Returns ([map_h, map_w] map, depth tiles, drop count)."""
+    if texel_world is None:
+        ext = np.asarray(jax.device_get(sf["hi"] - sf["lo"]))
+        texel_world = float(max(ext[0] / map_w, ext[1] / map_h))
+    return render_sun_map(
+        scene, sf, map_w=map_w, map_h=map_h, texel_world=texel_world,
+        draw_range=draw_range, depth_tiles=static_tiles, **kw,
+    )
 
 
 def pack_sun_map(sun_map):
