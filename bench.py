@@ -78,8 +78,9 @@ def main():
         if with_alpha:
             draws.post_pass[:] = post
             masks = bake_opacity(geometry, draws, materials, texture_mips)
-        table = jax.device_put(tex_mod.build_texture_table(mips=texture_mips))
-        scene = upload(geometry, draws, materials, masks)
+        table_host = tex_mod.build_texture_table(mips=texture_mips)
+        scene = upload(geometry, draws, materials, masks, texture_table=table_host)
+        table = jax.device_put(table_host)
     else:
         scene = upload(geometry, draws)
     print(f"[bench] scene ready in {time.time()-t0:.1f}s: {draw_count} draws, "

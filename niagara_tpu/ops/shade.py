@@ -90,10 +90,6 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
     nlen = jnp.sqrt(jnp.sum(normal * normal, axis=-1, keepdims=True))
     normal = normal / jnp.maximum(nlen, 1e-20)
 
-    # material sample (reference mesh.frag.glsl:62-80)
-    albedo = scene.mat_diffuse[mat]  # [H,W,4]
-    specgloss = scene.mat_specular[mat]  # [H,W,4]
-    emissive = scene.mat_emissive[mat]  # [H,W,3]
     nrm = normal
 
     if textures is not None:
@@ -108,24 +104,32 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
         )
         duv = uv_area / jnp.maximum(px_area, 1e-6)
         albedo, specgloss, emissive, nmap, tex_ids = _sample_materials(
-            scene, textures, mat, uv, duv, albedo, specgloss, emissive
+            scene, textures, mat, uv, duv
         )
 
-        # TBN from interpolated vertex tangents (reference mesh.frag.glsl:
-        # 78-80); tangents fetched lazily (texture path only): 3 row gathers
-        q = scene.draw_orientation[draw_id]
-        tangent = interp3(scene.tangents[vids[0]], scene.tangents[vids[1]], scene.tangents[vids[2]])
-        tangent_xyz = cullmath.rotate_quat(tangent[..., :3], q)
-        tlen = jnp.sqrt(jnp.sum(tangent_xyz * tangent_xyz, axis=-1, keepdims=True))
-        tdir = tangent_xyz / jnp.maximum(tlen, 1e-20)
-        bitangent = jnp.cross(nrm, tdir) * tangent[..., 3:4]
-        mapped = nmap[..., 0:1] * tdir + nmap[..., 1:2] * bitangent + nmap[..., 2:3] * nrm
-        mlen = jnp.sqrt(jnp.sum(mapped * mapped, axis=-1, keepdims=True))
-        mapped = mapped / jnp.maximum(mlen, 1e-20)
-        nrm = jnp.where((tex_ids[..., 1] > 0)[..., None], mapped, nrm)
+        if nmap is not None:
+            # TBN from interpolated vertex tangents (reference mesh.frag.
+            # glsl:78-80); tangents fetched lazily: 3 row gathers
+            q = scene.draw_orientation[draw_id]
+            tangent = interp3(scene.tangents[vids[0]], scene.tangents[vids[1]], scene.tangents[vids[2]])
+            tangent_xyz = cullmath.rotate_quat(tangent[..., :3], q)
+            tlen = jnp.sqrt(jnp.sum(tangent_xyz * tangent_xyz, axis=-1, keepdims=True))
+            tdir = tangent_xyz / jnp.maximum(tlen, 1e-20)
+            bitangent = jnp.cross(nrm, tdir) * tangent[..., 3:4]
+            mapped = nmap[..., 0:1] * tdir + nmap[..., 1:2] * bitangent + nmap[..., 2:3] * nrm
+            mlen = jnp.sqrt(jnp.sum(mapped * mapped, axis=-1, keepdims=True))
+            mapped = mapped / jnp.maximum(mlen, 1e-20)
+            nrm = jnp.where((tex_ids[..., 1] > 0)[..., None], mapped, nrm)
 
         # alpha test for postPass>0 draws (shade-time discard)
         valid = valid & ~((post > 0) & (albedo[..., 3] < 0.5))
+    else:
+        # material factors only (reference untextured OBJ mode): one
+        # megarow gather instead of three per-table gathers
+        row = scene.mat_row[mat]
+        albedo = row[..., 0:4]
+        specgloss = row[..., 4:8]
+        emissive = row[..., 8:11]
 
     lum = jnp.array([0.3, 0.6, 0.1], dtype=jnp.float32)
     emissivef = jnp.sum(emissive * lum, axis=-1) / (jnp.sum(albedo[..., :3] * lum, axis=-1) + 1e-3)
@@ -152,33 +156,46 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
     return g0, g1, valid
 
 
-def _sample_materials(scene, textures, mat, uv, duv, albedo, specgloss, emissive):
-    """Texture sampling shared by both shading paths: one mip pick from the
-    albedo texture's dimensions, four table samples, factor modulation
-    (reference mesh.frag.glsl:62-80).  Returns the modulated factors plus
-    the raw normal-map vector and the tex-id image."""
+def _sample_materials(scene, textures, mat, uv, duv):
+    """Material fetch + texture sampling shared by both shading paths
+    (reference mesh.frag.glsl:62-80), written to the chip's gather cost
+    model: per-pixel gathers run ~13-20ms per 1080p plane regardless of row
+    width, so everything per-material rides ONE mat_row gather (factors,
+    tex ids, albedo mip-0 area) and each USED texture slot costs one
+    mip-row + one quad-footprint gather.  Unused slots (static
+    scene.texture_slots) are skipped at trace time.
+
+    Returns (albedo, specgloss, emissive, nmap-or-None, tex_ids)."""
     from ..render import textures as tex_mod
 
-    tex_ids = scene.mat_textures[mat]  # [H,W,4]
-    albedo_id = tex_ids[..., 0]
-    tw = textures.mip_w[jnp.clip(albedo_id, 0, textures.mip_count.shape[0] - 1), 0]
-    th = textures.mip_h[jnp.clip(albedo_id, 0, textures.mip_count.shape[0] - 1), 0]
-    mip = tex_mod.select_mip_from_ratio(duv, tw, th)
+    row = scene.mat_row[mat]  # [H,W,16] — one gather for all material data
+    albedo = row[..., 0:4]
+    specgloss = row[..., 4:8]
+    emissive = row[..., 8:11]
+    tex_ids = row[..., 11:15].astype(jnp.int32)
+    # albedo mip-0 texel area baked into the row at upload (needs the
+    # texture table there); falls back to a mip-rows gather when absent
+    area = row[..., 15]
+    mip = tex_mod.select_mip_from_area(duv, jnp.maximum(area, 1.0))
 
     def tex(idx):
         return tex_mod.sample(textures, tex_ids[..., idx], uv, mip)
 
-    albedo_t = tex(0)
-    albedo = albedo * jnp.where(
-        (tex_ids[..., 0] > 0)[..., None],
-        jnp.concatenate([cullmath.from_srgb(albedo_t[..., :3]), albedo_t[..., 3:]], axis=-1),
-        1.0,
-    )
-    nmap = tex(1)[..., :3] * 2.0 - 1.0
-    specgloss_t = cullmath.from_srgb(tex(2))
-    specgloss = specgloss * jnp.where((tex_ids[..., 2] > 0)[..., None], specgloss_t, 1.0)
-    emissive_t = cullmath.from_srgb(tex(3)[..., :3])
-    emissive = emissive * jnp.where((tex_ids[..., 3] > 0)[..., None], emissive_t, 1.0)
+    slots = scene.texture_slots
+    if slots[0]:
+        albedo_t = tex(0)
+        albedo = albedo * jnp.where(
+            (tex_ids[..., 0] > 0)[..., None],
+            jnp.concatenate([cullmath.from_srgb(albedo_t[..., :3]), albedo_t[..., 3:]], axis=-1),
+            1.0,
+        )
+    nmap = tex(1)[..., :3] * 2.0 - 1.0 if slots[1] else None
+    if slots[2]:
+        specgloss_t = cullmath.from_srgb(tex(2))
+        specgloss = specgloss * jnp.where((tex_ids[..., 2] > 0)[..., None], specgloss_t, 1.0)
+    if slots[3]:
+        emissive_t = cullmath.from_srgb(tex(3)[..., :3])
+        emissive = emissive * jnp.where((tex_ids[..., 3] > 0)[..., None], emissive_t, 1.0)
     return albedo, specgloss, emissive, nmap, tex_ids
 
 
@@ -237,24 +254,25 @@ def gbuffer_from_attrs(attrs_img, valid, scene, textures=None, *, depth=None,
     nlen = jnp.sqrt(jnp.sum(normal * normal, axis=-1, keepdims=True))
     nrm = normal / jnp.maximum(nlen, 1e-20)
 
-    nm = scene.mat_diffuse.shape[0]
-    if nm == 1 and textures is None:
-        albedo = jnp.broadcast_to(scene.mat_diffuse[0], nrm.shape[:-1] + (4,))
-        specgloss = jnp.broadcast_to(scene.mat_specular[0], nrm.shape[:-1] + (4,))
-        emissive = jnp.broadcast_to(scene.mat_emissive[0], nrm.shape[:-1] + (3,))
+    if textures is None:
+        nm = scene.mat_diffuse.shape[0]
+        if nm == 1:
+            albedo = jnp.broadcast_to(scene.mat_diffuse[0], nrm.shape[:-1] + (4,))
+            specgloss = jnp.broadcast_to(scene.mat_specular[0], nrm.shape[:-1] + (4,))
+            emissive = jnp.broadcast_to(scene.mat_emissive[0], nrm.shape[:-1] + (3,))
+        else:
+            row = scene.mat_row[mat]  # one megarow gather
+            albedo = row[..., 0:4]
+            specgloss = row[..., 4:8]
+            emissive = row[..., 8:11]
     else:
-        albedo = scene.mat_diffuse[mat]
-        specgloss = scene.mat_specular[mat]
-        emissive = scene.mat_emissive[mat]
-
-    if textures is not None:
         uv = attrs_img[..., 3:5]
         duv = attrs_img[..., 12]
         post = attrs_img[..., 8].astype(jnp.int32)
         albedo, specgloss, emissive, nmap, tex_ids = _sample_materials(
-            scene, textures, mat, uv, duv, albedo, specgloss, emissive
+            scene, textures, mat, uv, duv
         )
-        if depth is not None and inverse_view_projection is not None:
+        if nmap is not None and depth is not None and inverse_view_projection is not None:
             h, w = depth.shape
             px = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
             py = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / h

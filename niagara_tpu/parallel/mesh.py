@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import shade
+from ..ops import bloom, shade
 from ..ops.raster import INVALID_FRAG, Framebuffer
 from ..render import frame as frame_mod
 from ..scene import DeviceScene, Draws, upload
@@ -69,10 +69,17 @@ def init_sharded_state(stacked_scene, n_shards: int):
 def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draws"):
     """Build the jitted multi-chip frame function over `mesh`.
 
-    Returns fn(stacked_scene, stacked_state, params, shade_params, textures)
-    -> (image [H,W,3] replicated, new stacked_state, stats summed).
-    `textures` (render.textures.TextureTable, replicated on every device) is
-    optional — pass None for untextured scenes.
+    Returns fn(stacked_scene, stacked_state, params, shade_params, textures,
+    shadow_ctx) -> (image [H,W,3] replicated, new stacked_state, stats
+    summed).  `textures` (render.textures.TextureTable, replicated on every
+    device) is optional — pass None for untextured scenes.  `shadow_ctx` is
+    the same sun-map tuple render_frame takes ((sf, map) or (sf, packed,
+    shape)) and enables composited sun shadows when cfg.shadows is set.
+
+    The sharded frame is the FULL frame: after the sort-last G-buffer merge
+    (psum of disjoint owner pixels), bloom and the sun-map shadow resolve
+    run as replicated dense passes on every device — they are image-space
+    work orders of magnitude below the sharded cull/raster stages.
     """
     # Fragment ids within one device span [0, tri_capacity) for the early
     # pass plus [tri_capacity + (pp-0)*late_tri_cap, ...) for the late pass
@@ -82,7 +89,7 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
     # tri_capacity included).
     frag_stride = cfg.tri_capacity + cfg.post_passes * cfg.late_tri_cap
 
-    def per_device(scene, state, params, sp, textures):
+    def per_device(scene, state, params, sp, textures, shadow_ctx):
         # shard_map passes [1, ...] blocks along the draw axis
         scene = jax.tree.map(lambda a: a[0], scene)
         state = jax.tree.map(lambda a: a[0], state)
@@ -99,25 +106,57 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
         gvis = jax.lax.pmin(cand, axis)
         mine = winner & (gvis == fb.vis)
 
-        # shade owned pixels with the local attribute tables
+        # shade owned pixels with the local attribute tables, then merge the
+        # disjoint owner G-buffers so every device holds the full planes
+        # (shade_gbuffer zeroes non-owned pixels, so psum is a union)
         local_vis = jnp.where(mine, fb.vis - offset, INVALID_FRAG)
         local_fb = Framebuffer(depth=gdepth, vis=local_vis)
         g0, g1, valid = shade.shade_gbuffer(
             local_fb, tc, setup_all, scene, cfg.width, cfg.height, textures=textures
         )
-        img = shade.composite(
+        g0 = jax.lax.psum(g0, axis)
+        g1 = jax.lax.psum(g1, axis)
+        gvalid = jax.lax.psum(valid.astype(jnp.float32), axis) > 0.0
+
+        # post stages run replicated on the merged planes — the full frame
+        # on every chip (bloom + shadows are dense image passes, far below
+        # the sharded cull/raster cost)
+        bloom_img = None
+        if cfg.bloom:
+            bloom_half = bloom.compute_bloom(g0, cfg.width, cfg.height)
+            bloom_img = bloom.sample_bloom_fullres(bloom_half, cfg.width, cfg.height)
+        shadow_img = None
+        if cfg.shadows and shadow_ctx is not None:
+            from ..ops import sunmap as sunmap_mod
+
+            if len(shadow_ctx) == 3:
+                sf, packed, map_shape = shadow_ctx
+                shadow_img = sunmap_mod.shadow_map_pass(
+                    gdepth, sf, None,
+                    inverse_view_projection=sp.inverse_view_projection,
+                    width=cfg.width, height=cfg.height,
+                    packed=packed, map_shape=map_shape,
+                )
+            else:
+                sf, smap = shadow_ctx
+                shadow_img = sunmap_mod.shadow_map_pass(
+                    gdepth, sf, smap,
+                    inverse_view_projection=sp.inverse_view_projection,
+                    width=cfg.width, height=cfg.height,
+                )
+        image = shade.composite(
             g0,
             g1,
             gdepth,
-            valid,
+            gvalid,
             camera_position=sp.camera_position,
             sun_direction=sp.sun_direction,
             inverse_view_projection=sp.inverse_view_projection,
+            shadow=shadow_img,
+            bloom=bloom_img,
             width=cfg.width,
             height=cfg.height,
         )
-        img = jnp.where(valid[..., None], img, 0.0)
-        image = jax.lax.psum(img, axis)
 
         stats = jax.tree.map(lambda s: jax.lax.psum(s, axis), stats)
         new_state = jax.tree.map(lambda a: a[None], new_state)
@@ -126,14 +165,14 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
     sharded = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(), P(), P()),
+        in_specs=(P(axis), P(axis), P(), P(), P(), P()),
         out_specs=(P(), P(axis), P()),
         check_vma=False,
     )
     jitted = jax.jit(sharded)
 
-    def fn(stacked_scene, stacked_state, params, sp, textures=None):
-        return jitted(stacked_scene, stacked_state, params, sp, textures)
+    def fn(stacked_scene, stacked_state, params, sp, textures=None, shadow_ctx=None):
+        return jitted(stacked_scene, stacked_state, params, sp, textures, shadow_ctx)
 
     return fn
 

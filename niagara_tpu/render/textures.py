@@ -31,6 +31,16 @@ class TextureTable:
     mip_w: Any  # i32 [NT, MAX_MIPS]
     mip_h: Any  # i32 [NT, MAX_MIPS]
     mip_count: Any  # i32 [NT]
+    # gather-count optimizations (per-pixel gathers are ~13-20ms/[1080p]
+    # each on this chip, flat in row width — so sampling cost is the NUMBER
+    # of gathers, not bytes):
+    # mip_rows [NT*MAX_MIPS, 4] i32 (offset, w, h, 0): one row gather
+    # replaces the 3 separate offset/w/h table lookups
+    mip_rows: Any = None
+    # texels_quad [N, 16] u8: texel i's 2x2 bilinear footprint (wrap-aware)
+    # as one row — one gather per bilinear sample instead of four.  Costs
+    # 4x pool HBM; built only while the pool stays under the quad budget.
+    texels_quad: Any = None
 
     @property
     def count(self):
@@ -65,6 +75,7 @@ def build_texture_table(
     max_dim: int | None = None,
     budget_bytes: int | None = 2 << 30,
     mips: list | None = None,
+    quad_budget_bytes: int | None = 6 << 30,
 ) -> TextureTable:
     """Load DDS textures into one table.  Texture 0 is a 1x1 white dummy
     (the reference reserves id 0 as 'no texture'); missing/unsupported files
@@ -112,24 +123,60 @@ def build_texture_table(
             mip_h[t, m] = mip_h[t, len(mips) - 1]
 
     texels = np.concatenate(chunks, axis=0) if chunks else np.zeros((1, 4), np.uint8)
+
+    # (texture, mip) -> one 16B row: offset, w, h (one gather instead of 3)
+    mip_rows = np.stack(
+        [mip_offset, mip_w, mip_h, np.zeros_like(mip_w)], axis=-1
+    ).reshape(nt * MAX_MIPS, 4).astype(np.int32)
+
+    # quad-packed pool: texel (x, y) row = its wrap-aware 2x2 bilinear
+    # footprint [p(x,y), p(x+1,y), p(x,y+1), p(x+1,y+1)] — one 16-byte row
+    # gather per bilinear sample instead of four element gathers.  4x HBM;
+    # skipped for pools past the quad budget (sample() then falls back).
+    texels_quad = None
+    if quad_budget_bytes is None or len(texels) * 16 <= quad_budget_bytes:
+        qchunks = []
+        for t, mips in enumerate(texture_mips):
+            for m, img in enumerate(mips):
+                h, w = img.shape[:2]
+                xr = np.concatenate([img[:, 1:], img[:, :1]], axis=1)
+                yr = np.concatenate([img[1:, :], img[:1, :]], axis=0)
+                xyr = np.concatenate([xr[1:, :], xr[:1, :]], axis=0)
+                quad = np.concatenate([img, xr, yr, xyr], axis=-1)  # [h,w,16]
+                qchunks.append(quad.reshape(-1, 16))
+        texels_quad = (
+            np.concatenate(qchunks, axis=0) if qchunks else np.zeros((1, 16), np.uint8)
+        )
+
     return TextureTable(
         texels=texels,
         mip_offset=mip_offset,
         mip_w=mip_w,
         mip_h=mip_h,
         mip_count=mip_count,
+        mip_rows=mip_rows,
+        texels_quad=texels_quad,
     )
 
 
 def sample(table: TextureTable, tex_id, uv, mip, *, bilinear: bool = True):
     """Sample [H,W] pixels: tex_id i32 (0 = white), uv f32 [...,2] (repeat
-    wrap), mip i32.  Returns f32 [...,4] in [0,1]."""
+    wrap), mip i32.  Returns f32 [...,4] in [0,1].
+
+    Gather budget (the cost model on this chip — per-pixel gathers are
+    latency-bound at ~13-20ms per 1080p plane regardless of row width):
+    one mip_rows gather for (offset, w, h) + one quad-row gather for the
+    whole 2x2 bilinear footprint = 2 gathers per sample."""
     tid = jnp.clip(tex_id, 0, table.mip_count.shape[0] - 1)
     m = jnp.clip(mip, 0, MAX_MIPS - 1)
 
-    off = table.mip_offset[tid, m]
-    w = table.mip_w[tid, m]
-    h = table.mip_h[tid, m]
+    if table.mip_rows is not None:
+        row = table.mip_rows[tid * MAX_MIPS + m]  # one 16B row gather
+        off, w, h = row[..., 0], row[..., 1], row[..., 2]
+    else:
+        off = table.mip_offset[tid, m]
+        w = table.mip_w[tid, m]
+        h = table.mip_h[tid, m]
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
 
@@ -153,9 +200,26 @@ def sample(table: TextureTable, tex_id, uv, mip, *, bilinear: bool = True):
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
+
+    if table.texels_quad is not None:
+        # the quad row holds the wrap-aware 2x2 footprint of (x0, y0)
+        xw = jnp.remainder(x0, w)
+        yw = jnp.remainder(y0, h)
+        q = table.texels_quad[off + yw * w + xw].astype(jnp.float32) / 255.0
+        top = q[..., 0:4] * (1 - fx) + q[..., 4:8] * fx
+        bot = q[..., 8:12] * (1 - fx) + q[..., 12:16] * fx
+        return top * (1 - fy) + bot * fy
+
     top = fetch(x0, y0) * (1 - fx) + fetch(x0 + 1, y0) * fx
     bot = fetch(x0, y0 + 1) * (1 - fx) + fetch(x0 + 1, y0 + 1) * fx
     return top * (1 - fy) + bot * fy
+
+
+def select_mip_from_area(duv, area):
+    """Mip level from the uv-to-pixel ratio and the texture's mip-0 texel
+    AREA (tex_w * tex_h, e.g. baked into the material megarow)."""
+    ratio = duv * area
+    return jnp.clip(0.5 * jnp.log2(jnp.maximum(ratio, 1.0)), 0, MAX_MIPS - 1).astype(jnp.int32)
 
 
 def select_mip_from_ratio(duv, tex_w, tex_h):

@@ -28,7 +28,7 @@ from .utils import math3d
 
 def _register_scene_dataclass(cls):
     names = [f.name for f in fields(cls)]
-    meta = [n for n in names if n in ("meshlet_visibility_count", "has_alpha_masks")]
+    meta = [n for n in names if n in ("meshlet_visibility_count", "has_alpha_masks", "texture_slots")]
     data_fields = [n for n in names if n not in meta]
     return jax.tree_util.register_dataclass(cls, data_fields=data_fields, meta_fields=meta)
 
@@ -263,11 +263,20 @@ class DeviceScene:
     mat_specular: np.ndarray = None  # f32 [NM,4]
     mat_emissive: np.ndarray = None  # f32 [NM,3]
     mat_textures: np.ndarray = None  # i32 [NM,4] albedo/normal/specular/emissive (+1-based into the texture table; 0 = none)
+    # material megarow [NM, 16] f32: 0-3 diffuse, 4-7 specular, 8-10
+    # emissive, 11-14 tex ids (as float, exact below 2^24), 15 pad.  The
+    # dense shading paths gather this ONE row per pixel instead of 4
+    # separate per-material tables (per-pixel gathers cost ~13-20ms each
+    # per 1080p plane on this chip, independent of row width).
+    mat_row: np.ndarray = None  # f32 [NM, 16]
 
     meshlet_visibility_count: int = 0
     # static flag: opacity masks baked (meshlet_alpha is real, not the
     # 1-row zero placeholder) — gates the alpha-variant setup kernel
     has_alpha_masks: bool = False
+    # static per-slot texture usage (albedo, normal, specular, emissive):
+    # False slots skip their sample() gathers entirely at trace time
+    texture_slots: tuple = (False, False, False, False)
 
     @property
     def num_draws(self) -> int:
@@ -302,11 +311,28 @@ def _build_cull_blocks(meshlets: Meshlets) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(block, (0, 2, 1))).reshape(m, 8 * TASK_WGSIZE)
 
 
+def _albedo_area_column(materials: dict, texture_table) -> np.ndarray:
+    """[NM, 1] f32: each material's albedo mip-0 texel area (w*h), 1 when
+    untextured or no table given (-> mip 0, matching the white dummy)."""
+    nm = len(materials["diffuse"])
+    col = np.ones((nm, 1), np.float32)
+    if texture_table is None:
+        return col
+    ids = np.asarray(materials["textures"])[:, 0] + 1  # 1-based table ids
+    mw = np.asarray(texture_table.mip_w)
+    mh = np.asarray(texture_table.mip_h)
+    ok = (ids > 0) & (ids < len(mw))
+    safe = np.where(ok, ids, 0)
+    col[:, 0] = np.where(ok, (mw[safe, 0] * mh[safe, 0]).astype(np.float32), 1.0)
+    return col
+
+
 def upload(
     geometry: Geometry,
     draws: Draws,
     materials: dict | None = None,
     alpha_masks: np.ndarray | None = None,
+    texture_table=None,
 ) -> DeviceScene:
     """Build the static-shape device layout from cooked geometry + draws.
 
@@ -314,7 +340,10 @@ def upload(
     emissive [NM,3]; absent, a single default material is used (matte white,
     like the reference's untextured OBJ mode).  `alpha_masks` [M,96,8] comes
     from cooker.opacity.bake_opacity and enables raster-time alpha testing
-    for postPass-1 draws."""
+    for postPass-1 draws.  Pass the render.textures.TextureTable (host-side)
+    so each material's albedo mip-0 texel area can be baked into the
+    megarow — the dense shading path then picks mips with zero extra
+    gathers."""
     vis_count = assign_meshlet_visibility_offsets(draws, geometry.meshes)
     vertex_ids, tris = unpack_meshlet_refs(geometry)
 
@@ -455,5 +484,18 @@ def upload(
         # shift to 1-based table ids (0 = no texture, like the reference's
         # id-0 convention, mesh.frag.glsl:63)
         mat_textures=(materials["textures"].astype(np.int32) + 1),
+        mat_row=np.concatenate(
+            [
+                materials["diffuse"].astype(np.float32),
+                materials["specular"].astype(np.float32),
+                materials["emissive"].astype(np.float32),
+                (materials["textures"].astype(np.int32) + 1).astype(np.float32),
+                _albedo_area_column(materials, texture_table),
+            ],
+            axis=-1,
+        ),
+        texture_slots=tuple(
+            bool((materials["textures"][:, i] >= 0).any()) for i in range(4)
+        ),
         meshlet_visibility_count=vis_count,
     )

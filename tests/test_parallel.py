@@ -72,7 +72,10 @@ def test_sharded_matches_single_chip_coverage(kitten_geometry, small_draws):
     frame_fn = pmesh.make_sharded_frame(m, CFG)
     with m:
         imageN, _, _ = frame_fn(stacked, state, params, sp)
-    coveredN = np.asarray(imageN).sum(-1) > 1e-3
+    # the composite now runs replicated AFTER the G-buffer merge and keeps
+    # the reference's deband noise on background pixels (like the
+    # single-chip image); threshold above the +-0.5/255-per-channel noise
+    coveredN = np.asarray(imageN).sum(-1) > 0.01
 
     agree = (coveredN == covered1).mean()
     assert agree > 0.99, agree
@@ -102,6 +105,55 @@ def test_sharded_matches_single_device_image_exactly(kitten_geometry, small_draw
     np.testing.assert_array_equal(imgs[0].sum(-1) > 0.0, imgs[1].sum(-1) > 0.0)
     np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-4)
     assert (imgs[0].sum(-1) > 0.05).sum() > 100
+
+
+def test_sharded_full_frame_with_bloom_and_shadows(kitten_geometry, small_draws):
+    """VERDICT r2 item 10: the multi-chip frame is the FULL frame.  With
+    bloom + sun-map shadows enabled, the N-device composite must (a) equal
+    the 1-device mesh bit-for-coverage / float-close in color, and (b)
+    actually darken shadowed ground pixels (the shadow term reaches the
+    sharded composite)."""
+    import dataclasses
+
+    from niagara_tpu.ops import sunmap
+
+    cfg = dataclasses.replace(CFG, bloom=True, shadows=True)
+    n_dev = min(len(jax.devices()), 4)
+    params, sp = frame_mod.make_frame_inputs(Camera(), RenderSettings(), cfg)
+
+    # sun map built once from the unsharded scene (replicated input)
+    ds = scene_mod.upload(kitten_geometry, small_draws)
+    sf = sunmap.fit_sun_to_draws(np.asarray(sp.sun_direction), small_draws, margin=4.0)
+    smap, _, _ = sunmap.render_sun_map(
+        ds, sf, map_w=256, map_h=256,
+        texel_world=0.05, cmd_capacity=256, cluster_capacity=512,
+        tri_capacity=1 << 12, pair_capacity=1 << 13, interpret=True,
+    )
+    packed = sunmap.pack_sun_map(smap)
+    ctx = (sf, packed, (256, 256))
+
+    imgs = []
+    for n in (1, n_dev):
+        m = pmesh.make_mesh(n)
+        stacked = pmesh.shard_draws(kitten_geometry, small_draws, n)
+        state = pmesh.init_sharded_state(stacked, n)
+        frame_fn = pmesh.make_sharded_frame(m, cfg)
+        with m:
+            image, _, _ = frame_fn(stacked, state, params, sp, None, ctx)
+        imgs.append(np.asarray(image))
+    np.testing.assert_array_equal(imgs[0].sum(-1) > 0.0, imgs[1].sum(-1) > 0.0)
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-4)
+
+    # shadows reached the composite: the same frame without the ctx is
+    # brighter somewhere (kittens shadow each other under the diagonal sun)
+    m = pmesh.make_mesh(n_dev)
+    stacked = pmesh.shard_draws(kitten_geometry, small_draws, n_dev)
+    state = pmesh.init_sharded_state(stacked, n_dev)
+    frame_fn = pmesh.make_sharded_frame(m, cfg)
+    with m:
+        img_nosh, _, _ = frame_fn(stacked, state, params, sp)
+    dimmed = (np.asarray(img_nosh).sum(-1) - imgs[1].sum(-1)) > 0.05
+    assert dimmed.sum() > 20, "no pixel darkened by the sharded shadow pass"
 
 
 def test_sharded_textured_shading(kitten_geometry, small_draws, tmp_path):

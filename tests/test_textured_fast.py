@@ -96,7 +96,7 @@ def textured_scene(tmp_path_factory):
         "textures": np.array([[0, -1, -1, -1], [1, -1, -1, -1]], np.int32),
     }
     table = tex_mod.build_texture_table(mips=[_mips(t0), _mips(t1)])
-    ds = scene_mod.upload(g, draws, materials)
+    ds = scene_mod.upload(g, draws, materials, texture_table=table)
     return jax.device_put(ds), jax.device_put(table)
 
 
@@ -201,7 +201,7 @@ def normal_mapped_scene(tmp_path_factory):
         "textures": np.array([[-1, 0, -1, -1]], np.int32),
     }
     table = tex_mod.build_texture_table(mips=[_mips(nm)])
-    ds = scene_mod.upload(g, draws, materials)
+    ds = scene_mod.upload(g, draws, materials, texture_table=table)
     return jax.device_put(ds), jax.device_put(table)
 
 

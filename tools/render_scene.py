@@ -111,7 +111,7 @@ def main():
             n_alpha = int((alpha_masks[..., 6] > 0).sum())
             print(f"opacity bake: {n_alpha} alpha-tested triangles masked")
 
-    scene = jax.device_put(upload(geometry, draws, materials, alpha_masks))
+    scene = jax.device_put(upload(geometry, draws, materials, alpha_masks, texture_table=textures))
 
     cfg = frame_mod.FrameConfig(
         width=width,
