@@ -359,14 +359,7 @@ def _setup_kernel(
         t2f = t2.astype(jnp.float32)
         t3 = (recbigT - t1f - t2f).astype(jnp.bfloat16)
 
-        # wide single-dot placement: instead of 8 per-cluster-row placement
-        # dots x 3 splits (24 launches, each padding K=96->128 and N=64->128),
-        # stack all 8 rows along the contraction axis (columns r*96+t) and
-        # all 3 bf16 splits on top of that — ONE [WINDOW, 3*768] x [3*768,
-        # NCOL] dot.  ~1.5x fewer MXU cycles and 8x fewer f32 accumulate
-        # passes over the [WINDOW, NCOL] output.
         grank_f = grank.astype(jnp.float32)  # [8,96], values < WINDOW (exact)
-        j_sub = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, BLOCK * MESH_MAXTRI), 0).astype(jnp.float32)
         i_384 = jax.lax.broadcasted_iota(jnp.int32, (NCOL * BLOCK, NCOL), 0)
         c_384 = jax.lax.broadcasted_iota(jnp.int32, (NCOL * BLOCK, NCOL), 1)
         r_sub = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
@@ -381,7 +374,6 @@ def _setup_kernel(
             v_parts.append(jax.lax.dot_general(e_r, vf, dn, preferred_element_type=jnp.float32))
         grank_wide = jnp.concatenate(g_parts, axis=1)  # [1, 768]
         vf_wide = jnp.concatenate(v_parts, axis=1)
-        Pb = ((j_sub == grank_wide) & (vf_wide > 0.5)).astype(jnp.bfloat16)  # [WINDOW, 768]
 
         # record rows k = r*96 + t -> record (r, t); the select dots are
         # cheap ([96,448]x[448,NCOL]); f32 accumulate (Mosaic requires
@@ -399,19 +391,32 @@ def _setup_kernel(
                 ).astype(jnp.bfloat16)
                 for r in range(BLOCK)
             ], axis=0))  # [768, NCOL]
-        # MXU N pads to 128 and NCOL is 64, so pack splits 1+2 side by side
-        # in the N dimension (full utilization); split 3 rides a half-padded
-        # dot.  2 launches instead of 24 small ones (measured 109 -> 73ms
-        # for the whole kernel vs the per-row fori_loop formulation).
+        # splits 1+2 pack side by side in the N dimension (MXU N pads to 128
+        # and NCOL is 64); split 3 rides a half-padded dot
         rec12 = jnp.concatenate([splits[0], splits[1]], axis=1)  # [768, 2*NCOL]
-        d12 = jax.lax.dot_general(Pb, rec12, dn, preferred_element_type=jnp.float32)
-        d3 = jax.lax.dot_general(Pb, splits[2], dn, preferred_element_type=jnp.float32)
-        placed = d12[:, :NCOL] + d12[:, NCOL:] + d3
 
-        window[...] = placed[:, :REC]
-        window[0:128, :] = window[0:128, :] + pending[...]
-        awindow[...] = placed[:, REC:]
-        awindow[0:128, :] = awindow[0:128, :] + apending[...]
+        # --- CHUNKED placement: ranks land in window rows [p_off, p_off +
+        # cnt), so a chunk of 128 consecutive window rows is one [128, 768]
+        # one-hot dot with a STATIC destination slice.  A typical block
+        # appends ~96 records after a ~max-127 pending offset — 2 live
+        # chunks — versus the whole-window dot's WINDOW/128 = 7, a ~3.5x
+        # MXU cut on the placement (the kernel's dominant cost).  Dead
+        # chunks skip entirely; their window rows keep stale values, which
+        # is safe: flush/pending only ever read rows below p_off + cnt.
+        total = p_off + cnt
+        for c in range(GROUPS):
+            @pl.when(c * 128 < total)
+            def _(c=c):
+                j128 = (jax.lax.broadcasted_iota(jnp.int32, (128, BLOCK * MESH_MAXTRI), 0)
+                        + c * 128).astype(jnp.float32)
+                Pb_c = ((j128 == grank_wide) & (vf_wide > 0.5)).astype(jnp.bfloat16)
+                d12 = jax.lax.dot_general(Pb_c, rec12, dn, preferred_element_type=jnp.float32)
+                d3 = jax.lax.dot_general(Pb_c, splits[2], dn, preferred_element_type=jnp.float32)
+                placed_c = d12[:, :NCOL] + d12[:, NCOL:] + d3  # [128, NCOL]
+                if c == 0:
+                    placed_c = placed_c + jnp.concatenate([pending[...], apending[...]], axis=1)
+                window[c * 128 : (c + 1) * 128, :] = placed_c[:, :REC]
+                awindow[c * 128 : (c + 1) * 128, :] = placed_c[:, REC:]
 
         total = p_off + cnt
         n_flush = total // 128
@@ -433,11 +438,15 @@ def _setup_kernel(
                 adma.start()
                 adma.wait()
 
-        # new pending = the first partial group after the flushed ones
+        # new pending = the first partial group after the flushed ones; when
+        # total lands exactly on a group boundary there is no partial group
+        # and chunk n_flush was never placed (stale rows) — pending must be
+        # zero then
         newp = jnp.zeros((128, REC), jnp.float32)
         newap = jnp.zeros((128, 8), jnp.float32)
+        has_partial = total > n_flush * 128
         for g in range(GROUPS):
-            sel = g == n_flush
+            sel = (g == n_flush) & has_partial
             newp = jnp.where(sel, window[g * 128 : (g + 1) * 128, :], newp)
             newap = jnp.where(sel, awindow[g * 128 : (g + 1) * 128, :], newap)
         pending[...] = newp
