@@ -112,6 +112,18 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
     hx = (p00 * cam[..., 0] * 0.5 + 0.5 * viewz) * width
     hy = (0.5 * viewz - p11 * cam[..., 1] * 0.5) * height  # image y down
 
+    # subpixel snap: hardware rasterizers quantize post-viewport vertex
+    # positions to a fixed-point grid (Vulkan subPixelPrecisionBits, 8 on
+    # the reference's target GPUs) before edge setup, so edges, fill-rule
+    # ties, and the depth plane all derive from snapped positions.  Corners
+    # in front of the camera snap to the same 1/256 grid here (x256 is an
+    # exponent shift — exact; one rounding re-scaling by viewz); corners on
+    # or behind the near plane keep raw homogeneous coords (hardware would
+    # clip them — divergence is measured in tests/test_raster_oracle.py).
+    wpos = viewz > 1e-9
+    hx = jnp.where(wpos, jnp.round(hx / safe_z * 256.0) * jnp.float32(1.0 / 256.0) * viewz, hx)
+    hy = jnp.where(wpos, jnp.round(hy / safe_z * 256.0) * jnp.float32(1.0 / 256.0) * viewz, hy)
+
     tri_valid = (
         live[:, None]
         & (jnp.arange(MESH_MAXTRI, dtype=jnp.int32)[None, :] < tri_count[:, None])
@@ -582,7 +594,18 @@ def rasterize(
         def ev(a, b, c):
             return a[tri][:, None, None] * fx + b[tri][:, None, None] * fy + c[tri][:, None, None]
 
-        cover = (ev(a0, b0, c0) >= 0) & (ev(a1, b1, c1) >= 0) & (ev(a2, b2, c2) >= 0)
+        def cov(a, b, c):
+            # top-left fill rule (Vulkan basic rasterization rules): a pixel
+            # center exactly on an edge belongs to the triangle whose
+            # interior is right of (a > 0) or, for horizontal edges, below
+            # (a == 0, b > 0) the edge — each shared-edge pixel is covered
+            # exactly once.  Matches the fixed-point scalar oracle
+            # (tests/raster_oracle.py) wherever f32 resolves e == 0 exactly.
+            e = ev(a, b, c)
+            tl = (a[tri] > 0) | ((a[tri] == 0) & (b[tri] > 0))
+            return (e > 0) | (tl[:, None, None] & (e == 0))
+
+        cover = cov(a0, b0, c0) & cov(a1, b1, c1) & cov(a2, b2, c2)
         z = ev(za, zb, zc)
         cover &= (px < jnp.minimum(x1c[tri], width)[:, None, None]) & (
             py < jnp.minimum(y1c[tri], height)[:, None, None]

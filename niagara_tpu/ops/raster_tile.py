@@ -248,7 +248,18 @@ def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
             e2 = a2 * fx + b2 * fy + c2
             z = za * fx + zb * fy + zc
 
-            cover = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z > 0.0) & (z <= 1.0)
+            # top-left fill rule (see raster.py `cov` / tests/raster_oracle.py):
+            # tl flags are scalar per record, so the per-pixel cost is one
+            # extra compare + and/or per edge
+            tl0 = (a0 > 0.0) | ((a0 == 0.0) & (b0 > 0.0))
+            tl1 = (a1 > 0.0) | ((a1 == 0.0) & (b1 > 0.0))
+            tl2 = (a2 > 0.0) | ((a2 == 0.0) & (b2 > 0.0))
+            cover = (
+                ((e0 > 0.0) | (tl0 & (e0 == 0.0)))
+                & ((e1 > 0.0) | (tl1 & (e1 == 0.0)))
+                & ((e2 > 0.0) | (tl2 & (e2 == 0.0)))
+                & (z > 0.0) & (z <= 1.0)
+            )
             gidx = a0_off + c * REC_CHUNK + j
             live = (gidx >= start) & (gidx < end)
             cover = cover & live

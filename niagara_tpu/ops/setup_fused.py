@@ -213,6 +213,11 @@ def _setup_kernel(
             zw = znear / safe_z
             hx = (p00 * camx * 0.5 + 0.5 * viewz) * width
             hy = (0.5 * viewz - p11 * camy * 0.5) * height
+            # 1/256 subpixel snap, bit-identical to transform_clusters
+            # (raster.py) — see the comment there; HW raster parity
+            wpos = viewz > 1e-9
+            hx = jnp.where(wpos, jnp.round(hx / safe_z * 256.0) * jnp.float32(1.0 / 256.0) * viewz, hx)
+            hy = jnp.where(wpos, jnp.round(hy / safe_z * 256.0) * jnp.float32(1.0 / 256.0) * viewz, hy)
             nx = ch(ref, 6, 7)
             ny = ch(ref, 8, 9)
             nz = ch(ref, 10, 11)

@@ -14,14 +14,14 @@ from niagara_tpu.ops.raster import INVALID_FRAG
 from test_frame import CFG, render
 
 # captured 2026-08-17 (CPU backend, tile rasterizer, 8-kitten line scene);
-# re-baked after the winding fix (glTF/OBJ CCW is now front-facing — the
-# same silhouette covers, so coverage held at 2118, but depths/shading
-# switched from back to front faces)
+# re-baked after the HW-parity raster change (1/256 subpixel snap +
+# top-left fill rule, tests/test_raster_oracle.py) — boundary pixels and
+# snapped depths shifted within tolerance of the old bake
 GOLDEN = {
-    "coverage": 2118,
-    "depth_sum": 72.492828,
-    "img_mean": 0.653711,
-    "unique_frags": 137,
+    "coverage": 2119,
+    "depth_sum": 72.525681,
+    "img_mean": 0.653795,
+    "unique_frags": 138,
 }
 
 

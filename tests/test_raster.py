@@ -92,7 +92,7 @@ def frag_of(t, screen_tris=None, width=64, height=64):
 
 def raster_oracle(screen_tris, width, height):
     """Independent numpy scanline oracle: same pixel-center convention,
-    edges >= 0 coverage, reverse-Z max, min-fragid tie-break."""
+    top-left fill rule, reverse-Z max, min-fragid tie-break."""
     depth = np.zeros((height, width), dtype=np.float32)
     vis = np.full((height, width), raster.INVALID_FRAG, dtype=np.int64)
     ys, xs = np.mgrid[0:height, 0:width]
@@ -102,10 +102,19 @@ def raster_oracle(screen_tris, width, height):
         area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
         if area <= 0:
             continue
+
+        def edge_cov(px, py, qx, qy):
+            # edge P->Q, interior-positive; top-left rule accepts e == 0
+            # when the interior is right of the edge (a > 0) or below a
+            # horizontal edge (a == 0, b > 0) — same rule as the kernels
+            a, b = py - qy, qx - px
+            e = (qx - px) * (fy - py) - (qy - py) * (fx - px)
+            return (e > 0) | ((e == 0) & ((a > 0) | ((a == 0) & (b > 0))))
+
         e0 = (bx - ax) * (fy - ay) - (by - ay) * (fx - ax)
         e1 = (cx - bx) * (fy - by) - (cy - by) * (fx - bx)
         e2 = (ax - cx) * (fy - cy) - (ay - cy) * (fx - cx)
-        cover = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+        cover = edge_cov(ax, ay, bx, by) & edge_cov(bx, by, cx, cy) & edge_cov(cx, cy, ax, ay)
         b0, b1, b2 = e1 / area, e2 / area, e0 / area
         z = b0 * az + b1 * bz + b2 * cz
         cover &= (z > 0) & (z <= 1)
