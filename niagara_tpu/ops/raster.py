@@ -147,33 +147,34 @@ def transform_clusters(scene, cluster_cmd, cluster_lane, cluster_count, cmds, vi
 
 
 def transform_meta(scene, cluster_cmd, cluster_lane, cluster_count, cmds):
-    """Gather-only cluster data for the fused setup kernel (setup_fused.py):
-    bf16 corner channels, triangle indices, transform rows, ids.  The
-    world/camera transform itself happens inside the kernel — no [K,64]
-    transformed intermediates ever touch HBM."""
-    K = cluster_cmd.shape[0]
+    """Light per-cluster metadata for the fused setup kernel
+    (setup_fused.py): meshlet index, transform row, ids.  The heavy vertex
+    channels, triangle ids, and opacity masks are NOT gathered here — the
+    kernel DMAs each live cluster's [16,128] setup row (and, for post
+    clusters, its [8,128] opacity row) straight from the scene tables in
+    HBM, so no [K, ...] gathered intermediates exist and dead capacity
+    slots cost nothing (measured: the gathered form streamed ~1.2 GB/frame
+    at bench capacities — ~90 ms of the old transform+setup cost)."""
     cmd = cluster_cmd
     draw_id = cmds.draw_id[cmd]
     mi = cmds.task_offset[cmd] + cluster_lane
     mi = jnp.clip(mi, 0, scene.meshlet_tris.shape[0] - 1)
 
     out = dict(
-        chan=scene.meshlet_channels[mi],  # [K,10,128] bf16 — one layout-tight 2.5KB row gather
-        trib=scene.meshlet_tri_bf[mi],  # [K,3,96] bf16 corner ids
+        rows_hbm=scene.meshlet_setup_row,  # [M,16,128] bf16, by reference
+        mi=mi,
         tri_count=scene.meshlet_triangle_count[mi],  # [K]
         xform=scene.draw_xform_row[draw_id],  # [K,8]
         draw_id=draw_id,
         mat_index=scene.draw_material_index[draw_id],
         post_pass=scene.draw_post_pass[draw_id],
-        mi=mi,
         # shape (1,): 0-d arrays break the frame's cross-pass tree concat
         count=jnp.reshape(cluster_count, (1,)),
     )
-    # opacity masks only when the scene has alpha-tested content (the [K,8,96]
-    # f32 gather costs ~400MB/frame at bench capacities — scenes without
-    # masks must not pay it; the kernel has a static no-alpha variant)
+    # opacity rows only when the scene has alpha-tested content; the kernel
+    # has a static no-alpha variant and only post clusters pay the DMA
     if getattr(scene, "has_alpha_masks", False):
-        out["alpha"] = scene.meshlet_alpha[mi]
+        out["alpha_hbm"] = scene.meshlet_alpha
     return out
 
 
@@ -373,7 +374,7 @@ def compact_setup(tc, width, height, znear, capacity: int):
         # enabling raster-time alpha test on this path too (the sun map
         # renders alpha-tested casters through here)
         rec_alpha = jnp.stack(
-            [tc["alpha"][:, i, :] for i in range(8)], axis=-1
+            [tc["alpha"][:, i, :MESH_MAXTRI] for i in range(8)], axis=-1
         ).reshape(K * MESH_MAXTRI, 8)
         both = jnp.concatenate([rec, rec_shade, rec_alpha], axis=-1)[tidx]  # [cap, 56]
         out = both[:, :16]

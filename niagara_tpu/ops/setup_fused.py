@@ -13,10 +13,15 @@ every intermediate lives in VMEM; HBM sees only the bf16 corner channels in
 and the compacted records out.
 
 Pipeline (per 8-cluster grid step, sequential TPU grid):
+  0. fetch each LIVE cluster's [16,128] setup row (bf16 channels + corner
+     ids, scene.meshlet_setup_row) straight from HBM with per-cluster DMAs
+     issued one block ahead; post clusters also fetch their [8,128] opacity
+     row.  No [K, ...] gathered intermediates exist and dead capacity slots
+     cost nothing — the gathered formulation streamed ~1.2 GB/frame at
+     bench capacities across the XLA gather plus the grid input pipeline;
   1. reconstruct f32 object position/normal/uv/vid from exact bf16-split
-     channels (scene.meshlet_channels via block-diagonal one-hot MXU dots
-     INSIDE the kernel, `_corner_fetch` — no [K,96,20] corner intermediates
-     ever touch HBM);
+     channels (block-diagonal one-hot MXU dots INSIDE the kernel,
+     `_corner_fetch` — no [K,96,20] corner intermediates ever touch HBM);
   2. object -> world -> camera -> homogeneous pixel coords per corner,
      edges = adjugate rows, depth plane, conservative AABB, validity
      (ops/raster.py compact_setup semantics, bit-identical math);
@@ -51,21 +56,22 @@ WINDOW = 896  # placement window (128-aligned, >= 128 + TRIS; max fill 895)
 GROUPS = WINDOW // 128
 
 
-def _corner_fetch(chan_ref, trib_ref, prm_e3):
+def _corner_fetch(rowbuf, slot, prm_e3):
     """In-kernel one-hot corner fetch on the MXU for one 8-cluster block.
 
-    Inputs: chan_ref [BLOCK, 10, 128] bf16 pair-packed vertex channels
+    Inputs: rowbuf [2, BLOCK, 16, 128] bf16 VMEM scratch holding the block's
+    DMA'd setup rows at `slot` — rows 0-9 pair-packed vertex channels
     (channel 2p in lanes 0-63 of row p, channel 2p+1 in lanes 64-127 — the
     layout-tight form; a 64-lane minor dim would be padded 2x by XLA),
-    trib_ref [BLOCK, 3, 96] bf16 corner ids.  Returns 3 corner matrices
+    rows 10-12 corner ids in lanes 0-95.  Returns 3 corner matrices
     [20*BLOCK, 96] f32 whose rows (ch*8 + k) hold channel ch of cluster k —
     tile-aligned sublane slices [ch*8:(ch+1)*8] recover offset-0 [8,96]
     per-channel blocks.
 
     Why in-kernel: the XLA formulation materialized 3x [K,96,20] bf16 corner
     arrays (~755MB/frame at bench capacities) just to feed this kernel; here
-    the fetch is one block-diagonal matmul per corner over data that already
-    streams in (chan is 4.5x smaller than the 3 corner arrays).
+    the fetch is one block-diagonal matmul per corner over rows DMA'd
+    per-live-cluster (setup_compact docstring).
 
     Exactness: all matmuls are one-hot on one side over bf16 payloads —
     every output is a single bf16 value accumulated in f32."""
@@ -73,7 +79,7 @@ def _corner_fetch(chan_ref, trib_ref, prm_e3):
     # unpack the channel pairs with one-hot lane/row dots (lane slices at
     # offset 64 can't feed Mosaic's concat, so the halves are split on the
     # MXU instead): chan2big [80, 128] rows (p*8 + k)
-    chan2big = jnp.concatenate([chan_ref[:, p, :] for p in range(10)], axis=0)
+    chan2big = jnp.concatenate([rowbuf[slot, :, p, :] for p in range(10)], axis=0)
     l_sub = jax.lax.broadcasted_iota(jnp.int32, (2 * MESH_MAXVTX, MESH_MAXVTX), 0)
     l_lane = jax.lax.broadcasted_iota(jnp.int32, (2 * MESH_MAXVTX, MESH_MAXVTX), 1)
     h_lo = (l_sub == l_lane).astype(jnp.bfloat16)  # [128, 64]
@@ -103,14 +109,15 @@ def _corner_fetch(chan_ref, trib_ref, prm_e3):
     dn = (((1,), (0,)), ((), ()))
     outs = []
     for c in range(3):
-        # corner-id row per cluster via one-hot row pick (offset-0 [1,96]),
-        # broadcast down the cluster's 64 vertex rows
+        # corner-id row per cluster via one-hot row pick (offset-0 [1,128],
+        # live lanes 0-95), broadcast down the cluster's 64 vertex rows
         e_c = (prm_e3 == c).astype(jnp.float32)  # [1,3]
         rows = []
         for k in range(BLOCK):
             tri_k = jax.lax.dot_general(
-                e_c, trib_ref[k].astype(jnp.float32), dn, preferred_element_type=jnp.float32
-            )  # [1, 96]
+                e_c, rowbuf[slot, k, 10:13, :].astype(jnp.float32), dn,
+                preferred_element_type=jnp.float32,
+            )[:, :MESH_MAXTRI]  # [1, 96]
             rows.append(jnp.broadcast_to(tri_k, (MESH_MAXVTX, MESH_MAXTRI)))
         tric = jnp.concatenate(rows, axis=0)  # [512, 96]
         ohbig = (v_local == tric).astype(jnp.bfloat16)  # block-diagonal one-hot
@@ -120,32 +127,70 @@ def _corner_fetch(chan_ref, trib_ref, prm_e3):
     return outs
 
 
-def _setup_kernel_alpha(*args):
-    _setup_kernel(*args)
+def _setup_kernel_alpha(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
+                        alpha_hbm, prm, rec_out, aabb_out, count_out,
+                        window, awindow, pending, apending, staging, astaging,
+                        rowbuf, abuf, cursor, sems, rsem, asem):
+    _setup_kernel(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
+                  alpha_hbm, prm, rec_out, aabb_out, count_out,
+                  window, awindow, pending, apending, staging, astaging,
+                  rowbuf, abuf, cursor, sems, rsem, asem)
 
 
-def _setup_kernel_noalpha(cnt_ref, chan, trib, xform, meta, prm, rec_out, aabb_out,
-                          count_out, *scratch):
-    _setup_kernel(cnt_ref, chan, trib, xform, meta, None, prm, rec_out, aabb_out,
-                  count_out, *scratch)
+def _setup_kernel_noalpha(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
+                          prm, rec_out, aabb_out, count_out,
+                          window, awindow, pending, apending, staging, astaging,
+                          rowbuf, cursor, sems, rsem):
+    _setup_kernel(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
+                  None, prm, rec_out, aabb_out, count_out,
+                  window, awindow, pending, apending, staging, astaging,
+                  rowbuf, None, cursor, sems, rsem, None)
 
 
 def _setup_kernel(
     cnt_ref,  # scalar prefetch: [1] i32 live cluster count
-    chan_ref,  # [BLOCK, 10, 128] bf16 vertex channels (pair-packed channel-major)
-    trib_ref,  # [BLOCK, 3, 96] bf16 corner ids
+    dmam_cur,  # SMEM [BLOCK, 2] i32 (meshlet index, post class) of this block
+    dmam_nxt,  # SMEM [BLOCK, 2] i32 of the NEXT block (clamped at the end)
     xform_ref,  # [BLOCK, 8] f32 (pos, scale, quat)
     meta_ref,  # [BLOCK, 4] i32 (draw, mat, post, tri_count)
-    alpha_ref,  # [BLOCK, 8, 96] f32 opacity mask channels, or None (no-alpha variant)
+    rows_hbm,  # HBM [M, 16, 128] bf16 scene setup rows (scene.meshlet_setup_row)
+    alpha_hbm,  # HBM [Ma, 8, 128] f32 opacity rows, or None (no-alpha variant)
     prm_ref,  # [1, 24] f32 params (view rows, p00, p11, znear, w, h)
     rec_out,  # HBM [cap_pad, 128] f32: REC record cols + zero pad (DMA rows)
     aabb_out,  # HBM [8, cap_pad] f32 channel-major (DMA 128-lane slices)
     count_out,  # [1, 1] i32
-    window, awindow, pending, apending, staging, astaging, cursor, sems,
+    window, awindow, pending, apending, staging, astaging,
+    rowbuf, abuf, cursor, sems, rsem, asem,
 ):
     bi = pl.program_id(0)
     nb = pl.num_programs(0)
     base_cluster = bi * BLOCK
+
+    # --- per-live-cluster input DMA, double-buffered across grid steps.
+    # The gathered-input formulation streamed EVERY capacity slot's channel
+    # block through the grid pipeline (~50 KB x K/BLOCK steps ≈ 400 MB at
+    # bench capacities, dead slots included) on top of the XLA gather that
+    # built it; here each LIVE cluster costs one 4 KB row DMA (+4 KB
+    # opacity for post clusters), fetched a block ahead so the transfer
+    # hides under the previous block's MXU work.
+    slot = jax.lax.rem(bi, 2)
+    nslot = 1 - slot
+
+    def row_dma(s, k, m):
+        return pltpu.make_async_copy(rows_hbm.at[m], rowbuf.at[s, k], rsem.at[s, k])
+
+    def alpha_dma(s, k, m):
+        return pltpu.make_async_copy(alpha_hbm.at[m], abuf.at[s, k], asem.at[s, k])
+
+    with_alpha = alpha_hbm is not None
+
+    def start_block(s, dmam):
+        for k in range(BLOCK):
+            row_dma(s, k, dmam[k, 0]).start()
+            if with_alpha:
+                @pl.when(dmam[k, 1] > 0)
+                def _(k=k):
+                    alpha_dma(s, k, dmam[k, 0]).start()
 
     @pl.when(bi == 0)
     def _():
@@ -155,14 +200,31 @@ def _setup_kernel(
         apending[...] = jnp.zeros_like(apending)
 
     live_block = base_cluster < cnt_ref[0]
+    next_live = base_cluster + BLOCK < cnt_ref[0]  # implies bi + 1 < nb
+
+    @pl.when((bi == 0) & live_block)
+    def _():
+        start_block(0, dmam_cur)
+
+    @pl.when(next_live)
+    def _():
+        start_block(nslot, dmam_nxt)
 
     @pl.when(live_block)
     def _process():
+        # wait this block's rows (started at step bi-1, or just above for
+        # block 0); gates must mirror start_block's exactly
+        for k in range(BLOCK):
+            row_dma(slot, k, dmam_cur[k, 0]).wait()
+            if with_alpha:
+                @pl.when(dmam_cur[k, 1] > 0)
+                def _(k=k):
+                    alpha_dma(slot, k, dmam_cur[k, 0]).wait()
 
         # in-kernel corner fetch: 3x [20*BLOCK, 96] f32 matrices, rows
         # (ch*8 + k) = channel ch of cluster k (see _corner_fetch)
         e3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
-        corner_mats = _corner_fetch(chan_ref, trib_ref, e3)
+        corner_mats = _corner_fetch(rowbuf, slot, e3)
 
         def ch(mat, hi, lo=None):
             v = mat[hi * BLOCK : (hi + 1) * BLOCK, :]
@@ -310,9 +372,13 @@ def _setup_kernel(
             cols += [sx[ci], sy[ci], c["w"], c["n"][0], c["n"][1], c["n"][2], c["u"], c["v"]]
         cols += [A["vid"], B["vid"], C["vid"], drawf, matf, postf, flat, jnp.zeros_like(flat)]
         # opacity mask channels (exact f32 16-bit halves + uv rect); the
-        # no-alpha variant writes zeros without any mask input traffic
-        if alpha_ref is not None:
-            cols += [alpha_ref[:, i, :] for i in range(8)]
+        # no-alpha variant writes zeros without any mask input traffic.
+        # Opacity rows are DMA'd only for POST clusters — non-post clusters'
+        # buffer rows are stale, so mask them to zero (zero idu = "no alpha
+        # test"; only post streams consume these columns at raster time)
+        if with_alpha:
+            post_on = (meta_ref[:, 2:3] > 0).astype(jnp.float32)  # [BLOCK,1]
+            cols += [abuf[slot, :, i, :MESH_MAXTRI] * post_on for i in range(8)]
         else:
             cols += [jnp.zeros_like(flat) for _ in range(8)]
 
@@ -483,13 +549,17 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
 
     Returns a setup dict compatible with ops/raster.compact_setup's output
     (rec48/rec16/valid/x0..y1/shade_rec/tri_k/tri_t/count)."""
-    K = tc["chan"].shape[0]
+    K = tc["mi"].shape[0]
     assert K % BLOCK == 0, "cluster capacity must be a multiple of BLOCK"
     cap_pad = -(-capacity // 128) * 128 + 128  # slack for the final padded flush
+    nb_m1 = K // BLOCK - 1
 
     meta = jnp.stack(
         [tc["draw_id"], tc["mat_index"], tc["post_pass"], tc["tri_count"]], axis=-1
     ).astype(jnp.int32)
+    # DMA metadata (meshlet row index, post class) in SMEM: the kernel reads
+    # these as scalars to issue per-cluster row DMAs a block ahead
+    dmam = jnp.stack([tc["mi"], tc["post_pass"]], axis=-1).astype(jnp.int32)
 
     view = params.view
     prm = jnp.concatenate(
@@ -501,16 +571,39 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
         ]
     ).reshape(1, 24)
 
-    with_alpha = "alpha" in tc
+    with_alpha = "alpha_hbm" in tc
     in_specs = [
-        pl.BlockSpec((BLOCK, 10, 2 * MESH_MAXVTX), lambda i, *_: (i, 0, 0)),
-        pl.BlockSpec((BLOCK, 3, MESH_MAXTRI), lambda i, *_: (i, 0, 0)),
+        pl.BlockSpec((BLOCK, 2), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(
+            (BLOCK, 2), lambda i, *_: (jnp.minimum(i + 1, nb_m1), 0),
+            memory_space=pltpu.SMEM,
+        ),
         pl.BlockSpec((BLOCK, 8), lambda i, *_: (i, 0)),
         pl.BlockSpec((BLOCK, 4), lambda i, *_: (i, 0)),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # rows_hbm [M,16,128]
     ]
     if with_alpha:
-        in_specs.append(pl.BlockSpec((BLOCK, 8, MESH_MAXTRI), lambda i, *_: (i, 0, 0)))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
     in_specs.append(pl.BlockSpec((1, 24), lambda i, *_: (0, 0), memory_space=pltpu.SMEM))
+
+    scratch_shapes = [
+        pltpu.VMEM((WINDOW, REC), jnp.float32),
+        pltpu.VMEM((WINDOW, 8), jnp.float32),
+        pltpu.VMEM((128, REC), jnp.float32),
+        pltpu.VMEM((128, 8), jnp.float32),
+        pltpu.VMEM((128, 128), jnp.float32),
+        pltpu.VMEM((8, 128), jnp.float32),
+        pltpu.VMEM((2, BLOCK, 16, 2 * MESH_MAXVTX), jnp.bfloat16),  # rowbuf
+    ]
+    if with_alpha:
+        scratch_shapes.append(pltpu.VMEM((2, BLOCK, 8, 2 * MESH_MAXVTX), jnp.float32))
+    scratch_shapes += [
+        pltpu.SMEM((2,), jnp.int32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2, BLOCK)),  # rsem
+    ]
+    if with_alpha:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2, BLOCK)))  # asem
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -524,27 +617,19 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((WINDOW, REC), jnp.float32),
-            pltpu.VMEM((WINDOW, 8), jnp.float32),
-            pltpu.VMEM((128, REC), jnp.float32),
-            pltpu.VMEM((128, 8), jnp.float32),
-            pltpu.VMEM((128, 128), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.SMEM((2,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     operands = [
         jnp.reshape(tc["count"], (-1,))[:1].astype(jnp.int32),
-        tc["chan"],
-        tc["trib"],
+        dmam,
+        dmam,
         tc["xform"],
         meta,
+        tc["rows_hbm"],
     ]
     if with_alpha:
-        operands.append(tc["alpha"])
+        operands.append(tc["alpha_hbm"])
     operands.append(prm)
 
     rec_rows, aabb_t, count = pl.pallas_call(

@@ -197,12 +197,15 @@ class DeviceScene:
     # one [M,64,8] row (position, object normal, uv) so transform_clusters
     # fetches all per-vertex data with a single row gather
     meshlet_vdata: np.ndarray  # f32 [M, MESH_MAXVTX, 8]
-    # bf16-split channel table for the fused setup kernel's in-kernel corner
-    # fetch: object position/normal/uv as exact 2-component bf16 splits
-    # (sources are fp16/snorm10 quantized) + vertex-id bytes, CHANNEL-major.
-    # Channels: 0-5 pos hi/lo xyz, 6-11 normal hi/lo, 12-15 uv hi/lo,
-    # 16-18 vid bytes
-    meshlet_channels: np.ndarray  # bf16 [M, 10, 2*MESH_MAXVTX] pair-packed channels
+    # ONE setup row per meshlet for the fused setup kernel's in-kernel DMA
+    # (setup_fused.py fetches live clusters' rows straight from HBM; no
+    # [K,...] gathered intermediates exist).  Rows 0-9: bf16-split vertex
+    # channels, pair-packed (channel 2p in lanes 0-63 of row p, 2p+1 in
+    # lanes 64-127): object position/normal/uv as exact 2-component bf16
+    # splits (sources are fp16/snorm10 quantized) + vertex-id bytes.
+    # Rows 10-12: triangle corner ids (ids < 64, bf16-exact) in lanes 0-95.
+    # Rows 13-15: zero pad — bf16 DMA slices need 16-sublane tiles.
+    meshlet_setup_row: np.ndarray  # bf16 [M, 16, 2*MESH_MAXVTX]
     meshlet_center: np.ndarray  # f32 [M,3]
     meshlet_radius: np.ndarray  # f32 [M]
     meshlet_cone_axis: np.ndarray  # f32 [M,3] (snorm8 / 127)
@@ -247,15 +250,12 @@ class DeviceScene:
     # transform row (pos, scale, quat): ONE 32B row gather per command/cluster
     draw_xform_row: np.ndarray = None  # f32 [D, 8]
 
-    # triangle corner ids as bf16 channels (ids < 64, exact) for the fused
-    # setup kernel's in-kernel one-hot corner fetch
-    meshlet_tri_bf: np.ndarray = None  # bf16 [M, 3, MESH_MAXTRI]
-
     # per-triangle opacity masks for alpha-tested meshes (cooker/opacity.py):
-    # channel-major [Ma, 8, MESH_MAXTRI] — 4 mask halves + uv rect (zero idu
-    # => no alpha test).  Ma == 1 (zeros) when nothing is alpha-tested; the
-    # index clamp makes the gather free then.
-    meshlet_alpha: np.ndarray = None  # f32 [Ma, 8, MESH_MAXTRI]
+    # channel-major [Ma, 8, 128] — 4 mask halves + uv rect (zero idu
+    # => no alpha test), lanes 96-127 zero (f32 DMA slices want 128 lanes).
+    # Ma == 1 (zeros) when nothing is alpha-tested; the index clamp makes
+    # the gather free then.
+    meshlet_alpha: np.ndarray = None  # f32 [Ma, 8, 2*MESH_MAXVTX]
 
     # material factors (reference Material, scene.h:25-37; texture indices
     # join when the bindless texture table lands)
@@ -414,18 +414,24 @@ def upload(
     meshlet_channels = np.ascontiguousarray(np.stack(chan_parts, axis=1)).reshape(
         -1, 10, 2 * MESH_MAXVTX
     )  # [M, 10, 128]
-    # triangle corner ids as bf16 channels [M, 3, 96] (ids < 64, exact) for
-    # the in-kernel one-hot build
-    meshlet_tri_bf = np.ascontiguousarray(
-        np.transpose(tris.astype(ml_dtypes.bfloat16), (0, 2, 1))
-    )  # [M, 3, 96]
+    # triangle corner ids as bf16 channels (ids < 64, exact) in rows 10-12,
+    # lanes 0-95; rows 13-15 pad the row block to the 16-sublane bf16 DMA
+    # tile.  One [16, 128] row per meshlet = one contiguous 4 KB DMA for the
+    # fused setup kernel.
+    M = meshlet_channels.shape[0]
+    meshlet_setup_row = np.zeros((M, 16, 2 * MESH_MAXVTX), ml_dtypes.bfloat16)
+    meshlet_setup_row[:, :10, :] = meshlet_channels
+    meshlet_setup_row[:, 10:13, :MESH_MAXTRI] = np.transpose(
+        tris.astype(ml_dtypes.bfloat16), (0, 2, 1)
+    )
 
     if alpha_masks is not None:
-        meshlet_alpha = np.ascontiguousarray(
-            np.transpose(alpha_masks.astype(np.float32), (0, 2, 1))
-        )  # [M, 8, 96] channel-major
+        meshlet_alpha = np.zeros((M, 8, 2 * MESH_MAXVTX), np.float32)
+        meshlet_alpha[:, :, :MESH_MAXTRI] = np.transpose(
+            alpha_masks.astype(np.float32), (0, 2, 1)
+        )  # channel-major, lanes 96-127 zero
     else:
-        meshlet_alpha = np.zeros((1, 8, MESH_MAXTRI), np.float32)
+        meshlet_alpha = np.zeros((1, 8, 2 * MESH_MAXVTX), np.float32)
 
     return DeviceScene(
         positions=positions,
@@ -435,8 +441,7 @@ def upload(
         meshlet_vertices=vertex_ids,
         meshlet_tris=tris,
         meshlet_vdata=meshlet_vdata,
-        meshlet_channels=meshlet_channels,
-        meshlet_tri_bf=meshlet_tri_bf,
+        meshlet_setup_row=meshlet_setup_row,
         meshlet_center=geometry.meshlets.center.astype(np.float32),
         meshlet_radius=geometry.meshlets.radius.astype(np.float32),
         meshlet_cone_axis=(geometry.meshlets.cone_axis.astype(np.float32) / 127.0),
