@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import TASK_WGSIZE
-from . import cullmath, stream_compact
+from . import cullmath, prefix, stream_compact
 
 
 @jax.tree_util.register_dataclass
@@ -155,7 +155,7 @@ def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, ca
     # 1) compact emitted draws to [capacity]: exclusive prefix sum for the
     # slot, one scatter of (packed id|lod|vis, vis_offset) rows
     emit_i = emit.astype(jnp.int32)
-    slots = jnp.cumsum(emit_i) - emit_i
+    slots = prefix.exclusive_i32(emit_i)  # [D]-scale MXU scan (ops/prefix.py)
     sel = emit & (slots < capacity)
     packed = (d << 5) | (jnp.clip(lod_index, 0, 15) << 1) | (draw_vis != 0).astype(jnp.int32)
     tgt = jnp.where(sel, slots, capacity)
@@ -182,7 +182,7 @@ def build_task_commands(scene, emit, lod_index, draw_vis, *, max_groups: int, ca
     meshlet_offset = jnp.sum(jnp.where(lod_oh, off_rows, 0), axis=1)
 
     groups = jnp.where(live_d, (meshlet_count + TASK_WGSIZE - 1) // TASK_WGSIZE, 0)
-    base = jnp.cumsum(groups) - groups  # exclusive prefix sum
+    base = prefix.exclusive_i32(groups)  # exclusive prefix sum (MXU scan)
     fits = base + groups <= capacity
     # reference TASK_WGLIMIT drop, observable; draws beyond the compaction
     # capacity would also overflow the command budget (>= 1 command each)

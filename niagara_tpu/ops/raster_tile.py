@@ -8,13 +8,15 @@ Design (replaces the scatter-merge in ops/raster.py for the frame loop):
    with a counter).  Pairs are sorted by tile id — XLA sort is cheap on TPU —
    and per-tile ranges come from searchsorted.
 2. **Tile kernel (Pallas):** one grid step per tile.  The kernel streams the
-   tile's triangle records from HBM in double-buffered chunks, and for each
-   record evaluates 3 edge functions + the depth plane densely over the
-   (8,128) tile block — pure VPU work, one VREG op per instruction — updating
-   a depth/fragment accumulator in registers.  No global scatter anywhere.
-3. Ties break to the smaller fragment id, and records are processed in
-   deterministic sorted order, so output is bit-stable and matches the
-   scatter-merge rasterizer's resolve rule exactly.
+   tile's triangle records from HBM in double-buffered 128-record chunks and
+   evaluates all 128 records' edge functions + depth planes over all 1024
+   tile pixels with four [PX,3] x [3,128] MXU dots per chunk, then resolves
+   with dense [PX,128] VPU ops and lane reductions (see _raster_kernel).
+   No per-record scalar loop, no global scatter anywhere.
+3. Ties break to the smaller fragment id — chunk-internally via a lane
+   arg-min over the max-depth records, across chunks/passes via the carry
+   merge — so output is bit-stable and matches the scatter-merge
+   rasterizer's resolve rule exactly.
 
 The framebuffer lives in tile-major layout [n_tiles, 8, 128] inside the
 frame loop; `tiles_to_image`/`image_to_tiles` convert at the boundaries.
@@ -172,12 +174,35 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     return pair_tri, tile_start.astype(jnp.int32), jnp.minimum(pair_count, pair_capacity), dropped
 
 
-def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
-                   depth_out_ref, vis_out_ref, recs_smem, frag_smem, sems, *, tiles_x,
-                   alpha_test: bool = False):
+# id sentinel for "no covering record" inside the kernel's f32 id math:
+# real fragment ids stay < 2^24 (capacity-bounded), so 2^30 never collides
+# and stays exactly representable in both f32 and i32
+_NOID = float(1 << 30)
+
+
+def _raster_kernel(tile_start_ref, recs_ref, depth_in_ref, vis_in_ref,
+                   depth_out_ref, vis_out_ref, recs_vmem, sems, *, tiles_x,
+                   alpha_test: bool = False, rec_rows: int = REC):
+    """Matrix-form tile raster: one grid step per (PX = TILE_H*TILE_W)-pixel
+    tile, pixels along SUBLANES [PX, 1], records along LANES [1, 128].
+
+    Per 128-record chunk, the 3 edge functions and the depth plane evaluate
+    as ONE [PX, 3] x [3, 128] MXU dot each (pixel basis (fx, fy, 1) against
+    the record's coefficient columns), then coverage/resolve run as dense
+    [PX, 128] VPU ops with lane reductions — no per-record scalar loop.
+    The earlier scalar formulation spent ~13 SMEM scalar reads + loop
+    control per record (~60% of kernel time at 1M draws); here record
+    attributes broadcast as [1, 128] rows.
+
+    Resolve (bit-identical to the scalar form): within a chunk the max
+    depth wins and equal-depth ties go to the smallest fragment id (zmax +
+    lane arg-min); across chunks and passes the (depth, id) carry merges
+    with the same rule.
+    """
     i = pl.program_id(0)
     start = tile_start_ref[i]
     end = tile_start_ref[i + 1]
+    PX = TILE_H * TILE_W
 
     # chunk window covering [start, end); the stream is chunk-major
     # [NC, REC, 128] so every chunk is ONE contiguous ~28KB DMA (the earlier
@@ -191,120 +216,113 @@ def _raster_kernel(tile_start_ref, recs_ref, frag_ref, depth_in_ref, vis_in_ref,
     ox = (i % tiles_x) * TILE_W
     oy = (i // tiles_x) * TILE_H
 
-    fx = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(jnp.float32)
-          + (jnp.float32(0.5) + ox.astype(jnp.float32)))
-    fy = (jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(jnp.float32)
-          + (jnp.float32(0.5) + oy.astype(jnp.float32)))
+    # pixel-center basis [PX, 3]: columns (fx, fy, 1); sublane p is pixel
+    # (oy + p // TILE_W, ox + p % TILE_W)
+    p_sub = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
+    fx = (p_sub % TILE_W).astype(jnp.float32) + (jnp.float32(0.5) + ox.astype(jnp.float32))
+    fy = (p_sub // TILE_W).astype(jnp.float32) + (jnp.float32(0.5) + oy.astype(jnp.float32))
+    basis = jnp.concatenate([fx, fy, jnp.ones((PX, 1), jnp.float32)], axis=1)  # [PX, 3]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, REC_CHUNK), 1)
+    dn = (((1,), (0,)), ((), ()))
 
     def dma(slot, c):
         ci = jnp.minimum(a0c + c, ncmax)
-        return (
-            pltpu.make_async_copy(recs_ref.at[ci], recs_smem.at[slot], sems.at[slot, 0]),
-            pltpu.make_async_copy(frag_ref.at[ci], frag_smem.at[slot], sems.at[slot, 1]),
+        # opaque passes copy only the edge/depth/id rows of each chunk
+        # (rec_rows = 16 of REC = 56: 8 KB instead of 28 KB — the stream
+        # DMA is this kernel's bandwidth floor); the alpha variant needs
+        # the uv + opacity-mask rows too and copies all.  Fragment ids
+        # ride in record row 12 (exact in f32: ids < 2^24), so there is
+        # no second id stream to fetch.
+        return pltpu.make_async_copy(
+            recs_ref.at[ci, pl.ds(0, rec_rows)], recs_vmem.at[slot], sems.at[slot]
         )
 
     @pl.when(n_chunks > 0)
     def _():
-        a, b = dma(0, 0)
-        a.start()
-        b.start()
+        dma(0, 0).start()
 
     def chunk_body(c, carry):
-        depth, vis = carry
+        depth, vis = carry  # [PX, 1] f32 / i32
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
         def _():
-            a, b = dma((c + 1) % 2, c + 1)
-            a.start()
-            b.start()
+            dma((c + 1) % 2, c + 1).start()
 
-        a, b = dma(slot, c)
-        a.wait()
-        b.wait()
+        dma(slot, c).wait()
 
-        def rec_body(jj, carry2):
-          # manual 4x unroll: the per-record scalar reads + loop control
-          # dominate this kernel; unrolling lets the compiler pipeline them
-          for ju in range(4):
-            j = jj * 4 + ju
-            depth, vis = carry2
-            a0 = recs_smem[slot, 0, j]
-            b0 = recs_smem[slot, 1, j]
-            c0 = recs_smem[slot, 2, j]
-            a1 = recs_smem[slot, 3, j]
-            b1 = recs_smem[slot, 4, j]
-            c1 = recs_smem[slot, 5, j]
-            a2 = recs_smem[slot, 6, j]
-            b2 = recs_smem[slot, 7, j]
-            c2 = recs_smem[slot, 8, j]
-            za = recs_smem[slot, 9, j]
-            zb = recs_smem[slot, 10, j]
-            zc = recs_smem[slot, 11, j]
-            frag = frag_smem[slot, 0, j]
+        recs = recs_vmem[slot]  # [REC, 128] f32
+        r = lambda k: recs[k : k + 1, :]  # record attr k as a [1, 128] row
 
-            e0 = a0 * fx + b0 * fy + c0
-            e1 = a1 * fx + b1 * fy + c1
-            e2 = a2 * fx + b2 * fy + c2
-            z = za * fx + zb * fy + zc
+        # edge/depth planes for ALL records over ALL pixels: 4 tiny MXU dots
+        E0 = jax.lax.dot_general(basis, recs[0:3, :], dn, preferred_element_type=jnp.float32)
+        E1 = jax.lax.dot_general(basis, recs[3:6, :], dn, preferred_element_type=jnp.float32)
+        E2 = jax.lax.dot_general(basis, recs[6:9, :], dn, preferred_element_type=jnp.float32)
+        Z = jax.lax.dot_general(basis, recs[9:12, :], dn, preferred_element_type=jnp.float32)
 
-            # top-left fill rule (see raster.py `cov` / tests/raster_oracle.py):
-            # tl flags are scalar per record, so the per-pixel cost is one
-            # extra compare + and/or per edge
-            tl0 = (a0 > 0.0) | ((a0 == 0.0) & (b0 > 0.0))
-            tl1 = (a1 > 0.0) | ((a1 == 0.0) & (b1 > 0.0))
-            tl2 = (a2 > 0.0) | ((a2 == 0.0) & (b2 > 0.0))
-            cover = (
-                ((e0 > 0.0) | (tl0 & (e0 == 0.0)))
-                & ((e1 > 0.0) | (tl1 & (e1 == 0.0)))
-                & ((e2 > 0.0) | (tl2 & (e2 == 0.0)))
-                & (z > 0.0) & (z <= 1.0)
+        # top-left fill rule (see raster.py `cov` / tests/raster_oracle.py):
+        # per-record [1, 128] flags broadcast down the pixel sublanes
+        def tl(ka, kb):
+            return (r(ka) > 0.0) | ((r(ka) == 0.0) & (r(kb) > 0.0))
+
+        live = ((a0_off + c * REC_CHUNK + lane) >= start) & ((a0_off + c * REC_CHUNK + lane) < end)
+        cover = (
+            ((E0 > 0.0) | (tl(0, 1) & (E0 == 0.0)))
+            & ((E1 > 0.0) | (tl(3, 4) & (E1 == 0.0)))
+            & ((E2 > 0.0) | (tl(6, 7) & (E2 == 0.0)))
+            & (Z > 0.0) & (Z <= 1.0) & live
+        )
+
+        if alpha_test:
+            # raster-time alpha test (reference mesh.frag.glsl:88-89
+            # `discard`): alpha-tested records carry an 8x8 uv-space
+            # opacity bitmask (cols 48-55, cooker/opacity.py).  This is
+            # a STATIC kernel variant used only by post passes — the
+            # reference's specialization-constant POST pipelines — so
+            # opaque passes pay nothing.
+            idu = r(54)
+            wsum = E0 + E1 + E2
+            inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
+            # Olano-Greer: edge values are the perspective weights
+            # (e1 -> A, e2 -> B, e0 -> C; see compact_setup)
+            u = (E1 * r(22) + E2 * r(30) + E0 * r(38)) * inv
+            v = (E1 * r(23) + E2 * r(31) + E0 * r(39)) * inv
+            gx = jnp.clip(jnp.floor((u - r(52)) * idu), 0.0, 7.0)
+            gy = jnp.clip(jnp.floor((v - r(53)) * r(55)), 0.0, 7.0)
+            b = gy * 8.0 + gx
+            half = jnp.where(
+                b < 16.0, r(48), jnp.where(b < 32.0, r(49), jnp.where(b < 48.0, r(50), r(51)))
             )
-            gidx = a0_off + c * REC_CHUNK + j
-            live = (gidx >= start) & (gidx < end)
-            cover = cover & live
+            # bit extract in f32 (mask halves are exact 16-bit ints):
+            # floor(half / 2^(b mod 16)) mod 2
+            t = jnp.floor(half * jnp.exp2(-jnp.mod(b, 16.0)))
+            bit = t - 2.0 * jnp.floor(t * 0.5)
+            cover = cover & ((idu <= 0.0) | (bit > 0.5))
 
-            if alpha_test:
-                # raster-time alpha test (reference mesh.frag.glsl:88-89
-                # `discard`): alpha-tested records carry an 8x8 uv-space
-                # opacity bitmask (cols 48-55, cooker/opacity.py).  This is
-                # a STATIC kernel variant used only by post passes — the
-                # reference's specialization-constant POST pipelines — so
-                # opaque passes pay nothing.
-                r = lambda k: recs_smem[slot, k, j]
-                idu = r(54)
-                wsum = e0 + e1 + e2
-                inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
-                # Olano-Greer: edge values are the perspective weights
-                # (e1 -> A, e2 -> B, e0 -> C; see compact_setup)
-                u = (e1 * r(22) + e2 * r(30) + e0 * r(38)) * inv
-                v = (e1 * r(23) + e2 * r(31) + e0 * r(39)) * inv
-                gx = jnp.clip(jnp.floor((u - r(52)) * idu), 0.0, 7.0)
-                gy = jnp.clip(jnp.floor((v - r(53)) * r(55)), 0.0, 7.0)
-                b = gy * 8.0 + gx
-                half = jnp.where(
-                    b < 16.0, r(48), jnp.where(b < 32.0, r(49), jnp.where(b < 48.0, r(50), r(51)))
-                )
-                # bit extract in f32 (mask halves are exact 16-bit ints):
-                # floor(half / 2^(b mod 16)) mod 2
-                t = jnp.floor(half * jnp.exp2(-jnp.mod(b, 16.0)))
-                bit = t - 2.0 * jnp.floor(t * 0.5)
-                cover = cover & ((idu <= 0.0) | (bit > 0.5))
+        # chunk resolve: max depth, ties to the smallest fragment id
+        zm = jnp.where(cover, Z, 0.0)  # covered z is > 0
+        zmax = jnp.max(zm, axis=1, keepdims=True)  # [PX, 1]
+        fragf = r(12)  # fragment ids ride record row 12 (exact f32)
+        idm = jnp.where(cover & (zm == zmax), fragf, _NOID)
+        idmin = jnp.min(idm, axis=1, keepdims=True).astype(jnp.int32)  # [PX, 1]
 
-            closer = cover & (z > depth)
-            tie = cover & (z == depth) & (frag < vis)
-            new_depth = jnp.where(closer, z, depth)
-            new_vis = jnp.where(closer | tie, frag, vis)
-            carry2 = (new_depth, new_vis)
-          return carry2
+        # merge with the carry under the same rule (zmax > 0 == any cover)
+        closer = zmax > depth
+        tie = (zmax > 0.0) & (zmax == depth) & (idmin < vis)
+        new_depth = jnp.where(closer, zmax, depth)
+        new_vis = jnp.where(closer | tie, idmin, vis)
+        return (new_depth, new_vis)
 
-        return jax.lax.fori_loop(0, REC_CHUNK // 4, rec_body, (depth, vis))
-
-    depth0 = depth_in_ref[0]
-    vis0 = vis_in_ref[0]
+    # carry I/O is [1, PX] (pixels along LANES — the unpadded HBM layout;
+    # a trailing dim of 1 in HBM would pad 1 -> 128 lanes, a 128x blowup);
+    # the kernel math wants pixels along SUBLANES, so transpose at the
+    # boundary (2D transposes lower fine in Mosaic)
+    depth0 = depth_in_ref[...].T
+    vis0 = vis_in_ref[...].T
     depth, vis = jax.lax.fori_loop(0, n_chunks, chunk_body, (depth0, vis0))
-    depth_out_ref[0] = depth
-    vis_out_ref[0] = vis
+    depth_out_ref[...] = depth.T
+    vis_out_ref[...] = vis.T
 
 
 def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int,
@@ -339,6 +357,10 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
         a2, b2, c2 = setup["e"][2]
         cols = [a0, b0, c0, a1, b1, c1, a2, b2, c2, setup["za"], setup["zb"], setup["zc"]]
         rows = jnp.stack(cols + [jnp.zeros_like(a0)] * (REC - 12), axis=-1)[pair_tri]
+    # fragment id into record column 12 (bbox columns 12-15 are emit_pairs
+    # side-channel data the kernels never read): one stream carries both
+    # the coefficients and the ids — no second id array to DMA per chunk
+    rows = rows.at[:, 12].set((pair_tri + frag_offset).astype(rows.dtype))
     # chunk-major stream [NC, REC, 128]: each 128-record chunk is one
     # contiguous DMA block for the kernels (see _raster_kernel)
     P = rows.shape[0]
@@ -347,42 +369,49 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
         [rows, jnp.zeros((nc * REC_CHUNK - P, REC), rows.dtype)], axis=0
     )
     recs = jnp.swapaxes(rows.reshape(nc, REC_CHUNK, REC), 1, 2)  # [NC, REC, 128]
-    fr = jnp.zeros(nc * REC_CHUNK, jnp.int32).at[:P].set(pair_tri + frag_offset)
-    frag = jnp.zeros((nc, 8, REC_CHUNK), jnp.int32)
-    frag = frag.at[:, 0, :].set(fr.reshape(nc, REC_CHUNK))
 
-    kernel = functools.partial(_raster_kernel, tiles_x=tiles_x, alpha_test=alpha_test)
+    rec_rows = REC if alpha_test else 16
+    kernel = functools.partial(
+        _raster_kernel, tiles_x=tiles_x, alpha_test=alpha_test, rec_rows=rec_rows
+    )
+    # tiles cross the kernel boundary as flat [n_tiles, PX] rows — both
+    # dims tile cleanly to the TPU's (8, 128) HBM layout (a [.., PX, 1]
+    # form would pad the trailing 1 -> 128 lanes: a 128x HBM blowup)
+    PX = TILE_H * TILE_W
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # recs [NC, REC, 128]
-            pl.BlockSpec(memory_space=pl.ANY),  # frag [NC, 8, 128] i32
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, PX), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, PX), lambda i, *_: (i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, PX), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, PX), lambda i, *_: (i, 0)),
         ],
         scratch_shapes=[
-            pltpu.SMEM((2, REC, REC_CHUNK), jnp.float32),
-            pltpu.SMEM((2, 8, REC_CHUNK), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, rec_rows, REC_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
     depth_out, vis_out = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, PX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, PX), jnp.int32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_start, recs, frag, depth_tiles, vis_tiles)
+    )(
+        tile_start, recs,
+        depth_tiles.reshape(n_tiles, PX), vis_tiles.reshape(n_tiles, PX),
+    )
+    depth_out = depth_out.reshape(n_tiles, TILE_H, TILE_W)
+    vis_out = vis_out.reshape(n_tiles, TILE_H, TILE_W)
 
-    stream = dict(tile_start=tile_start, recs=recs, frag=frag)
+    stream = dict(tile_start=tile_start, recs=recs)
     return depth_out, vis_out, dict(pair_count=pair_count, huge_dropped=huge_dropped, stream=stream)
 
 
@@ -392,6 +421,11 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
 # (render/textures.select_mip consumes duv * tex_w * tex_h), which lets the
 # dense G-buffer fast path pick mips without any per-pixel record gather
 ATTR_CHANNELS = 13  # nx ny nz u v vz draw mat post vid0 vid1 vid2 duv
+
+
+# shading touches record rows 0-45 (edges + attribute blocks); the chunk
+# DMA copies rows [0, 48) and leaves the opacity rows in HBM
+_SHADE_ROWS = 48
 
 
 def _shade_kernel(*refs, tiles_x, n_streams):
@@ -418,8 +452,7 @@ def _shade_kernel(*refs, tiles_x, n_streams):
     the scalar loop."""
     tile_starts = refs[:n_streams]
     recs_refs = refs[n_streams : 2 * n_streams]
-    frag_refs = refs[2 * n_streams : 3 * n_streams]
-    vis_ref, attr_in_ref, attr_out_ref, recs_vmem, frag_vmem, sems = refs[3 * n_streams :]
+    vis_ref, attr_in_ref, attr_out_ref, recs_vmem, sems = refs[2 * n_streams :]
 
     i = pl.program_id(0)
 
@@ -440,43 +473,37 @@ def _shade_kernel(*refs, tiles_x, n_streams):
         start = tile_starts[s][i]
         end = tile_starts[s][i + 1]
         recs_ref = recs_refs[s]
-        frag_ref = frag_refs[s]
 
         a0c = start // REC_CHUNK
         a0_off = a0c * REC_CHUNK
         n_chunks = (end - a0_off + REC_CHUNK - 1) // REC_CHUNK
         ncmax = recs_ref.shape[0] - 1
 
-        def dma(slot, c, recs_ref=recs_ref, frag_ref=frag_ref, a0c=a0c, ncmax=ncmax):
+        def dma(slot, c, recs_ref=recs_ref, a0c=a0c, ncmax=ncmax):
             ci = jnp.minimum(a0c + c, ncmax)
-            return (
-                pltpu.make_async_copy(recs_ref.at[ci], recs_vmem.at[slot], sems.at[slot, 0]),
-                pltpu.make_async_copy(frag_ref.at[ci], frag_vmem.at[slot], sems.at[slot, 1]),
+            # shading reads rows 0-45 only — skip the opacity-mask rows
+            # (48-55) in the chunk DMA; fragment ids ride record row 12
+            return pltpu.make_async_copy(
+                recs_ref.at[ci, pl.ds(0, _SHADE_ROWS)], recs_vmem.at[slot], sems.at[slot]
             )
 
         @pl.when(n_chunks > 0)
         def _(dma=dma):
-            a, b = dma(0, 0)
-            a.start()
-            b.start()
+            dma(0, 0).start()
 
         def chunk_body(c, acc, dma=dma, n_chunks=n_chunks, a0_off=a0_off, start=start, end=end):
             slot = c % 2
 
             @pl.when(c + 1 < n_chunks)
             def _():
-                a, b = dma((c + 1) % 2, c + 1)
-                a.start()
-                b.start()
+                dma((c + 1) % 2, c + 1).start()
 
-            a, b = dma(slot, c)
-            a.wait()
-            b.wait()
+            dma(slot, c).wait()
 
             # one-hot winner matrix [128 rec, 1024 px]: frag ids as a
-            # sublane column (2D transpose) vs the winner row; records
-            # outside this tile's [start, end) range masked off
-            fragT = jnp.transpose(frag_vmem[slot, 0:1, :].astype(jnp.float32))  # [128,1]
+            # sublane column (2D transpose of record row 12) vs the winner
+            # row; records outside this tile's [start, end) range masked off
+            fragT = jnp.transpose(recs_vmem[slot, 12:13, :])  # [128, 1] f32
             gidx = a0_off + c * REC_CHUNK + sub128
             liveT = (gidx >= start) & (gidx < end)
             oh = ((fragT == visv) & liveT).astype(jnp.bfloat16)  # [128, 1024]
@@ -553,7 +580,6 @@ def shade_tiles(streams, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool
         grid=(n_tiles,),
         in_specs=(
             [pl.BlockSpec(memory_space=pl.ANY)] * n_streams  # recs [NC, REC, 128]
-            + [pl.BlockSpec(memory_space=pl.ANY)] * n_streams  # frag [NC, 8, 128]
             + [
                 pl.BlockSpec((1, 1, PX), lambda i, *_: (i, 0, 0)),
                 pl.BlockSpec((1, ATTR_CHANNELS, 1, PX), lambda i, *_: (i, 0, 0, 0)),
@@ -563,9 +589,8 @@ def shade_tiles(streams, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool
             pl.BlockSpec((1, ATTR_CHANNELS, 1, PX), lambda i, *_: (i, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, REC, REC_CHUNK), jnp.float32),
-            pltpu.VMEM((2, 8, REC_CHUNK), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, _SHADE_ROWS, REC_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     # tiles enter the kernel lane-major ([1, 1024] pixels: one matmul N
@@ -578,7 +603,6 @@ def shade_tiles(streams, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool
     )(
         *[s["tile_start"] for s in streams],
         *[s["recs"] for s in streams],
-        *[s["frag"] for s in streams],
         vis_tiles.reshape(n_tiles, 1, PX),
         attr_tiles.reshape(n_tiles, ATTR_CHANNELS, 1, PX),
     )

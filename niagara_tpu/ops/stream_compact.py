@@ -23,6 +23,8 @@ scale.  Measured: 21.7ms -> 3.8ms for a [4.2M] -> [64K] compaction.
 import jax
 import jax.numpy as jnp
 
+from . import prefix
+
 SEG = 64
 
 
@@ -45,7 +47,7 @@ def expand_segments(lo, hi, pc, capacity):
     """
     S = lo.shape[0]
     total = jnp.sum(pc)
-    base = jnp.cumsum(pc) - pc
+    base = prefix.exclusive_i32(pc)  # MXU scan (ops/prefix.py)
     slot1 = jnp.where((pc > 0) & (base < capacity), base, capacity)
     mark = jnp.zeros(capacity, dtype=jnp.int32).at[slot1].set(
         jnp.arange(S, dtype=jnp.int32) + 1, mode="drop"
@@ -60,7 +62,12 @@ def expand_segments(lo, hi, pc, capacity):
     lanes = jnp.arange(SEG, dtype=jnp.int32)[None, :]
     wrd = jnp.where(lanes < 32, lo[seg][:, None], hi[seg][:, None])
     lbit = (wrd >> (lanes & 31).astype(jnp.uint32)) & 1
-    pref = jnp.cumsum(lbit.astype(jnp.int32), axis=1)
+    # within-row prefix popcount as ONE [cap,64]x[64,64] triangular matmul
+    # (values <= 64: exact in f32) instead of a log-pass lane scan
+    pref = jax.lax.dot_general(
+        lbit.astype(jnp.float32), prefix._tri(SEG, True),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
     hit = (lbit > 0) & (pref - 1 == ordinal[:, None])
     lane = jnp.sum(jnp.where(hit, lanes, 0), axis=1)
     # slots between a capacity-dropped segment's base and the next marker

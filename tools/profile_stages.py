@@ -39,6 +39,9 @@ def _sync(out):
     return out
 
 
+ROWS = []  # (name, ms) for the end-of-run floor-vs-actual table
+
+
 def timed(name, fn, *args, n=10, **kwargs):
     out = fn(*args, **kwargs)
     _sync(out)
@@ -50,7 +53,57 @@ def timed(name, fn, *args, n=10, **kwargs):
     _sync(out)
     ms = 1000 * (time.time() - t0) / n
     print(f"{name:28s} {ms:9.2f} ms", flush=True)
+    ROWS.append((name, ms))
     return out
+
+
+def print_floors(sizes, probe):
+    """Roofline floors per stage from MEASURED chip rates (tools/bwprobe.py),
+    next to the actuals — the bytes each stage must move at minimum, divided
+    by the measured rate for its dominant access pattern.  Estimates are
+    byte counts of the stage's irreducible inputs+outputs (intermediates XLA
+    fuses are excluded); see the formulas below."""
+    dense = probe.get("dense_gbps", 0) or 1e-9
+    rowg = probe.get("gather_row224B_f32_gbps", dense) or 1e-9
+    row2k = probe.get("gather_row2560B_gbps", rowg) or 1e-9
+    sort4m = probe.get("sort4M_u32_ms", 0)
+
+    D, C, K, Tc, P, NT, PX, W, H = (sizes[k] for k in
+                                    ("D", "C", "K", "Tc", "P", "NT", "PX", "W", "H"))
+    NCHUNK = P // 128 + NT  # per-tile chunk visits (partial chunks ~ 1/tile)
+    floors = {
+        # dense streams: draw rows (84B) + xform (32B) + flags + 3 outputs
+        "drawcull": ("dense", D * 136 / dense),
+        # [D] mask scans (MXU prefix: ~2 passes) + [C]-scale row gathers
+        "build_task_commands": ("dense", (D * 24 + C * 160) / dense),
+        # [C]-row cull-block gathers (1KB) + xform rows + [K] outputs
+        "clustercull": ("row-gather", C * 1056 / row2k + K * 16 / dense),
+        "transform_meta(gather)": ("row-gather", K * 52 / rowg),
+        # per-live-cluster 4KB setup-row DMA + record-store write (cap x 512B)
+        "setup_fused(kernel)": ("row-DMA", K * 4096 / row2k + Tc * 512 / dense),
+        # u32 key sort at emission-slot scale (probe: 4.2M-key sort)
+        "emit_pairs(sort)": ("sort", sort4m * (2 * Tc + Tc // 2) / (4 << 20)),
+        # [P] 224B record-row gathers + chunk-major stream write
+        "stream build (gather+T)": ("row-gather", P * 224 / rowg + P * 224 / dense),
+        # per-chunk slim DMA (16 rows = 8KB) + tile depth/vis in+out
+        "rasterize_tiles+emit": ("DMA", (NCHUNK * 8192 + NT * PX * 16) / dense),
+        "depth_pyramid": ("dense", W * H * 4 * 2.7 / dense),
+        # per-chunk 48-row DMA (24KB) + attr planes (13ch in+out) + vis
+        "shade_tiles(+re-raster)": ("DMA", (NCHUNK * 24576 + NT * PX * (26 * 4 + 4)) / dense),
+        "gbuffer_from_attrs": ("dense", W * H * (13 * 4 + 24) / dense),
+        "composite": ("dense", W * H * 40 / dense),
+        "bloom": ("dense", W * H * 4 * 6 / dense),
+    }
+    print("\n-- floor-vs-actual (measured rates: "
+          f"dense {dense} GB/s, row-gather {rowg}/{row2k} GB/s, "
+          f"4M-u32 sort {sort4m} ms) --")
+    print(f"{'stage':28s} {'actual':>9s} {'floor':>9s} {'pattern':>12s}")
+    for name, ms in ROWS:
+        if name in floors:
+            pat, fl_ns = floors[name]
+            print(f"{name:28s} {ms:8.2f}m {fl_ns/1e6:8.2f}m {pat:>12s}")
+        else:
+            print(f"{name:28s} {ms:8.2f}m {'':>9s}")
 
 
 def main():
@@ -170,6 +223,18 @@ def main():
     out = frame_mod.render_frame(scene, state, params, sp, cfg)
     state = out[2]
     timed("FULL render_frame", lambda s: frame_mod.render_frame(scene, s, params, sp, cfg), state, n=5)
+
+    if int(os.environ.get("PROF_FLOORS", 1)):
+        import bwprobe
+
+        probe = bwprobe.probe(quick=True)
+        sizes = dict(
+            D=scene.num_draws, C=cfg.cmd_capacity,
+            K=int(ccount), Tc=cfg.tri_capacity, P=int(pair_count),
+            NT=n_tiles, PX=raster_tile.TILE_H * raster_tile.TILE_W,
+            W=width, H=height,
+        )
+        print_floors(sizes, probe)
 
 
 if __name__ == "__main__":
