@@ -137,14 +137,27 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
         t, r = emit(idx, sel, tx0[idx], ty0[idx], txs[idx], tys[idx], cap_x, cap_y)
         return t, r, over
 
-    # tiny: 2 dense slots per triangle; slot 1 steps in whichever axis spans 2
+    # tiny1 (one tile, the dominant case at high draw counts): ONE dense
+    # slot per triangle — sort length is the emit_pairs cost driver, and
+    # giving every tiny triangle 2 dense slots added T/2 dead keys.
+    # tiny2 (exactly two tiles) goes through the segmented compactor at
+    # T//3 capacity (expected ~25-30% of tris; overflow is drop-counted).
     tri_idx = jnp.arange(T, dtype=jnp.int32)
+    is_tiny1 = is_tiny & ((txs * tys) == 1)
+    tile_t = jnp.where(is_tiny1, ty0 * tiles_x + tx0, n_tiles)[:, None]
+    tri_t = tri_idx[:, None]
+
+    is_tiny2 = is_tiny & ~is_tiny1
+    idx2, n2, over2 = compact_idx(is_tiny2, max(T // 3, 256))
+    sel2 = jnp.arange(idx2.shape[0], dtype=jnp.int32) < n2
     s2 = jnp.arange(2, dtype=jnp.int32)[None, :]
-    dx2 = jnp.where(txs[:, None] == 2, s2, 0)
-    dy2 = jnp.where(tys[:, None] == 2, s2, 0)
-    live2 = is_tiny[:, None] & (s2 < (txs * tys)[:, None])
-    tile_t = jnp.where(live2, (ty0[:, None] + dy2) * tiles_x + tx0[:, None] + dx2, n_tiles)
-    tri_t = jnp.broadcast_to(tri_idx[:, None], tile_t.shape)
+    dx2 = jnp.where(txs[idx2][:, None] == 2, s2, 0)
+    dy2 = jnp.where(tys[idx2][:, None] == 2, s2, 0)
+    tile_t2 = jnp.where(
+        sel2[:, None], (ty0[idx2][:, None] + dy2) * tiles_x + tx0[idx2][:, None] + dx2, n_tiles
+    )
+    tri_t2 = jnp.broadcast_to(idx2[:, None], tile_t2.shape)
+    dropped = dropped + over2
 
     tile_s, tri_s, over_s = emit_compacted(is_small, small_capacity, SMALL_TX, SMALL_TY)
     tile_a, tri_a, over_a = emit_compacted(is_mida, mid_capacity, MIDA_TX, MIDA_TY)
@@ -152,8 +165,12 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     tile_g, tri_g, over_g = emit_compacted(is_giant, giant_capacity, tiles_x, tiles_y)
     dropped = dropped + over_s + over_a + over_b + over_g
 
-    tiles_all = jnp.concatenate([tile_t.reshape(-1), tile_s, tile_a, tile_b, tile_g])
-    tris_all = jnp.concatenate([tri_t.reshape(-1), tri_s, tri_a, tri_b, tri_g])
+    tiles_all = jnp.concatenate(
+        [tile_t.reshape(-1), tile_t2.reshape(-1), tile_s, tile_a, tile_b, tile_g]
+    )
+    tris_all = jnp.concatenate(
+        [tri_t.reshape(-1), tri_t2.reshape(-1), tri_s, tri_a, tri_b, tri_g]
+    )
 
     # pack (tile, tri) into one u32 and sort; dead pairs (tile == n_tiles)
     # sort to the end.  Key order (tile, tri) is total, so the result is

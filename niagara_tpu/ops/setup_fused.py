@@ -55,6 +55,11 @@ REC = 56
 WINDOW = 896  # placement window (128-aligned, >= 128 + TRIS; max fill 895)
 GROUPS = WINDOW // 128
 
+# VMEM budget for pinning the scene row tables (see setup_compact): v5e has
+# ~16 MB VMEM/core; the kernel's scratch uses ~1.5 MB, leave headroom
+_RESIDENT_ROWS_BYTES = 6 << 20
+_RESIDENT_TOTAL_BYTES = 11 << 20
+
 
 def _corner_fetch(rowbuf, slot, prm_e3):
     """In-kernel one-hot corner fetch on the MXU for one 8-cluster block.
@@ -572,6 +577,36 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
     ).reshape(1, 24)
 
     with_alpha = "alpha_hbm" in tc
+
+    # --- VMEM residency for the scene row tables.  Draw counts dwarf mesh
+    # counts in instanced scenes (the reference's own bench: 1M draws over
+    # a handful of meshes, niagara.cpp scene setup), so the per-cluster row
+    # DMAs re-fetch the same few-MB table tens of thousands of times per
+    # frame.  When the table fits the VMEM budget, pin it there for the
+    # whole kernel: the per-cluster copies become VMEM->VMEM (latency-free
+    # against HBM), which removes the kernel's dominant DMA cost.  Large
+    # scenes (table > budget) keep the streaming HBM path unchanged.
+    rows = tc["rows_hbm"]
+    alpha = tc.get("alpha_hbm")
+    rows_bytes = rows.size * rows.dtype.itemsize
+    alpha_bytes = alpha.size * alpha.dtype.itemsize if with_alpha else 0
+    rows_res = rows_bytes <= _RESIDENT_ROWS_BYTES
+    alpha_res = with_alpha and rows_res and (
+        rows_bytes + alpha_bytes <= _RESIDENT_TOTAL_BYTES
+    )
+
+    def _pin(x, res):
+        if not res or interpret:
+            return x
+        return pltpu.with_memory_space_constraint(x, pltpu.VMEM)
+
+    def _space(res):
+        if interpret:
+            return pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
+        return pl.BlockSpec(
+            memory_space=pltpu.VMEM if res else pltpu.MemorySpace.ANY
+        )
+
     in_specs = [
         pl.BlockSpec((BLOCK, 2), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(
@@ -580,10 +615,10 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
         ),
         pl.BlockSpec((BLOCK, 8), lambda i, *_: (i, 0)),
         pl.BlockSpec((BLOCK, 4), lambda i, *_: (i, 0)),
-        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # rows_hbm [M,16,128]
+        _space(rows_res),  # rows table [M,16,128] (VMEM-resident when small)
     ]
     if with_alpha:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))
+        in_specs.append(_space(alpha_res))
     in_specs.append(pl.BlockSpec((1, 24), lambda i, *_: (0, 0), memory_space=pltpu.SMEM))
 
     scratch_shapes = [
@@ -626,10 +661,10 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
         dmam,
         tc["xform"],
         meta,
-        tc["rows_hbm"],
+        _pin(rows, rows_res),
     ]
     if with_alpha:
-        operands.append(tc["alpha_hbm"])
+        operands.append(_pin(alpha, alpha_res))
     operands.append(prm)
 
     rec_rows, aabb_t, count = pl.pallas_call(

@@ -84,10 +84,12 @@ def probe(quick: bool = True) -> dict:
     )
     out["mxu_bf16_tflops"] = round(2 * 2048**3 / t / 1e12, 1)
 
-    # u32 sort at pair-emission scale (the emit_pairs primitive)
-    keys32 = jax.random.randint(key, (1 << 22,), 0, 1 << 30, dtype=jnp.uint32)
-    t = _timed(lambda k: jax.lax.sort((k,), num_keys=1)[0], (keys32,), n=3)
-    out["sort4M_u32_ms"] = round(t * 1e3, 2)
+    # u32 sort at pair-emission scales (the emit_pairs primitive); the
+    # 2M/3M/4M points reveal whether sort cost steps at power-of-2 pads
+    for n, tag in ((1 << 21, "sort2M"), (3 << 20, "sort3M"), (1 << 22, "sort4M")):
+        keys32 = jax.random.randint(key, (n,), 0, 1 << 30, dtype=jnp.uint32)
+        t = _timed(lambda k: jax.lax.sort((k,), num_keys=1)[0], (keys32,), n=3)
+        out[f"{tag}_u32_ms"] = round(t * 1e3, 2)
     return out
 
 
