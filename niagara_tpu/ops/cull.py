@@ -342,3 +342,177 @@ def cluster_cull(
         new_vis_words,
         cluster_dropped,
     )
+
+def cluster_cull_direct(
+    scene,
+    params: CullParams,
+    emit,
+    lod_index,
+    draw_vis,
+    vis_words,
+    pyramid_atlas,
+    *,
+    late: bool,
+    pyramid_shape,
+    draw_capacity: int,
+    cluster_capacity: int,
+):
+    """Draws -> clusters in ONE expansion + per-cluster cull at [K] scale.
+
+    Replaces build_task_commands + cluster_cull for the tile-raster path.
+    Those two stages shape the work as [commands, 64 lanes] — the
+    reference's task-shader wavefronts (drawcull.comp.glsl:120-139,
+    clustercull.comp.glsl) — but on TPU the lane axis is mostly dead at
+    high draw counts (mean live meshlets per command ~1 at 1M draws, since
+    distant draws pick 1-2-meshlet LODs), and each command fetches a 1 KB
+    64-meshlet cull block for those few lanes.  Expanding emitted draws
+    straight to a flat [cluster_capacity] cluster list keeps every op at
+    cluster scale: one 32 B cull-row gather per cluster
+    (scene.meshlet_cull_row) and VPU math on [K], not [C, 64].
+
+    Protocol parity: the two-pass visibility-bit logic and the write-back
+    granularity (word PAIRS of 64-aligned slot blocks that contain at
+    least one valid cluster — exactly the commands the legacy path calls
+    live) are bit-identical to build_task_commands + cluster_cull; the
+    emitted cluster sequence (draw-major, meshlet-ordinal within the
+    draw) is identical too.  tests/test_cull_direct.py asserts both.
+
+    Returns (cluster_draw, cluster_mi, cluster_count, new_vis_words,
+    n_draws, draw_dropped, cluster_dropped) — draws dropped whole on
+    capacity overflow, clusters dropped by the final compaction.
+    """
+    D = scene.draw_mesh_index.shape[0]
+    d = jnp.arange(D, dtype=jnp.int32)
+
+    # 1) compact emitted draws to [draw_capacity] (same packing as
+    # build_task_commands: one [D] MXU prefix + one scatter)
+    emit_i = emit.astype(jnp.int32)
+    slots = prefix.exclusive_i32(emit_i)
+    sel = emit & (slots < draw_capacity)
+    packed = (d << 5) | (jnp.clip(lod_index, 0, 15) << 1) | (draw_vis != 0).astype(jnp.int32)
+    tgt = jnp.where(sel, slots, draw_capacity)
+    arr = jnp.zeros(draw_capacity, dtype=jnp.int32).at[tgt].set(packed + 1, mode="drop")
+    n_draws = jnp.sum(sel)
+
+    pos_d = jnp.arange(draw_capacity, dtype=jnp.int32)
+    live_d = pos_d < n_draws
+    pk = jnp.maximum(arr - 1, 0)
+    e_draw = pk >> 5
+    e_lod = (pk >> 1) & 15
+    e_vis = pk & 1
+    e_visoff = scene.draw_vis_offset.astype(jnp.int32)[e_draw]
+
+    L = scene.draw_lod_meshlet_count.shape[1]
+    cnt_rows = scene.draw_lod_meshlet_count[e_draw]  # [dcap, L]
+    off_rows = scene.draw_lod_meshlet_offset[e_draw]
+    lod_oh = jnp.arange(L, dtype=jnp.int32)[None, :] == e_lod[:, None]
+    meshlet_count = jnp.sum(jnp.where(lod_oh, cnt_rows, 0), axis=1) * live_d
+    meshlet_offset = jnp.sum(jnp.where(lod_oh, off_rows, 0), axis=1)
+
+    # 2) expand draws -> clusters: marker scatter + cummax ownership scan
+    # (one cluster per meshlet — no 64-lane chunking)
+    base = prefix.exclusive_i32(meshlet_count)
+    fits = base + meshlet_count <= cluster_capacity
+    draw_dropped = (jnp.sum(emit_i) - n_draws) + jnp.sum(live_d & (meshlet_count > 0) & ~fits)
+    mcount = jnp.where(fits, meshlet_count, 0)
+    slot1 = jnp.where(mcount > 0, base, cluster_capacity)
+    arr_draw = jnp.zeros(cluster_capacity, dtype=jnp.int32).at[slot1].set(
+        pos_d + 1, mode="drop"
+    )
+    kpos = jnp.arange(cluster_capacity, dtype=jnp.int32)
+    start_pos = jax.lax.cummax(jnp.where(arr_draw > 0, kpos, -1))
+    started = start_pos >= 0
+    sp = jnp.where(started, start_pos, 0)
+    ci = jnp.where(started, arr_draw[sp] - 1, 0)  # compacted draw index
+    ordv = kpos - sp
+
+    # per-draw fields packed into one [dcap, 8] row: the [K]-scale fetch is
+    # a single 32B row gather (gathers are latency-bound per ROW on this
+    # chip; 5 separate element gathers cost ~5x)
+    dtab = jnp.stack(
+        [e_draw, meshlet_offset, e_visoff, e_vis, mcount,
+         jnp.zeros_like(e_draw), jnp.zeros_like(e_draw), jnp.zeros_like(e_draw)],
+        axis=1,
+    )
+    drow = dtab[ci]  # [K, 8]
+    valid = started & (ordv < drow[:, 4])  # [K]
+    draw_id = drow[:, 0]
+    mi = jnp.clip(drow[:, 1] + ordv, 0, scene.meshlet_cull_row.shape[0] - 1)
+    vis_slot = drow[:, 2] + ordv
+
+    # 3) per-cluster cull: one 32B row gather each for transform + bounds
+    xf = scene.draw_xform_row[draw_id]  # [K,8]
+    row = scene.meshlet_cull_row[mi]  # [K,8] (center, radius, cone, cutoff)
+    position = xf[:, 0:3]
+    scale = xf[:, 3]
+    orientation = xf[:, 4:8]
+    radius = row[:, 3] * scale
+
+    world = cullmath.rotate_quat(row[:, 0:3], orientation) * scale[..., None] + position
+    center = world @ params.view[:3, :3].T + params.view[:3, 3]
+    cone_axis = cullmath.rotate_quat(row[:, 4:7], orientation) @ params.view[:3, :3].T
+    cone_cutoff = row[:, 7]
+
+    visible = valid
+    skip = jnp.zeros_like(valid)
+
+    # visibility-bit protocol (reference clustercull.comp.glsl:86-99)
+    wsafe = jnp.clip(vis_slot >> 5, 0, vis_words.shape[0] - 1)
+    word = vis_words[wsafe]
+    bit = jnp.left_shift(jnp.uint32(1), (vis_slot & 31).astype(jnp.uint32))
+    vis_bit = (word & bit) != 0
+
+    cluster_occ = params.cluster_occlusion_enabled == 1
+    occ_proto = cluster_occ & (params.post_pass == 0)
+    if not late:
+        visible = visible & jnp.where(occ_proto, vis_bit, True)
+    else:
+        skip = occ_proto & (drow[:, 3] == 1) & vis_bit & valid
+
+    cone = cullmath.cone_cull(center, radius, cone_axis, cone_cutoff, jnp.zeros(3))
+    visible = visible & jnp.where(params.cluster_backface_enabled == 1, ~cone, True)
+    visible = visible & cullmath.frustum_visible(
+        center, radius, params.frustum, params.znear, params.zfar
+    )
+
+    if late:
+        vvalid, aabb = cullmath.project_sphere(center, radius, params.znear, params.p00, params.p11)
+        level = cullmath.occlusion_mip(aabb, params.pyramid_w, params.pyramid_h)
+        uv = jnp.stack(
+            [(aabb[..., 0] + aabb[..., 2]) * 0.5, (aabb[..., 1] + aabb[..., 3]) * 0.5], axis=-1
+        )
+        depth = cullmath.sample_pyramid_min(pyramid_atlas, uv, level, pyramid_shape[1], pyramid_shape[0])
+        depth_sphere = params.znear / (center[..., 2] - radius)
+        occluded = vvalid & (depth_sphere <= depth)
+        visible = visible & jnp.where(cluster_occ, ~occluded, True)
+
+    # late-pass visibility write-back, word-pair granularity (identical to
+    # the command form: a pair is written iff its 64-aligned slot block has
+    # >= 1 valid cluster — slot ranges are 64-aligned per draw, and every
+    # owned 64-block contains at least one cluster by construction)
+    new_vis_words = vis_words
+    if late:
+        W = vis_words.shape[0]
+        wv = jnp.where(valid & cluster_occ, vis_slot >> 5, W)
+        vbit = jnp.where(valid & visible, bit, jnp.uint32(0))
+        summed = jnp.zeros(W, dtype=jnp.uint32).at[wv].add(vbit, mode="drop")
+        pv = jnp.where(valid & cluster_occ, vis_slot >> 6, W // 2)
+        touched = jnp.zeros(W // 2, dtype=jnp.int32).at[pv].add(1, mode="drop")
+        touched_w = touched[jnp.arange(W, dtype=jnp.int32) >> 1] > 0
+        new_vis_words = jnp.where(touched_w, summed, vis_words)
+
+    # 4) compact the surviving clusters (reference's atomicAdd append)
+    emit_mask = visible & ~skip
+    idx, k_count, over = stream_compact.compact_mask_indices(emit_mask, cluster_capacity)
+    cluster_draw = draw_id[idx]
+    cluster_mi = mi[idx]
+
+    return (
+        cluster_draw,
+        cluster_mi,
+        k_count.astype(jnp.int32),
+        new_vis_words,
+        n_draws.astype(jnp.int32),
+        draw_dropped.astype(jnp.int32),
+        over.astype(jnp.int32),
+    )

@@ -178,6 +178,26 @@ def transform_meta(scene, cluster_cmd, cluster_lane, cluster_count, cmds):
     return out
 
 
+def transform_meta_direct(scene, cluster_draw, cluster_mi, cluster_count):
+    """transform_meta for the cluster-direct cull path (ops/cull.py
+    cluster_cull_direct): same output contract, fed by flat (draw, meshlet)
+    cluster lists instead of (command, lane) pairs."""
+    mi = jnp.clip(cluster_mi, 0, scene.meshlet_tris.shape[0] - 1)
+    out = dict(
+        rows_hbm=scene.meshlet_setup_row,
+        mi=mi,
+        tri_count=scene.meshlet_triangle_count[mi],
+        xform=scene.draw_xform_row[cluster_draw],
+        draw_id=cluster_draw,
+        mat_index=scene.draw_material_index[cluster_draw],
+        post_pass=scene.draw_post_pass[cluster_draw],
+        count=jnp.reshape(cluster_count, (1,)),
+    )
+    if getattr(scene, "has_alpha_masks", False):
+        out["alpha_hbm"] = scene.meshlet_alpha
+    return out
+
+
 def compact_setup(tc, width, height, znear, capacity: int):
     """Validity-test all [K,96] triangles, stream-compact the survivors, and
     compute edge/depth coefficients only for them.

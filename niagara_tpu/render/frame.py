@@ -55,6 +55,11 @@ class FrameConfig:
     # tile rasterizer (Pallas) vs scatter-merge fallback; interpret=True runs
     # the kernel in interpreter mode (CPU tests / virtual-device dryruns)
     use_tile_raster: bool = True
+    # cluster-direct cull: expand emitted draws straight to a flat cluster
+    # list and cull at [K] scale (ops/cull.py cluster_cull_direct), instead
+    # of the [commands, 64 lanes] wavefront shape — bit-identical outputs
+    # (tests/test_cull_direct.py); tile-raster path only
+    direct_cluster_cull: bool = True
     raster_interpret: bool = False
     pair_capacity: int = 1 << 21
     # max live triangles per raster pass after compaction (fragment-id space)
@@ -151,6 +156,22 @@ def _render_pass(scene, params, cmds, state_vis_words, atlas, cfg: FrameConfig, 
     return ccount, tc, new_words, cdropped
 
 
+def _direct_pass(scene, params, emit, lod, dvb, vis_words, atlas, cfg: FrameConfig,
+                 *, late: bool, pyr_hw):
+    """cluster_cull_direct + meta fetch for one pass (tile path): draws
+    expand straight to clusters, skipping task-command construction.
+    Returns (cluster_count, tc, new_words, n_draws, draw_dropped,
+    cluster_dropped)."""
+    cdraw, cmi, ccount, new_words, n_draws, ddrop, cdrop = cull.cluster_cull_direct(
+        scene, params, emit, lod, dvb, vis_words, atlas,
+        late=late, pyramid_shape=pyr_hw,
+        draw_capacity=cfg.cmd_capacity,
+        cluster_capacity=cfg.late_cluster_cap if late else cfg.cluster_capacity,
+    )
+    tc = raster.transform_meta_direct(scene, cdraw, cmi, ccount)
+    return ccount, tc, new_words, n_draws, ddrop, cdrop
+
+
 def _setup(tc, params, cfg: FrameConfig, capacity: int):
     if cfg.use_tile_raster:
         return setup_fused.setup_compact(
@@ -186,14 +207,22 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
     emit_e, lod_e, vis_e = cull.draw_cull(
         scene, params, early_dvb, empty_atlas, late=False, pyramid_shape=pyr_hw
     )
-    cmds_e = cull.build_task_commands(
-        scene, emit_e, lod_e, early_dvb, max_groups=cfg.max_groups, capacity=cfg.cmd_capacity
-    )
-    ccount_e, tc_e, _, cdrop_e = _render_pass(
-        scene, params, cmds_e, early_words, empty_atlas, cfg, late=False, pyr_hw=pyr_hw
-    )
+    direct = cfg.use_tile_raster and cfg.direct_cluster_cull
+    if direct:
+        ccount_e, tc_e, _, ncmd_e, cmd_drop_e, cdrop_e = _direct_pass(
+            scene, params, emit_e, lod_e, early_dvb, early_words, empty_atlas,
+            cfg, late=False, pyr_hw=pyr_hw,
+        )
+    else:
+        cmds_e = cull.build_task_commands(
+            scene, emit_e, lod_e, early_dvb, max_groups=cfg.max_groups, capacity=cfg.cmd_capacity
+        )
+        ccount_e, tc_e, _, cdrop_e = _render_pass(
+            scene, params, cmds_e, early_words, empty_atlas, cfg, late=False, pyr_hw=pyr_hw
+        )
+        ncmd_e, cmd_drop_e = cmds_e.count, cmds_e.dropped
     st_e = _setup(tc_e, params, cfg, cfg.tri_capacity)
-    cmd_dropped = cmds_e.dropped
+    cmd_dropped = cmd_drop_e
     cluster_dropped = cdrop_e
     tri_dropped = st_e["dropped"]
     pair_dropped = jnp.int32(0)
@@ -234,14 +263,21 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         emit_l, lod_l, new_draw_vis = cull.draw_cull(
             scene, params, state.draw_vis, atlas, late=True, pyramid_shape=pyr_hw
         )
-        cmds_l = cull.build_task_commands(
-            scene, emit_l, lod_l, state.draw_vis, max_groups=cfg.max_groups, capacity=cfg.cmd_capacity
-        )
-        ccount_l, tc_l, new_words, cdrop_l = _render_pass(
-            scene, params, cmds_l, state.vis_words, atlas, cfg, late=True, pyr_hw=pyr_hw
-        )
+        if direct:
+            ccount_l, tc_l, new_words, ncmd_l, cmd_drop_l, cdrop_l = _direct_pass(
+                scene, params, emit_l, lod_l, state.draw_vis, state.vis_words,
+                atlas, cfg, late=True, pyr_hw=pyr_hw,
+            )
+        else:
+            cmds_l = cull.build_task_commands(
+                scene, emit_l, lod_l, state.draw_vis, max_groups=cfg.max_groups, capacity=cfg.cmd_capacity
+            )
+            ccount_l, tc_l, new_words, cdrop_l = _render_pass(
+                scene, params, cmds_l, state.vis_words, atlas, cfg, late=True, pyr_hw=pyr_hw
+            )
+            ncmd_l, cmd_drop_l = cmds_l.count, cmds_l.dropped
         st_l = _setup(tc_l, params, cfg, cfg.late_tri_cap)
-        cmd_dropped = cmd_dropped + cmds_l.dropped
+        cmd_dropped = cmd_dropped + cmd_drop_l
         cluster_dropped = cluster_dropped + cdrop_l
         tri_dropped = tri_dropped + st_l["dropped"]
         # merge late-pass fragments into the early framebuffer; fragment ids
@@ -287,15 +323,22 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             emit_p, lod_p, new_draw_vis = cull.draw_cull(
                 scene, params_pp, new_draw_vis.astype(jnp.int32), atlas, late=True, pyramid_shape=pyr_hw
             )
-            cmds_p = cull.build_task_commands(
-                scene, emit_p, lod_p, new_draw_vis.astype(jnp.int32),
-                max_groups=cfg.max_groups, capacity=cfg.cmd_capacity,
-            )
-            ccount_p, tc_p, new_words, cdrop_p = _render_pass(
-                scene, params_pp, cmds_p, new_words, atlas, cfg, late=True, pyr_hw=pyr_hw
-            )
+            if direct:
+                ccount_p, tc_p, new_words, _, cmd_drop_p, cdrop_p = _direct_pass(
+                    scene, params_pp, emit_p, lod_p, new_draw_vis.astype(jnp.int32),
+                    new_words, atlas, cfg, late=True, pyr_hw=pyr_hw,
+                )
+            else:
+                cmds_p = cull.build_task_commands(
+                    scene, emit_p, lod_p, new_draw_vis.astype(jnp.int32),
+                    max_groups=cfg.max_groups, capacity=cfg.cmd_capacity,
+                )
+                ccount_p, tc_p, new_words, cdrop_p = _render_pass(
+                    scene, params_pp, cmds_p, new_words, atlas, cfg, late=True, pyr_hw=pyr_hw
+                )
+                cmd_drop_p = cmds_p.dropped
             st_p = _setup(tc_p, params, cfg, cfg.late_tri_cap)
-            cmd_dropped = cmd_dropped + cmds_p.dropped
+            cmd_dropped = cmd_dropped + cmd_drop_p
             cluster_dropped = cluster_dropped + cdrop_p
             tri_dropped = tri_dropped + st_p["dropped"]
             off_p = frag_offset + cfg.tri_capacity + pp * cfg.late_tri_cap
@@ -329,8 +372,9 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
 
         new_state = FrameState(draw_vis=new_draw_vis.astype(jnp.int32), vis_words=new_words)
         stats = FrameStats(
-            early_commands=cmds_e.count,
-            late_commands=cmds_l.count,
+            # direct path: emitted-draw counts (commands have no analog)
+            early_commands=ncmd_e,
+            late_commands=ncmd_l,
             early_clusters=ccount_e,
             late_clusters=ccount_l,
             visible_draws=jnp.sum(new_draw_vis),
@@ -345,7 +389,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         # keep the carried state meaningful even without a late pass
         new_state = FrameState(draw_vis=vis_e.astype(jnp.int32), vis_words=state.vis_words)
         stats = FrameStats(
-            early_commands=cmds_e.count,
+            early_commands=ncmd_e,
             late_commands=jnp.int32(0),
             early_clusters=ccount_e,
             late_clusters=jnp.int32(0),

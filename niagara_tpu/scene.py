@@ -217,6 +217,10 @@ class DeviceScene:
     # row gather — measured ~4x cheaper than a [C,64] row gather.  Costs
     # 64x the base table (1 KB/meshlet); scene-static HBM.
     meshlet_cull_blocks: np.ndarray  # f16 [M, 512] channel-major (see _build_cull_blocks)
+    # Flat per-meshlet cull row for the cluster-direct path (ops/cull.py
+    # cluster_cull_direct): [center xyz, radius, cone xyz, cutoff] — one
+    # 32 B row gather per cluster instead of a 1 KB 64-meshlet block
+    meshlet_cull_row: np.ndarray  # f32 [M, 8]
     meshlet_vertex_count: np.ndarray  # i32 [M]
     meshlet_triangle_count: np.ndarray  # i32 [M]
 
@@ -449,6 +453,15 @@ def upload(
         meshlet_vertex_count=geometry.meshlets.vertex_count.astype(np.int32),
         meshlet_triangle_count=geometry.meshlets.triangle_count.astype(np.int32),
         meshlet_cull_blocks=_build_cull_blocks(geometry.meshlets),
+        meshlet_cull_row=np.concatenate(
+            [
+                geometry.meshlets.center.astype(np.float32),
+                geometry.meshlets.radius.astype(np.float32)[:, None],
+                geometry.meshlets.cone_axis.astype(np.float32) / 127.0,
+                geometry.meshlets.cone_cutoff.astype(np.float32)[:, None] / 127.0,
+            ],
+            axis=1,
+        ),
         meshlet_alpha=meshlet_alpha,
         has_alpha_masks=alpha_masks is not None,
         mesh_center=geometry.meshes.center.astype(np.float32),

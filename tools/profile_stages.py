@@ -78,6 +78,8 @@ def print_floors(sizes, probe):
         "build_task_commands": ("dense", (D * 24 + C * 160) / dense),
         # [C]-row cull-block gathers (1KB) + xform rows + [K] outputs
         "clustercull": ("row-gather", C * 1056 / row2k + K * 16 / dense),
+        # [D] prefix+scatter + per-cluster 32B cull/xform row gathers
+        "cluster_cull_direct": ("row-gather", (D * 24 + C * 160) / dense + K * 64 / rowg),
         "transform_meta(gather)": ("row-gather", K * 52 / rowg),
         # per-live-cluster 4KB setup-row DMA + record-store write (cap x 512B)
         "setup_fused(kernel)": ("row-DMA", K * 4096 / row2k + Tc * 512 / dense),
@@ -140,6 +142,18 @@ def main():
         late=False, pyramid_shape=pyr_hw, cluster_capacity=cfg.cluster_capacity,
     )
     print(f"{'':28s} [commands={int(cmds.count)} clusters={int(ccount)}]")
+
+    # cluster-direct path (the frame default): replaces btc + clustercull
+    ccd = partial(
+        jax.jit,
+        static_argnames=("late", "pyramid_shape", "draw_capacity", "cluster_capacity"),
+    )(cull.cluster_cull_direct)
+    cdraw, cmi, ccount_d, _, ncmd_d, _, _ = timed(
+        "cluster_cull_direct", ccd, scene, params, emit, lod, dvb, vis_words, atlas0,
+        late=False, pyramid_shape=pyr_hw,
+        draw_capacity=cfg.cmd_capacity, cluster_capacity=cfg.cluster_capacity,
+    )
+    print(f"{'':28s} [direct: draws={int(ncmd_d)} clusters={int(ccount_d)}]")
 
     from niagara_tpu.ops import setup_fused
 
