@@ -377,6 +377,15 @@ def cluster_cull_direct(
     emitted cluster sequence (draw-major, meshlet-ordinal within the
     draw) is identical too.  tests/test_cull_direct.py asserts both.
 
+    Capacity semantics: `cluster_capacity` bounds CANDIDATE clusters (every
+    meshlet of every emitted draw, pre-cull); draws whose clusters don't
+    fit are dropped WHOLE and counted — the reference's TASK_WGLIMIT
+    behavior (config.h:24-25, drawcull.comp.glsl:128-129), where the task
+    workgroup budget also bounds candidates at emission.  The legacy
+    cluster_cull only bounded post-cull survivors (candidates lived in the
+    [commands, 64] grid), so no-culling configs need a candidate-sized
+    capacity here where the legacy path managed with a survivor-sized one.
+
     Returns (cluster_draw, cluster_mi, cluster_count, new_vis_words,
     n_draws, draw_dropped, cluster_dropped) — draws dropped whole on
     capacity overflow, clusters dropped by the final compaction.

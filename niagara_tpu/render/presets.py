@@ -1,0 +1,53 @@
+"""Named benchmark configurations.
+
+The reference exposes its pipeline stages as runtime toggles (key bindings,
+niagara.cpp:332-409) and its benchmark story as staged configs (see
+BASELINE.md): 0 classic no-culling path, 1 instanced frustum/cone/LOD
+culling, 2 two-pass meshlet occlusion, 3 textured/material scenes with the
+alpha post pass, 4/5 animation + sun shadows.  This module maps those
+numbers onto (RenderSettings, FrameConfig overrides) so tools and tests can
+ask for "config N" and get the same meaning.
+
+Config 0 deserves a note: the reference renders it through the classic
+vertex pipeline (mesh.vert) rather than mesh shading.  Both of its paths
+rasterize the same triangles with the same depth function — the pipeline
+choice is a GPU hardware detail with no TPU analog — so here config 0 is
+"everything rendered, no culling": every meshlet of every draw at LOD 0
+goes straight to setup/raster.  tests/test_presets.py pins the observable
+contracts: config 0 renders with zero capacity drops, and configs 1 and 2
+converge to identical depth images (occlusion culling only ever removes
+geometry that lost the depth test anyway).
+"""
+
+from dataclasses import replace
+
+from .camera import RenderSettings
+
+#: config id -> RenderSettings field overrides
+_SETTINGS = {
+    0: dict(culling=False, lod=False, occlusion=False,
+            cluster_occlusion=False, cluster_backface=False),
+    1: dict(occlusion=False, cluster_occlusion=False),
+    2: dict(),
+    3: dict(),
+    4: dict(),
+    5: dict(),
+}
+
+#: config id -> FrameConfig field overrides (applied by the caller)
+_FRAME = {
+    0: dict(occlusion_two_pass=False, post_passes=1),
+    1: dict(occlusion_two_pass=False),
+    2: dict(),
+    3: dict(),  # textures/alpha follow the scene's content
+    4: dict(shadows=True),
+    5: dict(shadows=True),
+}
+
+
+def settings_for(config: int, base: RenderSettings | None = None) -> RenderSettings:
+    return replace(base or RenderSettings(), **_SETTINGS[int(config)])
+
+
+def frame_overrides(config: int) -> dict:
+    return dict(_FRAME[int(config)])

@@ -49,6 +49,12 @@ def main():
     ap.add_argument("--camera", default=None, help="camera persistence file (.camera.json)")
     ap.add_argument("--shadows", action="store_true", help="ray-traced sun shadows (scenes <= 200k world tris)")
     ap.add_argument("--debug", default=None, choices=["meshlet", "draw", "depth"], help="debug visualization mode")
+    ap.add_argument(
+        "--config", type=int, default=None, choices=range(6),
+        help="staged benchmark config preset (render/presets.py): 0 classic "
+        "no-culling, 1 frustum/cone/LOD, 2 two-pass occlusion, 3 textured, "
+        "4/5 animation + sun shadows",
+    )
     ap.add_argument("--downsample", type=int, default=1, help="downscale output PNGs by N (D2H is slow here)")
     ap.add_argument(
         "--watch",
@@ -128,6 +134,15 @@ def main():
         raster_interpret=jax.default_backend() == "cpu",
     )
     settings = RenderSettings()
+    if args.config is not None:
+        from niagara_tpu.render import presets
+        import dataclasses as _dc
+
+        ov = presets.frame_overrides(args.config)
+        ov.pop("shadows", None)  # shadows need a BVH/sun-map context: --shadows
+        cfg = _dc.replace(cfg, **ov)
+        settings = presets.settings_for(args.config, settings)
+        print(f"config preset {args.config}: {settings}")
     state = frame_mod.init_state(scene.num_draws, scene.meshlet_visibility_count)
     prof = FrameProfiler()
 
@@ -167,7 +182,8 @@ def main():
         save_camera(args.camera, cam)
         print(f"saved camera to {args.camera}")
 
-    print(prof.report(stats))
+    if args.frames > 0:
+        print(prof.report(stats))
 
 
 def watch_loop(args):
