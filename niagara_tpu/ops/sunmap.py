@@ -413,14 +413,17 @@ def sample_shadow(sun_map, sf, wpos, *, bias_texels: float = 1.5):
 
 def shadow_map_pass(depth, sf, sun_map, *, inverse_view_projection, width: int, height: int,
                     bias_texels: float = 1.5, scale: int = 2, packed=None,
-                    map_shape=None):
+                    map_shape=None, blur: bool = False, znear=0.1):
     """Shadow term from the camera depth buffer: reconstruct world
     positions, PCF-sample the sun map (analog of ops/shadow.py's
     shadow_pass output contract).  Like the RT path, the term is computed
     at 1/scale resolution and upsampled — the per-pixel map gathers are the
     cost (element gathers run ~100M/s on this chip), not the math.  Pass
     `packed` (pack_sun_map) to fold the 4 PCF taps into one row gather
-    (sun_map may then be None; give map_shape)."""
+    (sun_map may then be None; give map_shape).  `blur` applies the RT
+    path's depth-aware bilateral (ops/shadow.shadow_blur, the reference's
+    shadowblur.comp) at the small resolution before upsampling, hiding the
+    1/scale blockiness at shadow edges."""
     sw, sh = width // scale, height // scale
     d_small = depth[::scale, ::scale][:sh, :sw]
     px = (jnp.arange(sw, dtype=jnp.float32) + 0.5) / sw
@@ -444,6 +447,10 @@ def shadow_map_pass(depth, sf, sun_map, *, inverse_view_projection, width: int, 
     else:
         term = sample_shadow(sun_map, sf, wpos, bias_texels=bias_texels)
     term = jnp.where(d_small > 0.0, term, 1.0)
+    if blur:
+        from . import shadow as shadow_mod
+
+        term = shadow_mod.shadow_blur(term, d_small, jnp.float32(znear))
     if scale == 1:
         return term
     full = jnp.repeat(jnp.repeat(term, scale, axis=0), scale, axis=1)

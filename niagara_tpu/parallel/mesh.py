@@ -136,6 +136,7 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
                     inverse_view_projection=sp.inverse_view_projection,
                     width=cfg.width, height=cfg.height,
                     packed=packed, map_shape=map_shape,
+                    blur=cfg.shadow_blur, znear=params.znear,
                 )
             else:
                 sf, smap = shadow_ctx
@@ -143,6 +144,7 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
                     gdepth, sf, smap,
                     inverse_view_projection=sp.inverse_view_projection,
                     width=cfg.width, height=cfg.height,
+                    blur=cfg.shadow_blur, znear=params.znear,
                 )
         image = shade.composite(
             g0,

@@ -456,6 +456,7 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
                 inverse_view_projection=shade_params.inverse_view_projection,
                 width=cfg.width, height=cfg.height,
                 packed=packed, map_shape=map_shape,
+                blur=cfg.shadow_blur, znear=params.znear,
             )
         else:
             sf, smap = bvh
@@ -463,6 +464,7 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
                 fb.depth, sf, smap,
                 inverse_view_projection=shade_params.inverse_view_projection,
                 width=cfg.width, height=cfg.height,
+                blur=cfg.shadow_blur, znear=params.znear,
             )
     elif cfg.shadows and bvh is not None:
         shadow_img = shadow.shadow_pass(

@@ -134,6 +134,10 @@ def test_config5_animated_shadows_end_to_end(tmp_path):
         cmd_capacity=64, cluster_capacity=512, pair_capacity=1 << 13,
         tri_capacity=1 << 12, raster_interpret=True, bloom=False,
         occlusion_two_pass=False, shadows=True,
+        # this test pins the ANIMATION contract (the shadow moves with the
+        # caster); the 10-tap bilateral would wash the small test shadow
+        # out at this resolution
+        shadow_blur=False,
     )
     # camera above, looking straight down at the ground
     cam = Camera(
