@@ -41,45 +41,78 @@ def bake_mesh_masks(uv: np.ndarray, tris_uv_idx: np.ndarray, alpha_mip: np.ndarr
     """Bake mask rows for a [T,3] triangle list with per-corner uv indices.
 
     Returns [T, 8] f32 rows in the module-level layout.  A cell is opaque
-    if ANY of its sub-samples passes the alpha threshold; the sub-sample
-    density ADAPTS to the triangle's uv extent (>= 2 samples per texel on
-    the longest AABB axis, bucketed) so thin features — 1-texel stems,
-    wires — are never missed even on triangles spanning the whole texture.
-    A fixed 16x16 grid measured ~1.7% false DISCARDS (real pixels dropped)
-    on a foliage card; adaptive density drives that to zero
-    (tests/test_alpha_fidelity.py) at offline-bake cost only."""
+    if ANY texel its uv rect touches passes the alpha threshold — evaluated
+    EXACTLY with a summed-area table over the thresholded alpha plane
+    (tiled-wrap inclusion/exclusion, O(1) per cell), so thin features —
+    1-texel stems, wires — are never missed regardless of the triangle's uv
+    extent, and no pixel whose texel is opaque can ever be discarded
+    (tests/test_alpha_fidelity.py).  This replaced an adaptive dense point
+    sampler that cost ~2e9 samples (~80 s host) on the 1M-draw bench bake."""
     T = len(tris_uv_idx)
     out = np.zeros((T, 8), np.float32)
     if T == 0:
         return out
 
     tuv = uv[tris_uv_idx]  # [T,3,2]
+    h, w = alpha_mip.shape[:2]
     u0 = tuv[..., 0].min(axis=1)
     v0 = tuv[..., 1].min(axis=1)
     u1 = tuv[..., 0].max(axis=1)
     v1 = tuv[..., 1].max(axis=1)
-    du = np.maximum(u1 - u0, 1e-12)
-    dv = np.maximum(v1 - v0, 1e-12)
+    # extents are floored at one texel (stored in the runtime scale too, so
+    # bake cells and runtime cell lookup stay consistent): keeps every cell's
+    # texel rect non-empty and edge spacing exactly representable
+    du = np.maximum(u1 - u0, 1.0 / w)
+    dv = np.maximum(v1 - v0, 1.0 / h)
+    opq = (alpha_mip[..., 3].astype(np.float32) / 255.0) >= threshold
+    sat = np.zeros((h + 1, w + 1), np.int32)
+    np.cumsum(np.cumsum(opq, axis=0), axis=1, out=sat[1:, 1:])
+    total = np.int32(sat[h, w])
+    col_full = sat[h, :].copy()  # [w+1]: opaque count, x in [0,rx), full height
+    row_full = sat[:, w].copy()  # [h+1]: opaque count, y in [0,ry), full width
 
-    h, w = alpha_mip.shape[:2]
-    need = 2.0 * np.maximum(du * w, dv * h)  # samples/axis for 2x texel rate
-    cells = np.zeros((T, 8, 8), bool)
-    buckets = (16, 64, 256, 1024)
-    for s in buckets:
-        sel = np.nonzero(np.isfinite(need) & ((need <= s) | (s == buckets[-1])))[0]
-        need[sel] = np.inf  # claimed
-        # chunk to bound the [n, s, s] sample grid at ~32M samples
-        step = max(1, (32 << 20) // (s * s))
-        sub = (np.arange(s) + 0.5) / s  # cell c covers sub[c*s//8:(c+1)*s//8]
-        for o in range(0, len(sel), step):
-            t = sel[o : o + step]
-            gu = u0[t, None] + du[t, None] * sub[None, :]  # [n,s]
-            gv = v0[t, None] + dv[t, None] * sub[None, :]
-            uu = np.broadcast_to(gu[:, None, :], (len(t), s, s))
-            vv = np.broadcast_to(gv[:, :, None], (len(t), s, s))
-            a = _sample_alpha(alpha_mip, uu.reshape(-1), vv.reshape(-1)).reshape(len(t), s, s)
-            opq = a >= threshold
-            cells[t] = opq.reshape(len(t), 8, s // 8, 8, s // 8).any(axis=(2, 4))
+    # texel index ranges per cell: cell c covers uv [edge[c], edge[c+1]) —
+    # half-open on the right, matching the runtime cell lookup
+    # floor((u-u0)*8/du) — so the touched texels are the half-open index
+    # range [floor(edge[c]*w), ceil(edge[c+1]*w)).  Edge coords are clipped
+    # to +-2^27 texels so all downstream arithmetic fits i32 (a cell
+    # spanning >2^27 texels wraps the whole texture many times over; the
+    # clipped count still reports any-opaque correctly).
+    ru = np.clip(np.nan_to_num((u0[:, None] + du[:, None] * (np.arange(9) / 8.0)) * w),
+                 -(1 << 27), 1 << 27)
+    rv = np.clip(np.nan_to_num((v0[:, None] + dv[:, None] * (np.arange(9) / 8.0)) * h),
+                 -(1 << 27), 1 << 27)
+
+    def edge_terms(e, n, col):
+        """For [T,9] integer texel coords: (q, A, rowf-or-colf, r) [T,9] i32."""
+        q, r = np.divmod(e, n)
+        q = q.astype(np.int32)
+        r = r.astype(np.intp)
+        return q, col[r], r
+
+    qxl, Al, rxl = edge_terms(np.floor(ru).astype(np.int64), w, col_full)
+    qxh, Ah, rxh = edge_terms(np.ceil(ru).astype(np.int64), w, col_full)
+    qyl, Bl, ryl = edge_terms(np.floor(rv).astype(np.int64), h, row_full)
+    qyh, Bh, ryh = edge_terms(np.ceil(rv).astype(np.int64), h, row_full)
+    Al = qxl * total + Al  # A(X) = qx*total + colf(rx)
+    Ah = qxh * total + Ah
+
+    # F(X,Y) = qy*A(X) + qx*rowf(ry) + sat[ry,rx].  Per cell (xlo from the
+    # floor-edge c, xhi from the ceil-edge c+1, same for y) the double
+    # difference decomposes into two [T,8]x[T,8] outer products plus a
+    # 4-corner sat gather — all contiguous i32 (strided i64 broadcast
+    # arithmetic is ~100x slower in this numpy).
+    dA = np.ascontiguousarray(Ah[:, 1:] - Al[:, :-1])  # [T,8] per u-cell
+    dqx = np.ascontiguousarray(qxh[:, 1:] - qxl[:, :-1])
+    dB = np.ascontiguousarray(Bh[:, 1:] - Bl[:, :-1])  # [T,8] per v-cell
+    dqy = np.ascontiguousarray(qyh[:, 1:] - qyl[:, :-1])
+    flat = sat.ravel()
+    xl, xh = rxl[:, None, :-1], rxh[:, None, 1:]
+    yl, yh = ryl[:, :-1, None] * (w + 1), ryh[:, 1:, None] * (w + 1)
+    ddG = (flat[(yh + xh).ravel()] - flat[(yh + xl).ravel()]
+           - flat[(yl + xh).ravel()] + flat[(yl + xl).ravel()]).reshape(T, 8, 8)
+    cnt = dqy[:, :, None] * dA[:, None, :] + dqx[:, None, :] * dB[:, :, None] + ddG
+    cells = cnt > 0  # [T, vcell, ucell]
 
     bits = cells.reshape(T, 64).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]
     mask = bits.sum(axis=1, dtype=np.uint64)
@@ -122,6 +155,7 @@ def bake_opacity(geometry, draws, materials: dict | None, texture_mips: list | N
 
     m = geometry.meshes
     uv = geometry.vuv.astype(np.float32)
+    tri_counts = np.asarray(geometry.meshlets.triangle_count)
     for mesh, mat in mesh_mat.items():
         tex_id = int(mat_tex[mat, 0])
         if tex_id < 0 or tex_id >= len(texture_mips):
@@ -130,11 +164,22 @@ def bake_opacity(geometry, draws, materials: dict | None, texture_mips: list | N
         # niagara.cpp:872: half-res alpha is stabler and 4x cheaper)
         mips = texture_mips[tex_id]
         mip = mips[min(1, len(mips) - 1)]
+        # batch every meshlet triangle of this mesh into ONE bake call (a
+        # per-meshlet loop pays the vectorized machinery's setup 1000s of
+        # times over; at 1M-draw bench scale that was ~80 s of host time)
+        mls, slots, corners = [], [], []
         for lod in range(int(m.lod_count[mesh])):
             mo = int(m.lod_meshlet_offset[mesh, lod])
             mc = int(m.lod_meshlet_count[mesh, lod])
             for ml in range(mo, mo + mc):
-                tcnt = int(geometry.meshlets.triangle_count[ml])
-                corner_uv_idx = vertex_ids[ml][tris[ml, :tcnt]]  # [t,3] global verts
-                out[ml, :tcnt] = bake_mesh_masks(uv, corner_uv_idx, mip, threshold)
+                tcnt = int(tri_counts[ml])
+                mls.append(np.full(tcnt, ml, np.int64))
+                slots.append(np.arange(tcnt, dtype=np.int64))
+                corners.append(vertex_ids[ml][tris[ml, :tcnt]])  # [t,3] global verts
+        if not mls:
+            continue
+        mls = np.concatenate(mls)
+        slots = np.concatenate(slots)
+        corners = np.concatenate(corners, axis=0)
+        out[mls, slots] = bake_mesh_masks(uv, corners, mip, threshold)
     return out
