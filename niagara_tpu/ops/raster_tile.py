@@ -331,15 +331,17 @@ def _raster_kernel(tile_start_ref, recs_ref, depth_in_ref, vis_in_ref,
         new_vis = jnp.where(closer | tie, idmin, vis)
         return (new_depth, new_vis)
 
-    # carry I/O is [1, PX] (pixels along LANES — the unpadded HBM layout;
-    # a trailing dim of 1 in HBM would pad 1 -> 128 lanes, a 128x blowup);
-    # the kernel math wants pixels along SUBLANES, so transpose at the
-    # boundary (2D transposes lower fine in Mosaic)
-    depth0 = depth_in_ref[...].T
-    vis0 = vis_in_ref[...].T
+    # carry I/O is [1, 1, PX] (pixels along LANES — the unpadded HBM layout;
+    # a trailing dim of 1 in HBM would pad 1 -> 128 lanes, a 128x blowup;
+    # the middle singleton exists because Mosaic requires the second-to-last
+    # BLOCK dim to be sublane-divisible or equal to the array dim — a literal
+    # 1 array dim satisfies "equal").  The kernel math wants pixels along
+    # SUBLANES, so transpose at the boundary (2D transposes lower fine).
+    depth0 = depth_in_ref[0].T
+    vis0 = vis_in_ref[0].T
     depth, vis = jax.lax.fori_loop(0, n_chunks, chunk_body, (depth0, vis0))
-    depth_out_ref[...] = depth.T
-    vis_out_ref[...] = vis.T
+    depth_out_ref[0] = depth.T
+    vis_out_ref[0] = vis.T
 
 
 def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int,
@@ -400,12 +402,12 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # recs [NC, REC, 128]
-            pl.BlockSpec((1, PX), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, PX), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 1, PX), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, PX), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, PX), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, PX), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 1, PX), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 1, PX), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, rec_rows, REC_CHUNK), jnp.float32),
@@ -416,14 +418,14 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
     depth_out, vis_out = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, PX), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, PX), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.int32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
         tile_start, recs,
-        depth_tiles.reshape(n_tiles, PX), vis_tiles.reshape(n_tiles, PX),
+        depth_tiles.reshape(n_tiles, 1, PX), vis_tiles.reshape(n_tiles, 1, PX),
     )
     depth_out = depth_out.reshape(n_tiles, TILE_H, TILE_W)
     vis_out = vis_out.reshape(n_tiles, TILE_H, TILE_W)
