@@ -21,6 +21,15 @@ for dense VPU work and minimal scatter:
 
 Shading then runs as dense per-pixel passes over the visibility buffer
 (ops/shade.py), which is exactly the shape of work the VPU wants.
+
+NOTE: the window-emission scatter-merge path here (steps 3-5: emit_windows /
+rasterize / rasterize_onto) is **oracle-only** — the production rasterizer is
+the Pallas tile kernel (ops/raster_tile.py, FrameConfig.use_tile_raster=True,
+the default).  It is kept as an independent XLA-lowered cross-check of the
+tile kernel's output (tests/test_raster_tile.py compares the two paths
+bit-exactly) and as the interpret-mode-free fallback.  The transform/setup
+halves (transform_meta*, compact_setup) remain production code shared by
+both paths.
 """
 
 from __future__ import annotations

@@ -393,9 +393,14 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
     kernel = functools.partial(
         _raster_kernel, tiles_x=tiles_x, alpha_test=alpha_test, rec_rows=rec_rows
     )
-    # tiles cross the kernel boundary as flat [n_tiles, PX] rows — both
-    # dims tile cleanly to the TPU's (8, 128) HBM layout (a [.., PX, 1]
-    # form would pad the trailing 1 -> 128 lanes: a 128x HBM blowup)
+    # tiles cross the kernel boundary as [n_tiles, 1, PX]: Mosaic requires
+    # the second-to-last BLOCK dim to be sublane-divisible or equal to the
+    # array dim, and a literal 1 array dim satisfies "equal" (see the carry
+    # I/O comment in _raster_kernel).  The middle singleton pads 1 -> 8
+    # sublanes in HBM — an 8x overhead on these staging buffers, accepted
+    # because the alternative [.., PX, 1] form would pad the trailing
+    # 1 -> 128 lanes (a 128x blowup) and a flat [n_tiles, PX] block can't
+    # satisfy the sublane constraint for a 1-row tile slice.
     PX = TILE_H * TILE_W
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
