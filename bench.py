@@ -30,6 +30,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -46,6 +47,7 @@ from niagara_tpu.cooker.opacity import bake_opacity
 from niagara_tpu.cooker import synth
 from niagara_tpu.ops import sunmap as sunmap_mod
 from niagara_tpu.render import frame as frame_mod
+from niagara_tpu.render import presets
 from niagara_tpu.render import textures as tex_mod
 from niagara_tpu.render.camera import Camera, RenderSettings
 from niagara_tpu.scene import upload
@@ -65,6 +67,21 @@ def main():
 
     t0 = time.time()
     geometry = cook_or_load([KITTEN], cache_dir=os.path.join(os.path.dirname(__file__), ".cache"))
+
+    parity = "skipped"
+    if int(os.environ.get("BENCH_PARITY", 1)) and not _CPU:
+        # compiled-vs-interpret Pallas parity gate: certify the Mosaic
+        # lowering of all three kernels bit-for-bit on THIS chip before
+        # recording numbers (render/parity.py)
+        from niagara_tpu.render.parity import mosaic_parity_check
+
+        pstats = mosaic_parity_check(geometry)
+        parity = "exact"
+        print(f"[bench] mosaic parity: all kernels bit-identical "
+              f"compiled-vs-interpreted ({pstats['setup_records_live']} records, "
+              f"{pstats['covered_px']} px) in {time.time()-t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+
     draws = synth.synthesize_draws(geometry.meshes.count, draw_count=draw_count)
 
     table = masks = None
@@ -90,26 +107,31 @@ def main():
 
     scene = jax.device_put(scene)
 
-    # capacities sized to the synthetic scene's steady-state visible set;
-    # the 16-level LOD chain keeps visible clusters near the visible draw
-    # count, so the same budgets cover 100k and 1M draws.  Env-overridable.
-    big = draw_count > 300_000
+    # capacities: the shared headline policy (render/presets.py
+    # headline_capacities — tests/test_bench_caps.py pins its zero-drop
+    # contract at bench shape), each env-overridable here
+    caps = presets.headline_capacities(draw_count)
+    env_caps = {
+        "cmd_capacity": "BENCH_CMD_CAP",
+        "cluster_capacity": "BENCH_CLUSTER_CAP",
+        "candidate_capacity": "BENCH_CANDIDATE_CAP",
+        "late_candidate_capacity": "BENCH_LATE_CANDIDATE_CAP",
+        "tri_capacity": "BENCH_TRI_CAP",
+        "pair_capacity": "BENCH_PAIR_CAP",
+        "late_cluster_capacity": "BENCH_LATE_CLUSTER_CAP",
+        "late_tri_capacity": "BENCH_LATE_TRI_CAP",
+    }
+    for k, env in env_caps.items():
+        if env in os.environ:
+            caps[k] = int(os.environ[env])
     cfg = frame_mod.FrameConfig(
         width=width,
         height=height,
         max_groups=int(np.ceil(geometry.meshes.lod_meshlet_count.max() / 64)),
-        cmd_capacity=int(os.environ.get("BENCH_CMD_CAP", 1 << 16 if big else 1 << 14)),
-        cluster_capacity=int(os.environ.get("BENCH_CLUSTER_CAP", 1 << 16)),
-        # measured at 1M draws steady state: ~531k live triangles, ~1.05M
-        # tile pairs — 640k/1.25M leave ~20% headroom with zero drops (the
-        # drop counters in the stats line guard this)
-        tri_capacity=int(os.environ.get("BENCH_TRI_CAP", 640 * 1024)),
-        pair_capacity=int(os.environ.get("BENCH_PAIR_CAP", 1280 * 1024)),
-        late_cluster_capacity=int(os.environ.get("BENCH_LATE_CLUSTER_CAP", 1 << 14)),
-        late_tri_capacity=int(os.environ.get("BENCH_LATE_TRI_CAP", 1 << 18)),
         post_passes=2 if (with_alpha and textured) else 1,
         shadows=bool(with_shadows),
         raster_interpret=bool(_CPU),
+        **caps,
     )
 
     cam = Camera()
@@ -118,15 +140,28 @@ def main():
     state = frame_mod.init_state(scene.num_draws, scene.meshlet_visibility_count)
 
     # --- cached sun map (static scene): built once like the reference's
-    # TLAS, resolved per frame in the headline (niagara.cpp:1792-1855 role)
+    # TLAS, resolved per frame in the headline (niagara.cpp:1792-1855 role).
+    # BENCH_ANIMATE (default on): the last 2% of draw ids form an ANIMATED
+    # tail — the static 98% builds once, the tail re-rasterizes onto the
+    # cached static tiles every frame (ops/sunmap.update_sun_map; the
+    # reference refits its TLAS in-frame, niagara.cpp:1476-1485), and the
+    # animated full frame is measured end to end.
     shadow_ctx = None
+    extras = {}
+    anim_n = 0
+    pack_j = jax.jit(sunmap_mod.pack_sun_map)
     if with_shadows:
+        import dataclasses as _dc
         from functools import partial as _partial
 
+        if int(os.environ.get("BENCH_ANIMATE", 1)):
+            anim_n = max(draw_count // 50, 1)
+        static_n = draw_count - anim_n
+
         sf = sunmap_mod.fit_sun_to_draws(np.asarray(sp.sun_direction), draws)
-        build_map = _partial(
-            sunmap_mod.build_static_sun_map, scene, sf,
-            map_w=map_wh, map_h=map_wh,
+        ext = np.asarray(jax.device_get(sf["hi"] - sf["lo"]))
+        texel_world = float(max(ext[0] / map_wh, ext[1] / map_wh))
+        sun_caps = dict(
             cmd_capacity=cfg.cmd_capacity, cluster_capacity=cfg.cluster_capacity,
             # 2048x2048 -> 4096 tiles (13 key bits), so tri capacity is
             # capped at 2^19 to keep the packed (tile, tri) sort key in u32
@@ -135,18 +170,62 @@ def main():
             max_groups=cfg.max_groups,
             interpret=bool(_CPU),
         )
+        build_map = _partial(
+            sunmap_mod.build_static_sun_map, scene, sf,
+            map_w=map_wh, map_h=map_wh, texel_world=texel_world,
+            num_draws=static_n, return_tiles=True, **sun_caps,
+        )
+
+        # the animated tail as its own sliced scene: per-frame sun-map work
+        # runs at [anim_n] scale, not [D] (scene.slice_draws)
+        tail_scene = scene.slice_draws(static_n, draw_count) if anim_n else None
+
+        def animate_tail(sc, t):
+            """Slide the animated tail on a circle (t=0 is the rest pose;
+            device-side transform update — the role of the reference's host
+            animation writes, niagara.cpp:1362-1411)."""
+            delta = jnp.stack([jnp.sin(t), jnp.zeros_like(t), 1.0 - jnp.cos(t)]) * 2.0
+            return _dc.replace(
+                sc,
+                draw_position=sc.draw_position + delta,
+                draw_xform_row=sc.draw_xform_row.at[:, 0:3].add(delta),
+            )
+
+        animate_j = jax.jit(animate_tail)
+        update_j = jax.jit(lambda sc, tiles: sunmap_mod.update_sun_map(
+            sc, sf, tiles, None,
+            map_w=map_wh, map_h=map_wh, texel_world=texel_world, **sun_caps,
+        ))
+
         t0 = time.time()
-        smap, sm_drops = build_map()
-        packed = jax.jit(sunmap_mod.pack_sun_map)(smap)
+        smap, sm_drops, static_tiles = build_map()
+        if anim_n:
+            smap, _, up_drop = update_j(animate_j(tail_scene, jnp.float32(0.0)), static_tiles)
+            sm_drops = sm_drops + up_drop
+        packed = pack_j(smap)
         _ = np.asarray(packed[:1, :1])
         print(f"[bench] static sun map build+pack {time.time()-t0:.1f}s "
-              f"(compile incl.; {map_wh}x{map_wh}, dropped {int(sm_drops)})", file=sys.stderr)
+              f"(compile incl.; {map_wh}x{map_wh}, static {static_n} draws + "
+              f"{anim_n} animated, dropped {int(sm_drops)})", file=sys.stderr)
         t0 = time.time()
-        smap, sm_drops = build_map()
-        packed = jax.jit(sunmap_mod.pack_sun_map)(smap)
-        _ = np.asarray(packed[:1, :1])
-        print(f"[bench] sun map rebuild {1000*(time.time()-t0):.1f}ms warm "
-              f"(amortized: static scenes reuse it every frame)", file=sys.stderr)
+        smap, sm_drops, static_tiles = build_map()
+        _ = np.asarray(smap[:1, :1])
+        print(f"[bench] static map rebuild {1000*(time.time()-t0):.1f}ms warm "
+              f"(amortized: built once, reused every frame)", file=sys.stderr)
+        if anim_n:
+            # per-frame incremental update + pack, chained (the config-5
+            # per-frame shadow-structure cost; reference TLAS refit role)
+            t0 = time.time()
+            n_upd = max(frames, 3)
+            for i in range(n_upd):
+                tl_t = animate_j(tail_scene, jnp.float32(0.3 * (i + 1)))
+                smap_t, _, _ = update_j(tl_t, static_tiles)
+                packed_t = pack_j(smap_t)
+            _ = np.asarray(packed_t[:1, :1])
+            upd_ms = (time.time() - t0) / n_upd * 1000
+            extras["sunmap_update_ms"] = round(upd_ms, 2)
+            print(f"[bench] sun map incremental update+pack {upd_ms:.1f}ms/frame "
+                  f"({anim_n} animated draws onto cached static tiles)", file=sys.stderr)
         shadow_ctx = (sf, packed, (map_wh, map_wh))
 
     render = lambda st: frame_mod.render_frame(
@@ -168,7 +247,8 @@ def main():
           f"visible_draws={int(stats.visible_draws)}", file=sys.stderr)
     print(f"[bench] drops: cmd={int(stats.cmd_dropped)} cluster={int(stats.cluster_dropped)} "
           f"tri={int(stats.tri_dropped)} pair={int(stats.pair_dropped)} "
-          f"(all must be 0 for a loss-free frame)", file=sys.stderr)
+          f"(all must be 0 for a loss-free frame); late candidates "
+          f"{int(stats.candidates)}/{cfg.late_candidate_cap}", file=sys.stderr)
 
     # frames chain through the carried visibility state, so dispatching the
     # whole run and syncing once measures true frame throughput (the relay
@@ -185,6 +265,41 @@ def main():
         + ("+sunshadow" if with_shadows else "") + "+bloom+final"
     print(f"[bench] {frame_ms:.2f}ms/frame over {frames} chained frames "
           f"({scope}); covered px ~{covered}", file=sys.stderr)
+
+    if anim_n:
+        # config-5 end to end: animate 2% of draws + incremental sun-map
+        # update + the full frame, chained (reference: in-frame TLAS refit
+        # + the same render loop, niagara.cpp:1476-1485, 1766-1928)
+        import dataclasses as _dc2
+
+        def animate_scene(sc, t):
+            delta = jnp.stack([jnp.sin(t), jnp.zeros_like(t), 1.0 - jnp.cos(t)]) * 2.0
+            static_n = draw_count - anim_n
+            return _dc2.replace(
+                sc,
+                draw_position=sc.draw_position.at[static_n:].add(delta),
+                draw_xform_row=sc.draw_xform_row.at[static_n:, 0:3].add(delta),
+            )
+
+        animate_scene_j = jax.jit(animate_scene)
+        t0 = time.time()
+        for i in range(frames):
+            t_i = jnp.float32(0.3 * (i + 1))
+            tl_t = animate_j(tail_scene, t_i)
+            smap_t, _, _ = update_j(tl_t, static_tiles)
+            packed_t = pack_j(smap_t)
+            sc_t = animate_scene_j(scene, t_i)
+            image, fb, state, stats = frame_mod.render_frame(
+                sc_t, state, params, sp, cfg,
+                bvh=(sf, packed_t, (map_wh, map_wh)), textures=table,
+            )
+        _ = np.asarray(image[:1, :1])
+        anim_ms = (time.time() - t0) / frames * 1000
+        extras["animated_frame_ms"] = round(anim_ms, 2)
+        print(f"[bench] animated full frame {anim_ms:.2f}ms/frame over {frames} "
+              f"chained frames (move {anim_n} draws + sun-map update + {scope}); "
+              f"drops: cmd={int(stats.cmd_dropped)} cluster={int(stats.cluster_dropped)} "
+              f"tri={int(stats.tri_dropped)} pair={int(stats.pair_dropped)}", file=sys.stderr)
 
     if int(os.environ.get("BENCH_SHADOW", 0)):
         # ray-traced sun shadows side metric (parity oracle; the sun map is
@@ -232,6 +347,8 @@ def main():
         "unit": "ms",
         "vs_baseline": round(16.7 / frame_ms, 4),
         "compile_s": round(compile_s, 1),
+        "mosaic_parity": parity,
+        **extras,
         "probe": probe,
     }))
 

@@ -315,21 +315,11 @@ def gbuffer_from_attrs(attrs_img, valid, scene, textures=None, *, depth=None,
     return jnp.where(valid4, g0, 0.0), jnp.where(valid4, g1, 0.0), valid
 
 
-def composite(
-    g0,
-    g1,
-    depth,
-    valid,
-    *,
-    camera_position,
-    sun_direction,
-    inverse_view_projection,
-    shadow=None,
-    bloom=None,
-    width: int,
-    height: int,
-):
-    """G-buffer -> tonemapped image [H,W,3] (reference final.comp.glsl:37-80)."""
+def _lit_color(g0, g1, depth, *, camera_position, sun_direction,
+               inverse_view_projection, shadow_term, width: int, height: int):
+    """Decode one G-buffer layer and light it (the shared core of the
+    reference's final.comp.glsl:42-76: N·L sun + Blinn-Phong + ambient +
+    shadow + emissive)."""
     albedo = cullmath.from_srgb(g0[..., :3])
     emissive = albedo * (jnp.exp2(g0[..., 3] * 5.0) - 1.0)[..., None]
     normal = cullmath.oct_decode(g1[..., :2] * 2.0 - 1.0)
@@ -358,20 +348,65 @@ def composite(
     gloss = g1[..., 2]
     specular = jnp.power(jnp.maximum(ndoth, 1e-6), 1.0 + 63.0 * gloss) * gloss
 
-    shadow_term = shadow if shadow is not None else jnp.ones_like(depth)
-
     ambient = 0.07
     shadow_ambient = 0.05
     sun_intensity = 2.5
 
     color = albedo * (ndotl * jnp.minimum(shadow_term + shadow_ambient, 1.0) * sun_intensity + ambient)[..., None]
     color = color + (specular * shadow_term)[..., None] * sun_intensity
-    color = color + emissive
+    return color + emissive
+
+
+def composite(
+    g0,
+    g1,
+    depth,
+    valid,
+    *,
+    camera_position,
+    sun_direction,
+    inverse_view_projection,
+    shadow=None,
+    bloom=None,
+    width: int,
+    height: int,
+    transmission=None,
+):
+    """G-buffer -> tonemapped image [H,W,3] (reference final.comp.glsl:37-80).
+
+    `transmission` = (g0t, g1t, depth_t, valid_t): the transmission draw
+    class's own shaded layer (reference postPass=2 classification,
+    scene.cpp:584-588 — the reference classifies these draws but never
+    rasterizes them; this engine defines their semantics as a depth-tested
+    50/50 blend: where the front-most transmission surface is nearer than
+    the opaque depth, the lit transmission color mixes equally with what is
+    behind it — light passes through, tinted)."""
+    shadow_term = shadow if shadow is not None else jnp.ones_like(depth)
+    color = _lit_color(
+        g0, g1, depth,
+        camera_position=camera_position, sun_direction=sun_direction,
+        inverse_view_projection=inverse_view_projection, shadow_term=shadow_term,
+        width=width, height=height,
+    )
     if bloom is not None:
         color = color + bloom * 0.1
 
     # background stays black where nothing was rasterized
     color = jnp.where(valid[..., None], color, 0.0)
+
+    if transmission is not None:
+        g0t, g1t, depth_t, valid_t = transmission
+        tcol = _lit_color(
+            g0t, g1t, depth_t,
+            camera_position=camera_position, sun_direction=sun_direction,
+            inverse_view_projection=inverse_view_projection,
+            shadow_term=jnp.ones_like(depth_t),
+            width=width, height=height,
+        )
+        # visible where in front of the opaque surface (reverse-Z: greater
+        # = nearer) or over empty background
+        t_front = valid_t & ((depth_t > depth) | ~valid)
+        color = jnp.where(t_front[..., None], color * 0.5 + tcol * 0.5, color)
 
     xy = jnp.stack(
         [

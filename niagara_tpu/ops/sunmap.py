@@ -86,6 +86,9 @@ def sun_cull(scene, sf, camera_position, lod_target, lod_enabled, lod_bias: floa
 
     cs = _to_sun(sf, center)
     inside = jnp.all((cs + radius[:, None] >= sf["lo"]) & (cs - radius[:, None] <= sf["hi"]), axis=1)
+    # transmission draws (postPass=2) don't cast shadows — the reference
+    # gives them a null BLAS in the RT instance list (scenert.cpp:515-517)
+    inside = inside & (scene.draw_post_pass != 2)
     if draw_range is not None:
         # batched static-map build: each host-loop batch renders one id range
         d = jnp.arange(center.shape[0], dtype=jnp.int32)

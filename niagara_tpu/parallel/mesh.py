@@ -97,7 +97,9 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
         dev = jax.lax.axis_index(axis).astype(jnp.int32)
         offset = dev * frag_stride
 
-        fb, tc, setup_all, new_state, stats, _ = frame_mod.frame_core(scene, state, params, cfg, frag_offset=offset)
+        fb, tc, setup_all, new_state, stats, attrs_img, trans = frame_mod.frame_core(
+            scene, state, params, cfg, frag_offset=offset
+        )
 
         # ---- sort-last composite over ICI ----
         gdepth = jax.lax.pmax(fb.depth, axis)
@@ -106,17 +108,47 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
         gvis = jax.lax.pmin(cand, axis)
         mine = winner & (gvis == fb.vis)
 
-        # shade owned pixels with the local attribute tables, then merge the
-        # disjoint owner G-buffers so every device holds the full planes
-        # (shade_gbuffer zeroes non-owned pixels, so psum is a union)
-        local_vis = jnp.where(mine, fb.vis - offset, INVALID_FRAG)
-        local_fb = Framebuffer(depth=gdepth, vis=local_vis)
-        g0, g1, valid = shade.shade_gbuffer(
-            local_fb, tc, setup_all, scene, cfg.width, cfg.height, textures=textures
-        )
+        # shade owned pixels, then merge the disjoint owner G-buffers so
+        # every device holds the full planes (non-owned pixels shade to
+        # zero, so psum is a union).  The tile path shades from the dense
+        # per-pixel attribute planes the Pallas shade kernel already built
+        # — at an owned pixel the LOCAL winner IS the global winner, so the
+        # local attrs are exactly the right ones (no per-pixel record
+        # gather, the fast path the single-chip frame uses); the
+        # scatter-merge fallback keeps the record-gather shade.
+        if attrs_img is not None:
+            g0, g1, valid = shade.gbuffer_from_attrs(
+                attrs_img, mine, scene, textures=textures, depth=gdepth,
+                inverse_view_projection=sp.inverse_view_projection,
+            )
+        else:
+            local_vis = jnp.where(mine, fb.vis - offset, INVALID_FRAG)
+            local_fb = Framebuffer(depth=gdepth, vis=local_vis)
+            g0, g1, valid = shade.shade_gbuffer(
+                local_fb, tc, setup_all, scene, cfg.width, cfg.height, textures=textures
+            )
         g0 = jax.lax.psum(g0, axis)
         g1 = jax.lax.psum(g1, axis)
         gvalid = jax.lax.psum(valid.astype(jnp.float32), axis) > 0.0
+
+        # transmission layer (postPass=2): its own sort-last merge — the
+        # front-most transmission fragment across devices wins, its owner
+        # shades it, and composite blends the merged layer
+        transmission = None
+        if trans is not None:
+            t_depth = jax.lax.pmax(trans["depth"], axis)
+            t_winner = (trans["depth"] == t_depth) & (trans["vis"] != INVALID_FRAG)
+            t_cand = jnp.where(t_winner, trans["vis"], INVALID_FRAG)
+            t_gvis = jax.lax.pmin(t_cand, axis)
+            t_mine = t_winner & (t_gvis == trans["vis"])
+            g0t, g1t, t_valid = shade.gbuffer_from_attrs(
+                trans["attrs"], t_mine, scene, textures=textures, depth=t_depth,
+                inverse_view_projection=sp.inverse_view_projection,
+            )
+            g0t = jax.lax.psum(g0t, axis)
+            g1t = jax.lax.psum(g1t, axis)
+            t_gvalid = jax.lax.psum(t_valid.astype(jnp.float32), axis) > 0.0
+            transmission = (g0t, g1t, t_depth, t_gvalid)
 
         # post stages run replicated on the merged planes — the full frame
         # on every chip (bloom + shadows are dense image passes, far below
@@ -158,6 +190,7 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
             bloom=bloom_img,
             width=cfg.width,
             height=cfg.height,
+            transmission=transmission,
         )
 
         stats = jax.tree.map(lambda s: jax.lax.psum(s, axis), stats)
@@ -177,6 +210,22 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
         return jitted(stacked_scene, stacked_state, params, sp, textures, shadow_ctx)
 
     return fn
+
+
+def allreduce_bytes_per_frame(cfg: frame_mod.FrameConfig, transmission: bool = False) -> int:
+    """Per-device ICI all-reduce traffic of one sharded frame (for roofline
+    accounting; all buffers are [H, W]-shaped f32/i32):
+
+      depth pmax (4B) + vis pmin (4B) + g0/g1 psum (16B each) + valid psum
+      (4B) = 44 B/pixel, doubled when a transmission layer is merged.
+
+    At 1080p that is ~91 MB/frame — v5e ICI moves ~45 GB/s/link each way,
+    so the composite costs ~2 ms/frame/link, far below the sharded
+    cull/raster work it amortizes."""
+    per_px = 4 + 4 + 16 + 16 + 4
+    if transmission:
+        per_px *= 2
+    return cfg.width * cfg.height * per_px
 
 
 def make_mesh(n_devices: int, axis: str = "draws") -> Mesh:

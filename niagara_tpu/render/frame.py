@@ -64,6 +64,13 @@ class FrameConfig:
     pair_capacity: int = 1 << 21
     # max live triangles per raster pass after compaction (fragment-id space)
     tri_capacity: int = 1 << 20
+    # candidate-cluster budget for the direct cull's draw->cluster expansion
+    # (pre-cull: every meshlet of every emitted draw).  Distinct from
+    # cluster_capacity, which bounds post-cull survivors — see
+    # cull.cluster_cull_direct_multi's capacity-semantics note.  None = same
+    # as the survivor capacity (safe only when culling removes little).
+    candidate_capacity: int | None = None
+    late_candidate_capacity: int | None = None
     # the late pass only renders newly-visible geometry; in steady state that
     # is near zero, so it gets smaller capacities (overflow after a camera
     # cut drops clusters for one frame and heals, reference-style).  None =
@@ -89,6 +96,14 @@ class FrameConfig:
     @property
     def late_tri_cap(self):
         return self.late_tri_capacity or self.tri_capacity
+
+    @property
+    def candidate_cap(self):
+        return self.candidate_capacity or self.cluster_capacity
+
+    @property
+    def late_candidate_cap(self):
+        return self.late_candidate_capacity or self.candidate_capacity or self.late_cluster_cap
 
     @property
     def pyramid_levels_shape(self):
@@ -120,6 +135,10 @@ class FrameStats:
     cluster_dropped: Any  # clusters dropped at cluster-capacity
     tri_dropped: Any  # triangles dropped at setup tri-capacity
     pair_dropped: Any  # tile pairs dropped (class capacity / pair sort cap)
+    # candidate clusters expanded by the direct cull's late pass (0 on other
+    # paths) — the quantity candidate_capacity must exceed; exposed so the
+    # bench can verify its headroom, not just the absence of drops
+    candidates: Any = 0
 
 
 def init_state(num_draws: int, vis_slot_count: int) -> FrameState:
@@ -167,6 +186,7 @@ def _direct_pass(scene, params, emit, lod, dvb, vis_words, atlas, cfg: FrameConf
         late=late, pyramid_shape=pyr_hw,
         draw_capacity=cfg.cmd_capacity,
         cluster_capacity=cfg.late_cluster_cap if late else cfg.cluster_capacity,
+        candidate_capacity=cfg.late_candidate_cap if late else cfg.candidate_cap,
     )
     tc = raster.transform_meta_direct(scene, cdraw, cmi, ccount)
     return ccount, tc, new_words, n_draws, ddrop, cdrop
@@ -255,20 +275,83 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             frag_offset=frag_offset,
         )
 
+    trans = None
     if cfg.occlusion_two_pass:
         # --- depth pyramid from the early pass ---
         atlas = pyramid.build_pyramid(fb.depth, levels, ph, pw)
 
-        # --- late pass: full cull with occlusion, visibility write-back ---
-        emit_l, lod_l, new_draw_vis = cull.draw_cull(
-            scene, params, state.draw_vis, atlas, late=True, pyramid_shape=pyr_hw
-        )
+        tc = tc_e
+        setup_all = dict(tri_k=st_e["tri_k"], tri_t=st_e["tri_t"], shade_rec=st_e["shade_rec"])
+
         if direct:
-            ccount_l, tc_l, new_words, ncmd_l, cmd_drop_l, cdrop_l = _direct_pass(
-                scene, params, emit_l, lod_l, state.draw_vis, state.vis_words,
-                atlas, cfg, late=True, pyr_hw=pyr_hw,
+            # --- merged late + post passes: ONE [D]-scale cull over all
+            # draw classes, survivors partitioned per class (the reference
+            # re-dispatches the cascade per class, niagara.cpp:1775-1788;
+            # on TPU that re-paid the [1M] draw cull + expansion prefix
+            # sums per class — see cluster_cull_direct_multi)
+            emit_l, lod_l, new_draw_vis = cull.draw_cull(
+                scene, params, state.draw_vis, atlas, late=True,
+                pyramid_shape=pyr_hw, num_classes=cfg.post_passes,
+            )
+            per_class, new_words, ncmd_l, cmd_drop_l, cdrop_l, n_cand = cull.cluster_cull_direct_multi(
+                scene, params, emit_l, lod_l, state.draw_vis, state.vis_words, atlas,
+                late=True, pyramid_shape=pyr_hw,
+                draw_capacity=cfg.cmd_capacity,
+                cluster_capacity=cfg.late_cluster_cap,
+                candidate_capacity=cfg.late_candidate_cap,
+                num_classes=cfg.post_passes,
+            )
+            cmd_dropped = cmd_dropped + cmd_drop_l
+            cluster_dropped = cluster_dropped + cdrop_l
+            ccount_l = jnp.int32(0)
+            for pp, (cdraw_p, cmi_p, ccount_p) in enumerate(per_class):
+                tc_p = raster.transform_meta_direct(scene, cdraw_p, cmi_p, ccount_p)
+                st_p = _setup(tc_p, params, cfg, cfg.late_tri_cap)
+                tri_dropped = tri_dropped + st_p["dropped"]
+                ccount_l = ccount_l + ccount_p
+                off_p = frag_offset + cfg.tri_capacity + pp * cfg.late_tri_cap
+                if pp == 2:
+                    # transmission class renders into its OWN layer — it
+                    # must not write the opaque depth/vis (the reference
+                    # classifies postPass=2 draws, scene.cpp:584-588, and
+                    # excludes them from the raster passes and RT
+                    # instances; here they composite as a depth-tested
+                    # additive blend, see render_frame)
+                    depth_tt = jnp.zeros_like(depth_t)
+                    vis_tt = jnp.full_like(vis_t, raster.INVALID_FRAG)
+                    depth_tt, vis_tt, rst_p = raster_tile.rasterize_tiles(
+                        st_p, depth_tt, vis_tt, tiles_x=tiles_x, tiles_y=tiles_y,
+                        pair_capacity=cfg.pair_capacity, frag_offset=off_p,
+                        interpret=cfg.raster_interpret,
+                    )
+                    trans = dict(stream=rst_p["stream"], vis_t=vis_tt, depth_t=depth_tt)
+                else:
+                    depth_t, vis_t, rst_p = raster_tile.rasterize_tiles(
+                        st_p, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
+                        pair_capacity=cfg.pair_capacity, frag_offset=off_p,
+                        interpret=cfg.raster_interpret,
+                        # the alpha class tests at raster time (the
+                        # reference's POST pipeline fragment discard)
+                        alpha_test=pp == 1,
+                    )
+                    streams.append(rst_p["stream"])
+                pair_dropped = pair_dropped + rst_p["huge_dropped"]
+                k_off = cfg.cluster_capacity + pp * cfg.late_cluster_cap
+                tc = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), tc, tc_p)
+                setup_all = dict(
+                    tri_k=jnp.concatenate([setup_all["tri_k"], st_p["tri_k"] + k_off]),
+                    tri_t=jnp.concatenate([setup_all["tri_t"], st_p["tri_t"]]),
+                    shade_rec=jnp.concatenate([setup_all["shade_rec"], st_p["shade_rec"]]),
+                )
+            fb = raster.Framebuffer(
+                depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
+                vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
             )
         else:
+            # --- legacy wavefront path: late pass + sequential post passes
+            emit_l, lod_l, new_draw_vis = cull.draw_cull(
+                scene, params, state.draw_vis, atlas, late=True, pyramid_shape=pyr_hw
+            )
             cmds_l = cull.build_task_commands(
                 scene, emit_l, lod_l, state.draw_vis, max_groups=cfg.max_groups, capacity=cfg.cmd_capacity
             )
@@ -276,59 +359,54 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                 scene, params, cmds_l, state.vis_words, atlas, cfg, late=True, pyr_hw=pyr_hw
             )
             ncmd_l, cmd_drop_l = cmds_l.count, cmds_l.dropped
-        st_l = _setup(tc_l, params, cfg, cfg.late_tri_cap)
-        cmd_dropped = cmd_dropped + cmd_drop_l
-        cluster_dropped = cluster_dropped + cdrop_l
-        tri_dropped = tri_dropped + st_l["dropped"]
-        # merge late-pass fragments into the early framebuffer; fragment ids
-        # are offset so both passes shade from concatenated cluster arrays
-        if use_tiles:
-            depth_t, vis_t, rst_l = raster_tile.rasterize_tiles(
-                st_l, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
-                pair_capacity=cfg.pair_capacity,
-                frag_offset=frag_offset + cfg.tri_capacity,
-                interpret=cfg.raster_interpret,
-            )
-            streams.append(rst_l["stream"])
-            pair_dropped = pair_dropped + rst_l["huge_dropped"]
-            fb = raster.Framebuffer(
-                depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
-                vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
-            )
-        else:
-            fb = raster.rasterize_onto(
-                fb,
-                st_l,
-                cfg.width,
-                cfg.height,
-                frag_offset=frag_offset + cfg.tri_capacity,
-                small_capacity=cfg.small_capacity,
-                big_capacity=cfg.big_capacity,
-            )
-        tc = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), tc_e, tc_l)
-        # fragment ids of the two passes live in disjoint [0,Te) and
-        # [Te,Te+Tl) ranges; late tri_k shifts by the early cluster capacity
-        # to index the concatenated tc arrays
-        setup_all = dict(
-            tri_k=jnp.concatenate([st_e["tri_k"], st_l["tri_k"] + cfg.cluster_capacity]),
-            tri_t=jnp.concatenate([st_e["tri_t"], st_l["tri_t"]]),
-            shade_rec=jnp.concatenate([st_e["shade_rec"], st_l["shade_rec"]]),
-        )
-        # --- post passes: alpha-test (1) / transmission (2) draw classes,
-        # late-path cull + additive raster (reference niagara.cpp:1781-1788)
-        import dataclasses as _dc
-
-        for pp in range(1, cfg.post_passes):
-            params_pp = _dc.replace(params, post_pass=jnp.int32(pp))
-            emit_p, lod_p, new_draw_vis = cull.draw_cull(
-                scene, params_pp, new_draw_vis.astype(jnp.int32), atlas, late=True, pyramid_shape=pyr_hw
-            )
-            if direct:
-                ccount_p, tc_p, new_words, _, cmd_drop_p, cdrop_p = _direct_pass(
-                    scene, params_pp, emit_p, lod_p, new_draw_vis.astype(jnp.int32),
-                    new_words, atlas, cfg, late=True, pyr_hw=pyr_hw,
+            n_cand = jnp.int32(0)
+            st_l = _setup(tc_l, params, cfg, cfg.late_tri_cap)
+            cmd_dropped = cmd_dropped + cmd_drop_l
+            cluster_dropped = cluster_dropped + cdrop_l
+            tri_dropped = tri_dropped + st_l["dropped"]
+            # merge late-pass fragments into the early framebuffer; fragment
+            # ids are offset so both passes shade from concatenated arrays
+            if use_tiles:
+                depth_t, vis_t, rst_l = raster_tile.rasterize_tiles(
+                    st_l, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
+                    pair_capacity=cfg.pair_capacity,
+                    frag_offset=frag_offset + cfg.tri_capacity,
+                    interpret=cfg.raster_interpret,
+                )
+                streams.append(rst_l["stream"])
+                pair_dropped = pair_dropped + rst_l["huge_dropped"]
+                fb = raster.Framebuffer(
+                    depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
+                    vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
                 )
             else:
+                fb = raster.rasterize_onto(
+                    fb,
+                    st_l,
+                    cfg.width,
+                    cfg.height,
+                    frag_offset=frag_offset + cfg.tri_capacity,
+                    small_capacity=cfg.small_capacity,
+                    big_capacity=cfg.big_capacity,
+                )
+            tc = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), tc_e, tc_l)
+            # fragment ids of the two passes live in disjoint [0,Te) and
+            # [Te,Te+Tl) ranges; late tri_k shifts by the early cluster
+            # capacity to index the concatenated tc arrays
+            setup_all = dict(
+                tri_k=jnp.concatenate([st_e["tri_k"], st_l["tri_k"] + cfg.cluster_capacity]),
+                tri_t=jnp.concatenate([st_e["tri_t"], st_l["tri_t"]]),
+                shade_rec=jnp.concatenate([st_e["shade_rec"], st_l["shade_rec"]]),
+            )
+            # post passes: alpha-test (1) / transmission (2) draw classes,
+            # late-path cull + raster (reference niagara.cpp:1781-1788)
+            import dataclasses as _dc
+
+            for pp in range(1, cfg.post_passes):
+                params_pp = _dc.replace(params, post_pass=jnp.int32(pp))
+                emit_p, lod_p, new_draw_vis = cull.draw_cull(
+                    scene, params_pp, new_draw_vis.astype(jnp.int32), atlas, late=True, pyramid_shape=pyr_hw
+                )
                 cmds_p = cull.build_task_commands(
                     scene, emit_p, lod_p, new_draw_vis.astype(jnp.int32),
                     max_groups=cfg.max_groups, capacity=cfg.cmd_capacity,
@@ -337,38 +415,36 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                     scene, params_pp, cmds_p, new_words, atlas, cfg, late=True, pyr_hw=pyr_hw
                 )
                 cmd_drop_p = cmds_p.dropped
-            st_p = _setup(tc_p, params, cfg, cfg.late_tri_cap)
-            cmd_dropped = cmd_dropped + cmd_drop_p
-            cluster_dropped = cluster_dropped + cdrop_p
-            tri_dropped = tri_dropped + st_p["dropped"]
-            off_p = frag_offset + cfg.tri_capacity + pp * cfg.late_tri_cap
-            if use_tiles:
-                depth_t, vis_t, rst_p = raster_tile.rasterize_tiles(
-                    st_p, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
-                    pair_capacity=cfg.pair_capacity, frag_offset=off_p,
-                    interpret=cfg.raster_interpret,
-                    # post passes alpha-test at raster time (the reference's
-                    # POST pipeline variant with fragment discard)
-                    alpha_test=pp == 1,
+                st_p = _setup(tc_p, params, cfg, cfg.late_tri_cap)
+                cmd_dropped = cmd_dropped + cmd_drop_p
+                cluster_dropped = cluster_dropped + cdrop_p
+                tri_dropped = tri_dropped + st_p["dropped"]
+                off_p = frag_offset + cfg.tri_capacity + pp * cfg.late_tri_cap
+                if use_tiles:
+                    depth_t, vis_t, rst_p = raster_tile.rasterize_tiles(
+                        st_p, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
+                        pair_capacity=cfg.pair_capacity, frag_offset=off_p,
+                        interpret=cfg.raster_interpret,
+                        alpha_test=pp == 1,
+                    )
+                    streams.append(rst_p["stream"])
+                    pair_dropped = pair_dropped + rst_p["huge_dropped"]
+                    fb = raster.Framebuffer(
+                        depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
+                        vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
+                    )
+                else:
+                    fb = raster.rasterize_onto(
+                        fb, st_p, cfg.width, cfg.height, frag_offset=off_p,
+                        small_capacity=cfg.small_capacity, big_capacity=cfg.big_capacity,
+                    )
+                k_off = cfg.cluster_capacity + pp * cfg.late_cluster_cap
+                tc = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), tc, tc_p)
+                setup_all = dict(
+                    tri_k=jnp.concatenate([setup_all["tri_k"], st_p["tri_k"] + k_off]),
+                    tri_t=jnp.concatenate([setup_all["tri_t"], st_p["tri_t"]]),
+                    shade_rec=jnp.concatenate([setup_all["shade_rec"], st_p["shade_rec"]]),
                 )
-                streams.append(rst_p["stream"])
-                pair_dropped = pair_dropped + rst_p["huge_dropped"]
-                fb = raster.Framebuffer(
-                    depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
-                    vis=raster_tile.tiles_to_image(vis_t, cfg.height, cfg.width),
-                )
-            else:
-                fb = raster.rasterize_onto(
-                    fb, st_p, cfg.width, cfg.height, frag_offset=off_p,
-                    small_capacity=cfg.small_capacity, big_capacity=cfg.big_capacity,
-                )
-            k_off = cfg.cluster_capacity + pp * cfg.late_cluster_cap
-            tc = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), tc, tc_p)
-            setup_all = dict(
-                tri_k=jnp.concatenate([setup_all["tri_k"], st_p["tri_k"] + k_off]),
-                tri_t=jnp.concatenate([setup_all["tri_t"], st_p["tri_t"]]),
-                shade_rec=jnp.concatenate([setup_all["shade_rec"], st_p["shade_rec"]]),
-            )
 
         new_state = FrameState(draw_vis=new_draw_vis.astype(jnp.int32), vis_words=new_words)
         stats = FrameStats(
@@ -382,6 +458,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             cluster_dropped=cluster_dropped,
             tri_dropped=tri_dropped,
             pair_dropped=pair_dropped,
+            candidates=n_cand,
         )
     else:
         tc = tc_e
@@ -401,6 +478,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         )
 
     attrs_img = None
+    trans_out = None
     if use_tiles:
         # winners-only attribute interpolation over the final visibility
         # buffer, one kernel pass per raster pass (disjoint fragment-id
@@ -413,8 +491,22 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             streams, vis_t, attr_t, tiles_x=tiles_x, interpret=cfg.raster_interpret
         )
         attrs_img = raster_tile.attr_tiles_to_image(attr_t, cfg.height, cfg.width)
+        if trans is not None:
+            # transmission layer: its own visibility buffer resolves the
+            # front-most transmission fragment per pixel; attributes
+            # interpolate the same way and the blend happens in composite
+            attr_tt = jnp.zeros_like(attr_t)
+            attr_tt = raster_tile.shade_tiles(
+                [trans["stream"]], trans["vis_t"], attr_tt, tiles_x=tiles_x,
+                interpret=cfg.raster_interpret,
+            )
+            trans_out = dict(
+                depth=raster_tile.tiles_to_image(trans["depth_t"], cfg.height, cfg.width),
+                vis=raster_tile.tiles_to_image(trans["vis_t"], cfg.height, cfg.width),
+                attrs=raster_tile.attr_tiles_to_image(attr_tt, cfg.height, cfg.width),
+            )
 
-    return fb, tc, setup_all, new_state, stats, attrs_img
+    return fb, tc, setup_all, new_state, stats, attrs_img, trans_out
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -423,7 +515,21 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
 
     `bvh` (ops.shadow.ShadowBVH) enables ray-traced sun shadows when
     cfg.shadows is set (reference shadow pipeline niagara.cpp:1792-1855)."""
-    fb, tc, setup_all, new_state, stats, attrs_img = frame_core(scene, state, params, cfg)
+    fb, tc, setup_all, new_state, stats, attrs_img, trans = frame_core(scene, state, params, cfg)
+
+    transmission = None
+    if trans is not None:
+        # transmission class (postPass=2, reference scene.cpp:584-588):
+        # shade its layer like an opaque surface and hand composite the
+        # planes for a depth-tested 50/50 blend (the reference classifies
+        # these draws but never rasterizes them; the blend is this engine's
+        # defined semantics — see composite)
+        t_valid = trans["vis"] != raster.INVALID_FRAG
+        g0t, g1t, t_valid = shade.gbuffer_from_attrs(
+            trans["attrs"], t_valid, scene, textures=textures, depth=trans["depth"],
+            inverse_view_projection=shade_params.inverse_view_projection,
+        )
+        transmission = (g0t, g1t, trans["depth"], t_valid)
 
     if attrs_img is not None:
         # fast path: attributes already interpolated per pixel by the Pallas
@@ -492,6 +598,7 @@ def render_frame(scene, state: FrameState, params, shade_params: ShadeParams, cf
         bloom=bloom_img,
         width=cfg.width,
         height=cfg.height,
+        transmission=transmission,
     )
     return image, fb, new_state, stats
 

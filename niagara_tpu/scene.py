@@ -286,6 +286,24 @@ class DeviceScene:
     def num_draws(self) -> int:
         return len(self.draw_scale)
 
+    def slice_draws(self, lo: int, hi: int):
+        """A view of this scene restricted to draw ids [lo, hi) — all
+        per-draw arrays sliced, shared mesh/meshlet/material tables.
+
+        Use case: per-frame work proportional to an ANIMATED TAIL of the
+        draw list (ops/sunmap.update_sun_map) — culling the tail scene
+        costs [hi-lo], not [D].  Draw ids inside the sliced scene are
+        local; anything keyed on global ids (visibility slots) must not
+        cross the boundary (the sun-map path uses none)."""
+        import dataclasses
+
+        sliced = {
+            f.name: getattr(self, f.name)[lo:hi]
+            for f in dataclasses.fields(self)
+            if f.name.startswith("draw_")
+        }
+        return dataclasses.replace(self, **sliced)
+
     @property
     def num_meshlets(self) -> int:
         return len(self.meshlet_radius)

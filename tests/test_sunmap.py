@@ -194,6 +194,15 @@ def test_incremental_update_matches_full_rebuild(tmp_path):
         assert term[0] < 0.25, (x, term)  # under the occluder's new spot
         assert term[1] > 0.75, (x, term)  # old spot is lit again
 
+        # the tail-sliced form (bench.py's per-frame path: the update sees
+        # ONLY the animated draws as a scene.slice_draws view — [tail]-scale
+        # cull instead of [D]) must produce the IDENTICAL map
+        inc_sliced, _, drop_s = sunmap.update_sun_map(
+            moved.slice_draws(1, 2), sf, static_tiles, None,
+            map_w=256, map_h=256, **caps)
+        assert int(drop_s) == 0
+        np.testing.assert_array_equal(np.asarray(inc_sliced), np.asarray(inc))
+
 
 def test_packed_resolve_matches_unpacked(tmp_path):
     """sample_shadow_packed (one 16-byte row gather per position) must make

@@ -104,7 +104,7 @@ def _run_core(ds, cfg):
     cam = Camera()
     params, sp = frame_mod.make_frame_inputs(cam, RenderSettings(), cfg)
     state = frame_mod.init_state(ds.num_draws, ds.meshlet_visibility_count)
-    fb, tc, setup_all, _, _, attrs = frame_mod.frame_core(ds, state, params, cfg)
+    fb, tc, setup_all, _, _, attrs, _ = frame_mod.frame_core(ds, state, params, cfg)
     return fb, tc, setup_all, attrs, sp
 
 

@@ -238,6 +238,79 @@ def main():
     state = out[2]
     timed("FULL render_frame", lambda s: frame_mod.render_frame(scene, s, params, sp, cfg), state, n=5)
 
+    # ---- full headline scope: textured materials, alpha class, sun map ----
+    if int(os.environ.get("PROF_FULL", 1)):
+        import dataclasses
+
+        from niagara_tpu.cooker import synth
+        from niagara_tpu.cooker.opacity import bake_opacity
+        from niagara_tpu.ops import sunmap as sunmap_mod
+        from niagara_tpu.render import presets
+        from niagara_tpu.render import textures as tex_mod
+
+        synth.synthesize_planar_uvs(geometry)
+        materials, texture_mips, mat_idx, post = synth.synthesize_materials(draws_n)
+        draws.material_index[:] = mat_idx
+        draws.post_pass[:] = post
+        masks = bake_opacity(geometry, draws, materials, texture_mips)
+        table_host = tex_mod.build_texture_table(mips=texture_mips)
+        from niagara_tpu.scene import upload as upload2
+
+        scene_t = jax.device_put(upload2(geometry, draws, materials, masks, texture_table=table_host))
+        table = jax.device_put(table_host)
+
+        caps = presets.headline_capacities(draws_n)
+        cfg_full = frame_mod.FrameConfig(
+            width=width, height=height, max_groups=8, post_passes=2,
+            shadows=True, **caps,
+        )
+        params_f, sp_f = frame_mod.make_frame_inputs(Camera(), RenderSettings(), cfg_full)
+
+        # merged multi-class late cull (the one [D]-scale pass feeding all
+        # classes) vs the per-class sequential shape it replaced
+        dvb1 = jnp.ones(scene_t.num_draws, dtype=jnp.int32)
+        emit_l, lod_l, _ = dc(scene_t, params_f, dvb1, atlas0, late=True, pyramid_shape=pyr_hw)
+        ccm = partial(jax.jit, static_argnames=(
+            "late", "pyramid_shape", "draw_capacity", "cluster_capacity",
+            "candidate_capacity", "num_classes"))(cull.cluster_cull_direct_multi)
+        timed(
+            "cull_direct_multi(late,2cls)", ccm, scene_t, params_f, emit_l, lod_l,
+            dvb1, vis_words, atlas0, late=True, pyramid_shape=pyr_hw,
+            draw_capacity=cfg_full.cmd_capacity,
+            cluster_capacity=cfg_full.late_cluster_cap,
+            candidate_capacity=cfg_full.late_candidate_cap, num_classes=2,
+        )
+
+        # textured dense shading (3 gathers/px: mat row + mip row + quad)
+        sg3 = jax.jit(lambda a, v: shade.gbuffer_from_attrs(
+            a, v != 0x7FFFFFFF, scene_t, textures=table, depth=depth_img,
+            inverse_view_projection=sp_f.inverse_view_projection))
+        timed("gbuffer_from_attrs(tex)", sg3, attrs_img, vis_img)
+
+        # sun-map resolve + pack at bench map size (contents don't matter
+        # for timing; gathers dominate)
+        map_wh = int(os.environ.get("PROF_MAP", 2048))
+        sf = sunmap_mod.fit_sun_to_draws(np.asarray(sp_f.sun_direction), draws)
+        packed = jnp.zeros((map_wh * map_wh, 4), jnp.float32)
+        smp = jax.jit(partial(
+            sunmap_mod.shadow_map_pass, sf=sf, sun_map=None,
+            inverse_view_projection=sp_f.inverse_view_projection,
+            width=width, height=height, packed=packed,
+            map_shape=(map_wh, map_wh), blur=True, znear=params_f.znear))
+        timed("sunmap resolve(+blur)", lambda d: smp(d), fb.depth)
+        timed("sunmap pack", jax.jit(sunmap_mod.pack_sun_map),
+              jnp.zeros((map_wh, map_wh), jnp.float32))
+
+        # the whole headline frame (bench.py scope)
+        state_f = frame_mod.init_state(scene_t.num_draws, scene_t.meshlet_visibility_count)
+        shadow_ctx = (sf, packed, (map_wh, map_wh))
+        rf = lambda s: frame_mod.render_frame(
+            scene_t, s, params_f, sp_f, cfg_full, bvh=shadow_ctx, textures=table)
+        out = rf(state_f)
+        _sync(out)
+        state_f = out[2]
+        timed("FULL frame (bench scope)", rf, state_f, n=5)
+
     if int(os.environ.get("PROF_FLOORS", 1)):
         import bwprobe
 

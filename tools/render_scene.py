@@ -157,7 +157,7 @@ def main():
         if args.debug:
             from niagara_tpu.ops import shade as shade_mod
 
-            fb2, tc2, setup2, _, _, _ = frame_mod.frame_core(scene, state, params, cfg)
+            fb2, tc2, setup2, _, _, _, _ = frame_mod.frame_core(scene, state, params, cfg)
             image = shade_mod.debug_visualize(fb2, tc2, setup2, args.debug)
         if args.downsample > 1:
             image = image[:: args.downsample, :: args.downsample]
