@@ -331,6 +331,66 @@ def main():
               f"(TLAS build {build_s:.1f}s, refit {refit_s:.3f}s, "
               f"{draw_count} instances)", file=sys.stderr)
 
+    if int(os.environ.get("BENCH_GLTF", 1)) and not _CPU:
+        # glTF-at-scale side metric (config 3): the procedural street-canyon
+        # city (cooker/synth_city.py — 104 textured materials, alpha-cutout
+        # foliage, occlusion-heavy canyons) through the FULL glTF path:
+        # .glb parse -> C++ cook -> DDS decode -> opacity bake -> bindless
+        # table -> two-pass culled, textured, alpha-classed deferred frame.
+        from niagara_tpu.cooker import gltf as gltf_mod
+        from niagara_tpu.cooker import synth_city
+
+        t0 = time.time()
+        city_dir = os.path.join(os.path.dirname(__file__), ".cache", "city")
+        sd = gltf_mod.load_scene(synth_city.ensure_city(city_dir))
+        mips2 = tex_mod.load_texture_mips(sd.texture_paths, base_dir=city_dir)
+        masks2 = bake_opacity(sd.geometry, sd.draws, sd.materials, mips2)
+        table2_host = tex_mod.build_texture_table(mips=mips2)
+        scene2 = jax.device_put(upload(
+            sd.geometry, sd.draws, sd.materials, masks2, texture_table=table2_host))
+        table2 = jax.device_put(table2_host)
+        caps2 = presets.headline_capacities(sd.draws.count)
+        cfg2 = frame_mod.FrameConfig(
+            width=width, height=height,
+            max_groups=int(np.ceil(sd.geometry.meshes.lod_meshlet_count.max() / 64)),
+            post_passes=2, **caps2,
+        )
+        cam2 = Camera(position=sd.camera_position, orientation=sd.camera_orientation)
+        params2, sp2 = frame_mod.make_frame_inputs(
+            cam2, RenderSettings(), cfg2, sun_direction=sd.sun_direction)
+        state2 = frame_mod.init_state(scene2.num_draws, scene2.meshlet_visibility_count)
+        render2 = lambda st: frame_mod.render_frame(
+            scene2, st, params2, sp2, cfg2, textures=table2)
+        print(f"[bench] gltf city ready in {time.time()-t0:.1f}s: "
+              f"{sd.draws.count} draws, {scene2.num_meshlets} meshlets, "
+              f"{len(sd.materials['diffuse'])} materials, "
+              f"{len(sd.texture_paths)} textures, "
+              f"{int((sd.draws.post_pass == 1).sum())} alpha draws", file=sys.stderr)
+        t0 = time.time()
+        image2, fb2, state2, stats2 = render2(state2)
+        _ = np.asarray(image2[:1, :1])
+        print(f"[bench] gltf first frame (compile) {time.time()-t0:.1f}s", file=sys.stderr)
+        image2, fb2, state2, stats2 = render2(state2)
+        _ = np.asarray(image2[:1, :1])
+        t0 = time.time()
+        for _ in range(frames):
+            image2, fb2, state2, stats2 = render2(state2)
+        _ = np.asarray(image2[:1, :1])
+        gltf_ms = (time.time() - t0) / frames * 1000
+        covered2 = int(np.asarray((fb2.vis != 0x7FFFFFFF)[::8, ::8].sum()) * 64)
+        drops2 = dict(cmd=int(stats2.cmd_dropped), cluster=int(stats2.cluster_dropped),
+                      tri=int(stats2.tri_dropped), pair=int(stats2.pair_dropped))
+        extras["gltf_scene"] = {
+            "frame_ms": round(gltf_ms, 2),
+            "draws": int(sd.draws.count),
+            "materials": int(len(sd.materials["diffuse"])),
+            "covered_px": covered2,
+            **{f"drops_{k}": v for k, v in drops2.items()},
+        }
+        print(f"[bench] gltf city frame {gltf_ms:.2f}ms over {frames} chained "
+              f"frames (textured+alpha deferred); covered px ~{covered2}; "
+              f"drops {drops2}", file=sys.stderr)
+
     # measured chip primitives for roofline verification (same process,
     # same chip state as the frame numbers above)
     probe = {}

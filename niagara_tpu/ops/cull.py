@@ -409,6 +409,7 @@ def cluster_cull_direct_multi(
     cluster_capacity,
     candidate_capacity: int | None = None,
     num_classes: int = 1,
+    class_groups: tuple | None = None,
 ):
     """Draws -> clusters in ONE expansion + per-cluster cull at [K] scale.
 
@@ -457,45 +458,51 @@ def cluster_cull_direct_multi(
       * occlusion tests and visibility write-back apply to every class
         (disjoint slot ranges make the merged scatter equal to the
         sequential per-class ones).
-    Survivors are then partitioned by class — clusters stay draw-major
-    within each class, identical to what per-class passes would emit.
+    Survivors are then partitioned into `class_groups` (default: one group
+    per class) — clusters stay draw-major within each group.  Grouping
+    classes 0+1 together is the production shape: opaque and alpha-test
+    records only differ at raster time, where the alpha kernel variant
+    already discriminates PER RECORD by its opacity-mask id (idu == 0 means
+    no test), so one merged setup/raster chain replaces two and the classes
+    pool one survivor budget.  Transmission (class 2) stays its own group —
+    it rasterizes into a separate layer.
 
-    Returns (per_class, new_vis_words, n_draws, draw_dropped,
-    cluster_dropped, n_candidates) where per_class is a list of
-    num_classes tuples (cluster_draw [cap_c], cluster_mi [cap_c], count) —
-    draws dropped whole on candidate-capacity overflow, clusters dropped
-    by the per-class survivor compactions, n_candidates the number of
-    expanded candidate slots actually used (for capacity tuning).
+    Returns (per_group, new_vis_words, n_draws, draw_dropped,
+    cluster_dropped, n_candidates) where per_group is a list of
+    len(class_groups) tuples (cluster_draw [cap_g], cluster_mi [cap_g],
+    count) — draws dropped whole on candidate-capacity overflow, clusters
+    dropped by the per-group survivor compactions, n_candidates the number
+    of expanded candidate slots actually used (for capacity tuning).
     """
+    if class_groups is None:
+        class_groups = tuple((c,) for c in range(num_classes))
     if candidate_capacity is None:
         candidate_capacity = (
             cluster_capacity if isinstance(cluster_capacity, int)
             else max(cluster_capacity)
         )
     caps = (
-        (cluster_capacity,) * num_classes if isinstance(cluster_capacity, int)
+        (cluster_capacity,) * len(class_groups) if isinstance(cluster_capacity, int)
         else tuple(cluster_capacity)
     )
-    assert len(caps) == num_classes
-    D = scene.draw_mesh_index.shape[0]
-    d = jnp.arange(D, dtype=jnp.int32)
-
-    # 1) compact emitted draws to [draw_capacity] (same packing as
-    # build_task_commands: one [D] MXU prefix + one scatter)
-    emit_i = emit.astype(jnp.int32)
-    slots = prefix.exclusive_i32(emit_i)
-    sel = emit & (slots < draw_capacity)
-    packed = (d << 5) | (jnp.clip(lod_index, 0, 15) << 1) | (draw_vis != 0).astype(jnp.int32)
-    tgt = jnp.where(sel, slots, draw_capacity)
-    arr = jnp.zeros(draw_capacity, dtype=jnp.int32).at[tgt].set(packed + 1, mode="drop")
-    n_draws = jnp.sum(sel)
-
+    assert len(caps) == len(class_groups)
+    # 1) compact emitted draws to [draw_capacity].  Segmented bit-plane
+    # compaction (stream_compact.py): the [D]-wide cumsum + [D]-update
+    # scatter this replaces measured ~30 ms/pass at 1M draws on this chip —
+    # packing the mask into u64 words and expanding markers at [capacity]
+    # scale costs a dense [D] bit pass plus [capacity]-scale work instead.
+    # Per-draw fields (lod, dvb) follow with [capacity]-scale gathers.
+    emit_m = emit
+    if emit.shape[0] % 64:  # the segment compactor packs 64-draw words
+        emit_m = jnp.concatenate(
+            [emit, jnp.zeros(-emit.shape[0] % 64, dtype=emit.dtype)]
+        )
+    idx_d, n_draws, over_d = stream_compact.compact_mask_indices(emit_m, draw_capacity)
     pos_d = jnp.arange(draw_capacity, dtype=jnp.int32)
     live_d = pos_d < n_draws
-    pk = jnp.maximum(arr - 1, 0)
-    e_draw = pk >> 5
-    e_lod = (pk >> 1) & 15
-    e_vis = pk & 1
+    e_draw = idx_d  # ascending draw id, dead slots 0
+    e_lod = jnp.clip(lod_index[idx_d], 0, 15) * live_d
+    e_vis = ((draw_vis[idx_d] != 0) & live_d).astype(jnp.int32)
     e_visoff = scene.draw_vis_offset.astype(jnp.int32)[e_draw]
 
     L = scene.draw_lod_meshlet_count.shape[1]
@@ -509,7 +516,7 @@ def cluster_cull_direct_multi(
     # (one cluster per meshlet — no 64-lane chunking)
     base = prefix.exclusive_i32(meshlet_count)
     fits = base + meshlet_count <= candidate_capacity
-    draw_dropped = (jnp.sum(emit_i) - n_draws) + jnp.sum(live_d & (meshlet_count > 0) & ~fits)
+    draw_dropped = over_d + jnp.sum(live_d & (meshlet_count > 0) & ~fits)
     mcount = jnp.where(fits, meshlet_count, 0)
     slot1 = jnp.where(mcount > 0, base, candidate_capacity)
     arr_draw = jnp.zeros(candidate_capacity, dtype=jnp.int32).at[slot1].set(
@@ -595,32 +602,43 @@ def cluster_cull_direct_multi(
     # late-pass visibility write-back, word-pair granularity (identical to
     # the command form: a pair is written iff its 64-aligned slot block has
     # >= 1 valid cluster — slot ranges are 64-aligned per draw, and every
-    # owned 64-block contains at least one cluster by construction)
+    # owned 64-block contains at least one cluster by construction).
+    # Everything runs at CANDIDATE scale: clear both words of each touched
+    # pair, then accumulate the visible bits — three [K] scatters.  (The
+    # earlier form materialized dense [W] buffers and a [W]-element gather
+    # to merge them; at 1M draws W is 16M words and that gather alone cost
+    # ~160 ms/pass on this chip.)
     new_vis_words = vis_words
     if late:
         W = vis_words.shape[0]
-        wv = jnp.where(valid & cluster_occ, vis_slot >> 5, W)
+        wr = valid & cluster_occ
+        w_lo = jnp.where(wr, (vis_slot >> 6) * 2, W)  # pair-aligned word
+        cleared = vis_words.at[w_lo].set(jnp.uint32(0), mode="drop")
+        cleared = cleared.at[jnp.where(wr, w_lo + 1, W)].set(jnp.uint32(0), mode="drop")
+        wv = jnp.where(wr, vis_slot >> 5, W)
         vbit = jnp.where(valid & visible, bit, jnp.uint32(0))
-        summed = jnp.zeros(W, dtype=jnp.uint32).at[wv].add(vbit, mode="drop")
-        pv = jnp.where(valid & cluster_occ, vis_slot >> 6, W // 2)
-        touched = jnp.zeros(W // 2, dtype=jnp.int32).at[pv].add(1, mode="drop")
-        touched_w = touched[jnp.arange(W, dtype=jnp.int32) >> 1] > 0
-        new_vis_words = jnp.where(touched_w, summed, vis_words)
+        new_vis_words = cleared.at[wv].add(vbit, mode="drop")
 
-    # 4) compact the surviving clusters per class (reference's atomicAdd
-    # append, one compaction per class — within-class order stays
-    # draw-major, identical to sequential per-class passes)
+    # 4) compact the surviving clusters per group (reference's atomicAdd
+    # append, one compaction per group — within-group order stays
+    # draw-major)
     emit_mask = visible & ~skip
-    per_class = []
+    per_group = []
     cluster_dropped = jnp.int32(0)
-    for c in range(num_classes):
-        mask_c = emit_mask & (cls == c) if num_classes > 1 else emit_mask
-        idx, k_count, over = stream_compact.compact_mask_indices(mask_c, caps[c])
-        per_class.append((draw_id[idx], mi[idx], k_count.astype(jnp.int32)))
+    for g, group in enumerate(class_groups):
+        if num_classes > 1:
+            in_g = cls == group[0]
+            for c in group[1:]:
+                in_g = in_g | (cls == c)
+            mask_g = emit_mask & in_g
+        else:
+            mask_g = emit_mask
+        idx, k_count, over = stream_compact.compact_mask_indices(mask_g, caps[g])
+        per_group.append((draw_id[idx], mi[idx], k_count.astype(jnp.int32)))
         cluster_dropped = cluster_dropped + over
 
     return (
-        per_class,
+        per_group,
         new_vis_words,
         n_draws.astype(jnp.int32),
         draw_dropped.astype(jnp.int32),

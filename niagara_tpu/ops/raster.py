@@ -327,6 +327,18 @@ def compact_setup(tc, width, height, znear, capacity: int):
         za, zb, zc = za * zbias, zb * zbias, zc * zbias
         front = front | flip
 
+    # sliver triangles can overflow the depth plane to Inf (|inv_det| up to
+    # 1e30 times ~1e12 homogeneous edge terms); non-finite records poison
+    # one-hot MXU gathers downstream (Inf * 0 = NaN), so such triangles are
+    # invalid and their plane coefficients zeroed (bit-identical rule to the
+    # fused setup kernel, setup_fused.py)
+    zmag = jnp.maximum(jnp.maximum(jnp.abs(za), jnp.abs(zb)), jnp.abs(zc))
+    zfin = zmag < 1e30
+    za = jnp.where(zfin, za, 0.0)
+    zb = jnp.where(zfin, zb, 0.0)
+    zc = jnp.where(zfin, zc, 0.0)
+    front = front & zfin
+
     # screen-space corners (guarded division) for the AABB and the fallback
     # shading record; triangles with any corner at w<=0 get a conservative
     # full-screen AABB (their projected corners are meaningless, but edge +

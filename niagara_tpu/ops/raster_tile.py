@@ -70,7 +70,7 @@ def tiles_to_image(tiles, height, width):
 
 def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
                mid_capacity: int | None = None, small_capacity: int | None = None,
-               midb_capacity: int | None = None, giant_capacity: int = 128):
+               midb_capacity: int | None = None, giant_capacity: int = 64):
     """(tile, tri) pair list sorted by tile.
 
     Pairs are packed as single u32 keys (tile << tri_bits | tri) so the sort
@@ -89,9 +89,9 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     if small_capacity is None:
         small_capacity = max(1 << 15, T // 8)
     if mid_capacity is None:
-        mid_capacity = max(8192, T // 64)
+        mid_capacity = max(4096, T // 128)
     if midb_capacity is None:
-        midb_capacity = max(1 << 10, T // 512)
+        midb_capacity = max(512, T // 1024)
     tri_bits = max(T - 1, 1).bit_length()
     assert tri_bits + (n_tiles).bit_length() <= 32, (
         "packed pair key overflows u32; lower tri_capacity or tile count"

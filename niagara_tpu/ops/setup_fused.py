@@ -337,6 +337,20 @@ def _setup_kernel(
         za, zb, zc = za * zbias, zb * zbias, zc * zbias
         front = front | flip
 
+        # sliver triangles can overflow the depth plane to Inf (|inv_det| up
+        # to 1e30 times ~1e12 homogeneous edge terms).  A single non-finite
+        # record would poison every one-hot MXU dot it rides through
+        # (placement below, the shade kernel's winner gather: Inf * 0 = NaN
+        # contaminates the whole 128-chunk), so such triangles are invalid
+        # and their plane coefficients zeroed — they cover no pixel a
+        # finite-depth rasterizer could resolve anyway.
+        zmag = jnp.maximum(jnp.maximum(jnp.abs(za), jnp.abs(zb)), jnp.abs(zc))
+        zfin = zmag < 1e30
+        za = jnp.where(zfin, za, 0.0)
+        zb = jnp.where(zfin, zb, 0.0)
+        zc = jnp.where(zfin, zc, 0.0)
+        front = front & zfin
+
         def sdiv(h, w):
             return h / jnp.where(w > 1e-9, w, 1e-9)
 
@@ -382,8 +396,16 @@ def _setup_kernel(
         # buffer rows are stale, so mask them to zero (zero idu = "no alpha
         # test"; only post streams consume these columns at raster time)
         if with_alpha:
-            post_on = (meta_ref[:, 2:3] > 0).astype(jnp.float32)  # [BLOCK,1]
-            cols += [abuf[slot, :, i, :MESH_MAXTRI] * post_on for i in range(8)]
+            # select, don't multiply: non-post clusters' abuf rows are
+            # UNINITIALIZED scratch (their DMA never runs) and can hold
+            # NaN — NaN * 0 is NaN, and one NaN anywhere in the record
+            # stack poisons entire window chunks through the placement
+            # dots (0-weight one-hot terms still contribute 0 * NaN)
+            post_b = jnp.broadcast_to(meta_ref[:, 2:3] > 0, flat.shape)
+            cols += [
+                jnp.where(post_b, abuf[slot, :, i, :MESH_MAXTRI], 0.0)
+                for i in range(8)
+            ]
         else:
             cols += [jnp.zeros_like(flat) for _ in range(8)]
 
@@ -413,7 +435,12 @@ def _setup_kernel(
 
         # aabb/meta side channel columns: x0 y0 x1 y1 valid flat pad pad
         acols = [x0d, y0d, x1d, y1d, vf, flat, jnp.zeros_like(flat), jnp.zeros_like(flat)]
-        allcols = cols + acols  # REC + 8 = 56 columns
+        # sanitize: INVALID slots' raw values may be non-finite (degenerate
+        # math), and the placement dots sum 0 * value over every slot —
+        # 0 * Inf/NaN would contaminate whole window chunks.  Valid records
+        # are finite by construction (zfin above kills the one overflow
+        # source), so this is exact for everything consumed downstream.
+        allcols = [jnp.where(jnp.isfinite(c), c, 0.0) for c in cols + acols]
         NCOL = len(allcols)
 
         # --- placement, Mosaic-shaped.  Constraints: no lane<->sublane

@@ -125,8 +125,8 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
         valid = valid & ~((post > 0) & (albedo[..., 3] < 0.5))
     else:
         # material factors only (reference untextured OBJ mode): one
-        # megarow gather instead of three per-table gathers
-        row = scene.mat_row[mat]
+        # megarow fetch instead of three per-table gathers
+        row = _mat_rows(scene.mat_row, mat)
         albedo = row[..., 0:4]
         specgloss = row[..., 4:8]
         emissive = row[..., 8:11]
@@ -156,19 +156,34 @@ def shade_gbuffer(fb, tc, setup, scene, width, height, textures=None):
     return g0, g1, valid
 
 
+def _mat_rows(mat_row, mat):
+    """Per-pixel material megarows.  Small material tables (<= 16 entries)
+    use an unrolled masked-sum select — a fused dense chain XLA streams at
+    memory rate — instead of a per-pixel gather (~12 ns/px latency-bound on
+    this chip: one full [1080p] gather plane saved)."""
+    nm = mat_row.shape[0]
+    if nm > 16:
+        return mat_row[mat]
+    acc = jnp.where((mat == 0)[..., None], mat_row[0], 0.0)
+    for i in range(1, nm):
+        acc = acc + jnp.where((mat == i)[..., None], mat_row[i], 0.0)
+    return acc
+
+
 def _sample_materials(scene, textures, mat, uv, duv):
     """Material fetch + texture sampling shared by both shading paths
     (reference mesh.frag.glsl:62-80), written to the chip's gather cost
     model: per-pixel gathers run ~13-20ms per 1080p plane regardless of row
-    width, so everything per-material rides ONE mat_row gather (factors,
-    tex ids, albedo mip-0 area) and each USED texture slot costs one
-    mip-row + one quad-footprint gather.  Unused slots (static
+    width, so everything per-material rides ONE mat_row fetch (factors,
+    tex ids, albedo mip-0 area + analytic addressing metadata) and each
+    USED texture slot costs one quad-footprint gather (+ one mip-row
+    gather for slots without analytic metadata).  Unused slots (static
     scene.texture_slots) are skipped at trace time.
 
     Returns (albedo, specgloss, emissive, nmap-or-None, tex_ids)."""
     from ..render import textures as tex_mod
 
-    row = scene.mat_row[mat]  # [H,W,16] — one gather for all material data
+    row = _mat_rows(scene.mat_row, mat)  # [H,W,20]: all material data
     albedo = row[..., 0:4]
     specgloss = row[..., 4:8]
     emissive = row[..., 8:11]
@@ -178,12 +193,19 @@ def _sample_materials(scene, textures, mat, uv, duv):
     area = row[..., 15]
     mip = tex_mod.select_mip_from_area(duv, jnp.maximum(area, 1.0))
 
-    def tex(idx):
-        return tex_mod.sample(textures, tex_ids[..., idx], uv, mip)
+    # analytic mip addressing for the albedo slot (textures.sample meta
+    # path): exact only while pool offsets fit f32 (< 2^24 texels)
+    meta0 = None
+    if (getattr(scene, "has_texture_meta", False)
+            and row.shape[-1] >= 20 and textures.texels.shape[0] < (1 << 24)):
+        meta0 = tuple(row[..., 16 + i].astype(jnp.int32) for i in range(4))
+
+    def tex(idx, meta=None):
+        return tex_mod.sample(textures, tex_ids[..., idx], uv, mip, meta=meta)
 
     slots = scene.texture_slots
     if slots[0]:
-        albedo_t = tex(0)
+        albedo_t = tex(0, meta=meta0)
         albedo = albedo * jnp.where(
             (tex_ids[..., 0] > 0)[..., None],
             jnp.concatenate([cullmath.from_srgb(albedo_t[..., :3]), albedo_t[..., 3:]], axis=-1),
@@ -261,7 +283,7 @@ def gbuffer_from_attrs(attrs_img, valid, scene, textures=None, *, depth=None,
             specgloss = jnp.broadcast_to(scene.mat_specular[0], nrm.shape[:-1] + (4,))
             emissive = jnp.broadcast_to(scene.mat_emissive[0], nrm.shape[:-1] + (3,))
         else:
-            row = scene.mat_row[mat]  # one megarow gather
+            row = _mat_rows(scene.mat_row, mat)  # one megarow fetch
             albedo = row[..., 0:4]
             specgloss = row[..., 4:8]
             emissive = row[..., 8:11]

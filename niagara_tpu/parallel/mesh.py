@@ -82,12 +82,12 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
     work orders of magnitude below the sharded cull/raster stages.
     """
     # Fragment ids within one device span [0, tri_capacity) for the early
-    # pass plus [tri_capacity + (pp-0)*late_tri_cap, ...) for the late pass
-    # (pp=0) and each post pass (pp>=1) — see frame_core's frag_offset math.
-    # The stride must cover the whole range so per-device id ranges are
-    # disjoint for every FrameConfig (post_passes>1, late_tri_capacity !=
-    # tri_capacity included).
-    frag_stride = cfg.tri_capacity + cfg.post_passes * cfg.late_tri_cap
+    # pass plus [tri_capacity + g*late_tri_cap, ...) for each late class
+    # GROUP — see frame_core's frag_offset math.  The stride must cover the
+    # whole range so per-device id ranges are disjoint for every
+    # FrameConfig (post_passes>1, late_tri_capacity != tri_capacity
+    # included).
+    frag_stride = cfg.tri_capacity + len(cfg.late_class_groups) * cfg.late_tri_cap
 
     def per_device(scene, state, params, sp, textures, shadow_ctx):
         # shard_map passes [1, ...] blocks along the draw axis

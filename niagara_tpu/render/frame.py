@@ -106,6 +106,17 @@ class FrameConfig:
         return self.late_candidate_capacity or self.candidate_capacity or self.late_cluster_cap
 
     @property
+    def late_class_groups(self):
+        """Raster grouping of the late pass's draw classes: opaque +
+        alpha-test share one chain (the alpha raster variant discriminates
+        per record by opacity-mask id), transmission gets its own layer."""
+        if self.post_passes <= 1:
+            return ((0,),)
+        if self.post_passes == 2:
+            return ((0, 1),)
+        return ((0, 1), (2,))
+
+    @property
     def pyramid_levels_shape(self):
         return pyramid.pyramid_shape(self.width, self.height)
 
@@ -293,24 +304,26 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                 scene, params, state.draw_vis, atlas, late=True,
                 pyramid_shape=pyr_hw, num_classes=cfg.post_passes,
             )
-            per_class, new_words, ncmd_l, cmd_drop_l, cdrop_l, n_cand = cull.cluster_cull_direct_multi(
+            groups = cfg.late_class_groups
+            per_group, new_words, ncmd_l, cmd_drop_l, cdrop_l, n_cand = cull.cluster_cull_direct_multi(
                 scene, params, emit_l, lod_l, state.draw_vis, state.vis_words, atlas,
                 late=True, pyramid_shape=pyr_hw,
                 draw_capacity=cfg.cmd_capacity,
                 cluster_capacity=cfg.late_cluster_cap,
                 candidate_capacity=cfg.late_candidate_cap,
                 num_classes=cfg.post_passes,
+                class_groups=groups,
             )
             cmd_dropped = cmd_dropped + cmd_drop_l
             cluster_dropped = cluster_dropped + cdrop_l
             ccount_l = jnp.int32(0)
-            for pp, (cdraw_p, cmi_p, ccount_p) in enumerate(per_class):
+            for g, (cdraw_p, cmi_p, ccount_p) in enumerate(per_group):
                 tc_p = raster.transform_meta_direct(scene, cdraw_p, cmi_p, ccount_p)
                 st_p = _setup(tc_p, params, cfg, cfg.late_tri_cap)
                 tri_dropped = tri_dropped + st_p["dropped"]
                 ccount_l = ccount_l + ccount_p
-                off_p = frag_offset + cfg.tri_capacity + pp * cfg.late_tri_cap
-                if pp == 2:
+                off_p = frag_offset + cfg.tri_capacity + g * cfg.late_tri_cap
+                if groups[g] == (2,):
                     # transmission class renders into its OWN layer — it
                     # must not write the opaque depth/vis (the reference
                     # classifies postPass=2 draws, scene.cpp:584-588, and
@@ -330,13 +343,15 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                         st_p, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
                         pair_capacity=cfg.pair_capacity, frag_offset=off_p,
                         interpret=cfg.raster_interpret,
-                        # the alpha class tests at raster time (the
-                        # reference's POST pipeline fragment discard)
-                        alpha_test=pp == 1,
+                        # alpha-class records test at raster time (the
+                        # reference's POST fragment discard); opaque
+                        # records in the same merged stream carry a zero
+                        # mask id and pass untouched
+                        alpha_test=1 in groups[g],
                     )
                     streams.append(rst_p["stream"])
                 pair_dropped = pair_dropped + rst_p["huge_dropped"]
-                k_off = cfg.cluster_capacity + pp * cfg.late_cluster_cap
+                k_off = cfg.cluster_capacity + g * cfg.late_cluster_cap
                 tc = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), tc, tc_p)
                 setup_all = dict(
                     tri_k=jnp.concatenate([setup_all["tri_k"], st_p["tri_k"] + k_off]),

@@ -91,6 +91,24 @@ def build_texture_table(
         mips = load_texture_mips(paths or [], base_dir, max_dim)
     texture_mips = [[np.full((1, 1, 4), 255, np.uint8)]] + [list(m) for m in mips]
 
+    # enforce floor-halving chains (the DDS convention): every kept mip's
+    # dims must equal max(prev >> 1, 1).  Together with the consecutive
+    # pool layout this makes (offset, w, h) of ANY mip computable from the
+    # mip-0 metadata alone — the `meta` fast path in sample().  Oddly-sized
+    # ceil-halving chains (e.g. numpy [::2] pyramids) are truncated at the
+    # first non-conforming level; the mip clamp covers the tail.
+    def _conforming(chain):
+        out = [chain[0]]
+        for m in chain[1:]:
+            ph, pw = out[-1].shape[:2]
+            if m.shape[0] == max(ph // 2, 1) and m.shape[1] == max(pw // 2, 1):
+                out.append(m)
+            else:
+                break
+        return out
+
+    texture_mips = [_conforming(c) for c in texture_mips]
+
     if budget_bytes is not None:
         def pool_size(tm):
             return sum(m.shape[0] * m.shape[1] * 4 for mips in tm for m in mips)
@@ -159,18 +177,38 @@ def build_texture_table(
     )
 
 
-def sample(table: TextureTable, tex_id, uv, mip, *, bilinear: bool = True):
+def sample(table: TextureTable, tex_id, uv, mip, *, bilinear: bool = True,
+           meta=None):
     """Sample [H,W] pixels: tex_id i32 (0 = white), uv f32 [...,2] (repeat
     wrap), mip i32.  Returns f32 [...,4] in [0,1].
 
     Gather budget (the cost model on this chip — per-pixel gathers are
     latency-bound at ~13-20ms per 1080p plane regardless of row width):
     one mip_rows gather for (offset, w, h) + one quad-row gather for the
-    whole 2x2 bilinear footprint = 2 gathers per sample."""
+    whole 2x2 bilinear footprint = 2 gathers per sample.
+
+    `meta` = per-pixel i32 (mip0_offset, mip0_w, mip0_h, mip_count) —
+    usually riding the material megarow (scene._albedo_meta_columns) —
+    computes the mip's (offset, w, h) ANALYTICALLY instead: the pool lays a
+    texture's mips out consecutively and every chain floor-halves (both
+    guaranteed by build_texture_table), so offset_m = offset_0 +
+    sum_{k<m} max(w0>>k,1)*max(h0>>k,1) — dense shift math, removing the
+    mip_rows gather entirely (1 gather per sample).  Only valid while pool
+    offsets stay f32-exact (< 2^24 texels; callers gate on that)."""
     tid = jnp.clip(tex_id, 0, table.mip_count.shape[0] - 1)
     m = jnp.clip(mip, 0, MAX_MIPS - 1)
 
-    if table.mip_rows is not None:
+    if meta is not None:
+        off0, w0, h0, cnt = meta
+        m = jnp.minimum(m, jnp.maximum(cnt - 1, 0))
+        w = jnp.maximum(w0 >> m, 1)
+        h = jnp.maximum(h0 >> m, 1)
+        off = off0
+        for k in range(MAX_MIPS - 1):
+            off = off + jnp.where(
+                m > k, jnp.maximum(w0 >> k, 1) * jnp.maximum(h0 >> k, 1), 0
+            )
+    elif table.mip_rows is not None:
         row = table.mip_rows[tid * MAX_MIPS + m]  # one 16B row gather
         off, w, h = row[..., 0], row[..., 1], row[..., 2]
     else:

@@ -28,7 +28,7 @@ from .utils import math3d
 
 def _register_scene_dataclass(cls):
     names = [f.name for f in fields(cls)]
-    meta = [n for n in names if n in ("meshlet_visibility_count", "has_alpha_masks", "texture_slots")]
+    meta = [n for n in names if n in ("meshlet_visibility_count", "has_alpha_masks", "texture_slots", "has_texture_meta")]
     data_fields = [n for n in names if n not in meta]
     return jax.tree_util.register_dataclass(cls, data_fields=data_fields, meta_fields=meta)
 
@@ -267,12 +267,14 @@ class DeviceScene:
     mat_specular: np.ndarray = None  # f32 [NM,4]
     mat_emissive: np.ndarray = None  # f32 [NM,3]
     mat_textures: np.ndarray = None  # i32 [NM,4] albedo/normal/specular/emissive (+1-based into the texture table; 0 = none)
-    # material megarow [NM, 16] f32: 0-3 diffuse, 4-7 specular, 8-10
-    # emissive, 11-14 tex ids (as float, exact below 2^24), 15 pad.  The
+    # material megarow [NM, 20] f32: 0-3 diffuse, 4-7 specular, 8-10
+    # emissive, 11-14 tex ids (as float, exact below 2^24), 15 albedo mip-0
+    # texel area, 16-19 albedo analytic-addressing metadata (mip-0 pool
+    # offset, w, h, mip count — render/textures.sample `meta` path).  The
     # dense shading paths gather this ONE row per pixel instead of 4
     # separate per-material tables (per-pixel gathers cost ~13-20ms each
     # per 1080p plane on this chip, independent of row width).
-    mat_row: np.ndarray = None  # f32 [NM, 16]
+    mat_row: np.ndarray = None  # f32 [NM, 20]
 
     meshlet_visibility_count: int = 0
     # static flag: opacity masks baked (meshlet_alpha is real, not the
@@ -281,6 +283,10 @@ class DeviceScene:
     # static per-slot texture usage (albedo, normal, specular, emissive):
     # False slots skip their sample() gathers entirely at trace time
     texture_slots: tuple = (False, False, False, False)
+    # static: mat_row cols 16-19 hold REAL albedo addressing metadata (a
+    # texture table was present at upload) — gates the analytic-mip fast
+    # path; without it those cols are white-dummy placeholders
+    has_texture_meta: bool = False
 
     @property
     def num_draws(self) -> int:
@@ -347,6 +353,29 @@ def _albedo_area_column(materials: dict, texture_table) -> np.ndarray:
     safe = np.where(ok, ids, 0)
     col[:, 0] = np.where(ok, (mw[safe, 0] * mh[safe, 0]).astype(np.float32), 1.0)
     return col
+
+
+def _albedo_meta_columns(materials: dict, texture_table) -> np.ndarray:
+    """[NM, 4] f32: each material's albedo texture addressing metadata
+    (mip-0 pool offset, mip-0 w, mip-0 h, mip count).  The texel pool lays
+    mips out consecutively and every chain floor-halves, so the (offset, w,
+    h) of ANY mip is computable from these four numbers with dense shifts —
+    render/textures.sample's `meta` path, which removes the per-pixel
+    mip_rows gather (~12 ns/px on this chip, one full [1080p] gather
+    plane)."""
+    nm = len(materials["diffuse"])
+    cols = np.zeros((nm, 4), np.float32)
+    cols[:, 1:4] = 1.0  # white dummy: 1x1, 1 mip (offset 0)
+    if texture_table is None:
+        return cols
+    ids = np.asarray(materials["textures"])[:, 0] + 1
+    ok = (ids > 0) & (ids < len(texture_table.mip_count))
+    safe = np.where(ok, ids, 0)
+    cols[:, 0] = texture_table.mip_offset[safe, 0]
+    cols[:, 1] = texture_table.mip_w[safe, 0]
+    cols[:, 2] = texture_table.mip_h[safe, 0]
+    cols[:, 3] = texture_table.mip_count[safe]
+    return cols.astype(np.float32)
 
 
 def upload(
@@ -527,11 +556,13 @@ def upload(
                 materials["emissive"].astype(np.float32),
                 (materials["textures"].astype(np.int32) + 1).astype(np.float32),
                 _albedo_area_column(materials, texture_table),
+                _albedo_meta_columns(materials, texture_table),
             ],
             axis=-1,
         ),
         texture_slots=tuple(
             bool((materials["textures"][:, i] >= 0).any()) for i in range(4)
         ),
+        has_texture_meta=texture_table is not None,
         meshlet_visibility_count=vis_count,
     )

@@ -88,7 +88,8 @@ def test_bench_capacities_loss_free(bench_scene):
     per_class, _, n_draws_l, ddrop_l, cdrop_l, n_cand = jax.jit(
         cull.cluster_cull_direct_multi,
         static_argnames=("late", "pyramid_shape", "draw_capacity",
-                         "cluster_capacity", "candidate_capacity", "num_classes"),
+                         "cluster_capacity", "candidate_capacity", "num_classes",
+                         "class_groups"),
     )(
         ds, params, emit_l, lod_l, dvb, words, atlas,
         late=True, pyramid_shape=pyr_hw,
@@ -96,6 +97,7 @@ def test_bench_capacities_loss_free(bench_scene):
         cluster_capacity=cfg.late_cluster_cap,
         candidate_capacity=cfg.late_candidate_cap,
         num_classes=cfg.post_passes,
+        class_groups=cfg.late_class_groups,
     )
     assert int(ddrop_l) == 0, (
         f"late pass dropped {int(ddrop_l)} draws "
@@ -108,10 +110,11 @@ def test_bench_capacities_loss_free(bench_scene):
         f"{cfg.late_candidate_cap} budget — retune headline_capacities"
     )
     counts = [int(c) for (_, _, c) in per_class]
-    # class 0 late survivors are 0 here BY PROTOCOL: with every visibility
-    # bit set and dvb=1, the skip rule removes clusters already drawn in
-    # the early pass; the alpha class (no skip protocol) must emit
-    assert counts[1] > 0, counts
+    # the merged opaque+alpha group: class-0 late survivors are 0 here BY
+    # PROTOCOL (every visibility bit set + dvb=1 -> the skip rule removes
+    # clusters already drawn early), but the alpha class (no skip
+    # protocol) must emit
+    assert counts[0] > 0, counts
     print(f"[bench-caps] draws={DRAWS} early: emitted {int(n_draws_e)} "
           f"survivors {int(n_early)}; late: emitted {int(n_draws_l)} "
           f"candidates {int(n_cand)} per-class survivors {counts}")

@@ -347,3 +347,42 @@ def test_bc6h_signed_mode10_analytic():
             a, b = unq_signed(e0), unq_signed(e1)
             v = (a * (64 - wgt) + b * wgt + 32) >> 6
             assert f[t, c] == pytest.approx(float(finish(v)), abs=1e-6), (t, c)
+
+
+def test_analytic_mip_addressing_matches_table():
+    """textures.sample's `meta` path (analytic offset/w/h from mip-0
+    metadata, no mip_rows gather) must be bit-identical to the table-driven
+    path across textures, mips (incl. past-the-chain clamping), and
+    non-square/non-pow2 sizes."""
+    import numpy as np
+    import jax.numpy as jnp
+    from niagara_tpu.render import textures as tex_mod
+
+    rng = np.random.default_rng(3)
+    mips_list = []
+    for (w, h) in [(64, 64), (128, 32), (6, 10), (1, 1), (56, 56)]:
+        img = rng.integers(0, 256, (h, w, 4)).astype(np.uint8)
+        chain = [img]
+        while max(chain[-1].shape[0], chain[-1].shape[1]) > 1:
+            m = chain[-1]
+            chain.append(m[::2, ::2])
+        mips_list.append(chain)
+    table = tex_mod.build_texture_table(mips=mips_list)
+
+    n = 4096
+    tid = jnp.asarray(rng.integers(0, len(mips_list) + 1, n), jnp.int32)
+    uv = jnp.asarray(rng.random((n, 2)) * 3.0 - 1.0, jnp.float32)
+    mip = jnp.asarray(rng.integers(0, tex_mod.MAX_MIPS, n), jnp.int32)
+
+    mo = np.asarray(table.mip_offset)
+    mw = np.asarray(table.mip_w)
+    mh = np.asarray(table.mip_h)
+    mc = np.asarray(table.mip_count)
+    t = np.asarray(tid)
+    meta = (
+        jnp.asarray(mo[t, 0]), jnp.asarray(mw[t, 0]),
+        jnp.asarray(mh[t, 0]), jnp.asarray(mc[t]),
+    )
+    a = np.asarray(tex_mod.sample(table, tid, uv, mip))
+    b = np.asarray(tex_mod.sample(table, tid, uv, mip, meta=meta))
+    np.testing.assert_array_equal(a, b)
