@@ -529,27 +529,41 @@ def cluster_cull_direct_multi(
     ci = jnp.where(started, arr_draw[sp] - 1, 0)  # compacted draw index
     ordv = kpos - sp
 
-    # per-draw fields packed into one [dcap, 8] row: the [K]-scale fetch is
-    # a single 32B row gather (gathers are latency-bound per ROW on this
-    # chip; 5 separate element gathers cost ~5x)
+    # per-draw fields packed into one [dcap, 16] row: draw ids/offsets AND
+    # the draw transform pre-joined at [dcap] scale (a [dcap,8] gather is
+    # ~K/dcap times cheaper than one at [K]) so the [K]-scale fetch is a
+    # SINGLE 64B row gather — gathers are latency-bound per ROW on this
+    # chip regardless of width; the earlier split (dtab row + a separate
+    # xform row at [K]) paid a whole extra [K] gather plane per pass.
+    # Integer fields ride f32 lanes, exact only below 2^24 — draw ids
+    # (< D), meshlet offsets, and counts all qualify, but e_visoff (64+
+    # visibility slots per draw -> ~64M at 1M draws) does NOT and is split
+    # 12/low + high bits across two fields.
     e_cls = (
         scene.draw_post_pass.astype(jnp.int32)[e_draw] * live_d
         if num_classes > 1 else jnp.zeros_like(e_draw)
     )
-    dtab = jnp.stack(
-        [e_draw, meshlet_offset, e_visoff, e_vis, mcount,
-         e_cls, jnp.zeros_like(e_draw), jnp.zeros_like(e_draw)],
+    dtab = jnp.concatenate(
+        [
+            jnp.stack(
+                [e_draw, meshlet_offset, e_visoff >> 12, e_vis, mcount,
+                 e_cls, e_visoff & 0xFFF, jnp.zeros_like(e_draw)],
+                axis=1,
+            ).astype(jnp.float32),
+            scene.draw_xform_row[e_draw],  # [dcap, 8] pos/scale/quat
+        ],
         axis=1,
     )
-    drow = dtab[ci]  # [K, 8]
+    drow16 = dtab[ci]  # [K, 16] — ONE row gather
+    drow = drow16[:, :8].astype(jnp.int32)  # i32 fields exact in f32 (< 2^24)
+    xf = drow16[:, 8:16]
     valid = started & (ordv < drow[:, 4])  # [K]
     draw_id = drow[:, 0]
     mi = jnp.clip(drow[:, 1] + ordv, 0, scene.meshlet_cull_row.shape[0] - 1)
-    vis_slot = drow[:, 2] + ordv
+    vis_slot = ((drow[:, 2] << 12) | drow[:, 6]) + ordv
     cls = drow[:, 5]
 
-    # 3) per-cluster cull: one 32B row gather each for transform + bounds
-    xf = scene.draw_xform_row[draw_id]  # [K,8]
+    # 3) per-cluster cull: one 32B row gather for the meshlet bounds
     row = scene.meshlet_cull_row[mi]  # [K,8] (center, radius, cone, cutoff)
     position = xf[:, 0:3]
     scale = xf[:, 3]

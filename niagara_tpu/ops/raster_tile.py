@@ -7,11 +7,13 @@ Design (replaces the scatter-merge in ops/raster.py for the frame loop):
    footprint; larger triangles via a compacted mid path; huge ones dropped
    with a counter).  Pairs are sorted by tile id — XLA sort is cheap on TPU —
    and per-tile ranges come from searchsorted.
-2. **Tile kernel (Pallas):** one grid step per tile.  The kernel streams the
-   tile's triangle records from HBM in double-buffered 128-record chunks and
+2. **Tile kernel (Pallas):** one grid step per ROW of tiles (the sort makes
+   a row's records one contiguous span, so the whole row shares one
+   double-buffered 128-record chunk-DMA sequence — per-tile steps paid
+   ~28 us of fixed latency each).  Per chunk and touching tile, the kernel
    evaluates all 128 records' edge functions + depth planes over all 1024
-   tile pixels with four [PX,3] x [3,128] MXU dots per chunk, then resolves
-   with dense [PX,128] VPU ops and lane reductions (see _raster_kernel).
+   tile pixels with four [PX,3] x [3,128] MXU dots, then resolves with
+   dense [PX,128] VPU ops and lane reductions (see _raster_kernel).
    No per-record scalar loop, no global scatter anywhere.
 3. Ties break to the smaller fragment id — chunk-internally via a lane
    arg-min over the max-depth records, across chunks/passes via the carry
@@ -34,12 +36,17 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import TILE_H, TILE_W
 from . import stream_compact
 from .raster import INVALID_FRAG, _compact
-from .setup_fused import REC
+from .setup_fused import REC, split3
 
 # records are stored transposed [REC, R] and DMA'd in lane-aligned chunks of
 # 128 (Mosaic requires 128-lane-aligned HBM slices); chunk windows start at
 # the aligned offset below each tile's range and mask out-of-range records
 REC_CHUNK = 128
+
+# f32-operand kernel dots carry explicit HIGHEST precision: compiled Mosaic
+# lowers f32 matmuls exactly; interpret mode turns them into XLA dots whose
+# TPU default is a single bf16 pass (see setup_fused._PX)
+_PX = jax.lax.Precision.HIGHEST
 
 # pair-emission footprint classes (in tiles).  Triangles touching <= 2 tiles
 # (the vast majority once LOD keeps screen sizes small) emit densely from
@@ -200,45 +207,53 @@ _NOID = float(1 << 30)
 def _raster_kernel(tile_start_ref, recs_ref, depth_in_ref, vis_in_ref,
                    depth_out_ref, vis_out_ref, recs_vmem, sems, *, tiles_x,
                    alpha_test: bool = False, rec_rows: int = REC):
-    """Matrix-form tile raster: one grid step per (PX = TILE_H*TILE_W)-pixel
-    tile, pixels along SUBLANES [PX, 1], records along LANES [1, 128].
+    """Matrix-form tile raster: one grid step per ROW of tiles_x tiles,
+    pixels along SUBLANES [PX, 1], records along LANES [1, 128].
+
+    Grouping a whole tile row into one step is the latency fix: with one
+    step per TILE the kernel paid ~28 us of fixed cost (grid step + one
+    tiny un-overlapped chunk DMA) per tile — 2025 steps ~ 57 ms at 1080p
+    even with 6 pairs/tile.  Pairs are tile-sorted, so a row's records are
+    ONE contiguous chunk span: the row shares a single double-buffered DMA
+    sequence (chunks fetched once, not once per touching tile) and the
+    step count drops to tiles_y = 135.
 
     Per 128-record chunk, the 3 edge functions and the depth plane evaluate
     as ONE [PX, 3] x [3, 128] MXU dot each (pixel basis (fx, fy, 1) against
-    the record's coefficient columns), then coverage/resolve run as dense
+    the record's coefficient columns) for each tile in the row whose pair
+    range intersects the chunk, then coverage/resolve run as dense
     [PX, 128] VPU ops with lane reductions — no per-record scalar loop.
-    The earlier scalar formulation spent ~13 SMEM scalar reads + loop
-    control per record (~60% of kernel time at 1M draws); here record
-    attributes broadcast as [1, 128] rows.
 
-    Resolve (bit-identical to the scalar form): within a chunk the max
+    Resolve (bit-identical to the per-tile form): within a chunk the max
     depth wins and equal-depth ties go to the smallest fragment id (zmax +
     lane arg-min); across chunks and passes the (depth, id) carry merges
-    with the same rule.
+    with the same rule.  Per tile the chunk order stays ascending, so the
+    output is bit-identical to the one-tile-per-step kernel.
     """
-    i = pl.program_id(0)
-    start = tile_start_ref[i]
-    end = tile_start_ref[i + 1]
+    i = pl.program_id(0)  # tile ROW index; tiles [i*tiles_x, (i+1)*tiles_x)
+    t0 = i * tiles_x
+    g_start = tile_start_ref[t0]
+    g_end = tile_start_ref[t0 + tiles_x]
     PX = TILE_H * TILE_W
 
-    # chunk window covering [start, end); the stream is chunk-major
-    # [NC, REC, 128] so every chunk is ONE contiguous ~28KB DMA (the earlier
-    # [REC, P] layout made each chunk 56 strided 512B reads — measured DMA
-    # rate ~1GB/s; contiguous blocks stream at full rate)
-    a0c = start // REC_CHUNK
+    # chunk window covering the whole row's [g_start, g_end); the stream is
+    # chunk-major [NC, REC, 128] so every chunk is ONE contiguous DMA block
+    # (the earlier [REC, P] layout made each chunk 56 strided 512B reads —
+    # measured DMA rate ~1GB/s; contiguous blocks stream at full rate)
+    a0c = g_start // REC_CHUNK
     a0_off = a0c * REC_CHUNK
-    n_chunks = (end - a0_off + REC_CHUNK - 1) // REC_CHUNK
+    n_chunks = (g_end - a0_off + REC_CHUNK - 1) // REC_CHUNK
     ncmax = recs_ref.shape[0] - 1
 
-    ox = (i % tiles_x) * TILE_W
-    oy = (i // tiles_x) * TILE_H
+    oy = i * TILE_H
 
     # pixel-center basis [PX, 3]: columns (fx, fy, 1); sublane p is pixel
-    # (oy + p // TILE_W, ox + p % TILE_W)
+    # (oy + p // TILE_W, ox + p % TILE_W); fx gets the per-tile ox added
+    # inside the tile loop
     p_sub = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
-    fx = (p_sub % TILE_W).astype(jnp.float32) + (jnp.float32(0.5) + ox.astype(jnp.float32))
+    fx0 = (p_sub % TILE_W).astype(jnp.float32) + jnp.float32(0.5)
     fy = (p_sub // TILE_W).astype(jnp.float32) + (jnp.float32(0.5) + oy.astype(jnp.float32))
-    basis = jnp.concatenate([fx, fy, jnp.ones((PX, 1), jnp.float32)], axis=1)  # [PX, 3]
+    ones = jnp.ones((PX, 1), jnp.float32)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, REC_CHUNK), 1)
     dn = (((1,), (0,)), ((), ()))
@@ -255,12 +270,17 @@ def _raster_kernel(tile_start_ref, recs_ref, depth_in_ref, vis_in_ref,
             recs_ref.at[ci, pl.ds(0, rec_rows)], recs_vmem.at[slot], sems.at[slot]
         )
 
+    # the row's carry lives in the output block (init from the input once;
+    # per-(tile, chunk) updates read-modify-write the tile's slice) — a
+    # register carry would need 2*tiles_x live [PX, 1] arrays
+    depth_out_ref[...] = depth_in_ref[...]
+    vis_out_ref[...] = vis_in_ref[...]
+
     @pl.when(n_chunks > 0)
     def _():
         dma(0, 0).start()
 
-    def chunk_body(c, carry):
-        depth, vis = carry  # [PX, 1] f32 / i32
+    def chunk_body(c, _):
         slot = c % 2
 
         @pl.when(c + 1 < n_chunks)
@@ -271,77 +291,90 @@ def _raster_kernel(tile_start_ref, recs_ref, depth_in_ref, vis_in_ref,
 
         recs = recs_vmem[slot]  # [REC, 128] f32
         r = lambda k: recs[k : k + 1, :]  # record attr k as a [1, 128] row
+        c_lo = a0_off + c * REC_CHUNK
+        gidx = c_lo + lane  # [1, 128] global pair index
 
-        # edge/depth planes for ALL records over ALL pixels: 4 tiny MXU dots
-        E0 = jax.lax.dot_general(basis, recs[0:3, :], dn, preferred_element_type=jnp.float32)
-        E1 = jax.lax.dot_general(basis, recs[3:6, :], dn, preferred_element_type=jnp.float32)
-        E2 = jax.lax.dot_general(basis, recs[6:9, :], dn, preferred_element_type=jnp.float32)
-        Z = jax.lax.dot_general(basis, recs[9:12, :], dn, preferred_element_type=jnp.float32)
+        def tile_body(g, _):
+            start = tile_start_ref[t0 + g]
+            end = tile_start_ref[t0 + g + 1]
 
-        # top-left fill rule (see raster.py `cov` / tests/raster_oracle.py):
-        # per-record [1, 128] flags broadcast down the pixel sublanes
-        def tl(ka, kb):
-            return (r(ka) > 0.0) | ((r(ka) == 0.0) & (r(kb) > 0.0))
+            @pl.when((start < c_lo + REC_CHUNK) & (end > c_lo))
+            def _():
+                ox = (g * TILE_W).astype(jnp.float32)
+                basis = jnp.concatenate([fx0 + ox, fy, ones], axis=1)  # [PX, 3]
 
-        live = ((a0_off + c * REC_CHUNK + lane) >= start) & ((a0_off + c * REC_CHUNK + lane) < end)
-        cover = (
-            ((E0 > 0.0) | (tl(0, 1) & (E0 == 0.0)))
-            & ((E1 > 0.0) | (tl(3, 4) & (E1 == 0.0)))
-            & ((E2 > 0.0) | (tl(6, 7) & (E2 == 0.0)))
-            & (Z > 0.0) & (Z <= 1.0) & live
-        )
+                # edge/depth planes for ALL records over ALL pixels: 4 tiny
+                # MXU dots
+                E0 = jax.lax.dot_general(basis, recs[0:3, :], dn, preferred_element_type=jnp.float32, precision=_PX)
+                E1 = jax.lax.dot_general(basis, recs[3:6, :], dn, preferred_element_type=jnp.float32, precision=_PX)
+                E2 = jax.lax.dot_general(basis, recs[6:9, :], dn, preferred_element_type=jnp.float32, precision=_PX)
+                Z = jax.lax.dot_general(basis, recs[9:12, :], dn, preferred_element_type=jnp.float32, precision=_PX)
 
-        if alpha_test:
-            # raster-time alpha test (reference mesh.frag.glsl:88-89
-            # `discard`): alpha-tested records carry an 8x8 uv-space
-            # opacity bitmask (cols 48-55, cooker/opacity.py).  This is
-            # a STATIC kernel variant used only by post passes — the
-            # reference's specialization-constant POST pipelines — so
-            # opaque passes pay nothing.
-            idu = r(54)
-            wsum = E0 + E1 + E2
-            inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
-            # Olano-Greer: edge values are the perspective weights
-            # (e1 -> A, e2 -> B, e0 -> C; see compact_setup)
-            u = (E1 * r(22) + E2 * r(30) + E0 * r(38)) * inv
-            v = (E1 * r(23) + E2 * r(31) + E0 * r(39)) * inv
-            gx = jnp.clip(jnp.floor((u - r(52)) * idu), 0.0, 7.0)
-            gy = jnp.clip(jnp.floor((v - r(53)) * r(55)), 0.0, 7.0)
-            b = gy * 8.0 + gx
-            half = jnp.where(
-                b < 16.0, r(48), jnp.where(b < 32.0, r(49), jnp.where(b < 48.0, r(50), r(51)))
-            )
-            # bit extract in f32 (mask halves are exact 16-bit ints):
-            # floor(half / 2^(b mod 16)) mod 2
-            t = jnp.floor(half * jnp.exp2(-jnp.mod(b, 16.0)))
-            bit = t - 2.0 * jnp.floor(t * 0.5)
-            cover = cover & ((idu <= 0.0) | (bit > 0.5))
+                # top-left fill rule (see raster.py `cov` /
+                # tests/raster_oracle.py): per-record [1, 128] flags
+                # broadcast down the pixel sublanes
+                def tl(ka, kb):
+                    return (r(ka) > 0.0) | ((r(ka) == 0.0) & (r(kb) > 0.0))
 
-        # chunk resolve: max depth, ties to the smallest fragment id
-        zm = jnp.where(cover, Z, 0.0)  # covered z is > 0
-        zmax = jnp.max(zm, axis=1, keepdims=True)  # [PX, 1]
-        fragf = r(12)  # fragment ids ride record row 12 (exact f32)
-        idm = jnp.where(cover & (zm == zmax), fragf, _NOID)
-        idmin = jnp.min(idm, axis=1, keepdims=True).astype(jnp.int32)  # [PX, 1]
+                live = (gidx >= start) & (gidx < end)
+                cover = (
+                    ((E0 > 0.0) | (tl(0, 1) & (E0 == 0.0)))
+                    & ((E1 > 0.0) | (tl(3, 4) & (E1 == 0.0)))
+                    & ((E2 > 0.0) | (tl(6, 7) & (E2 == 0.0)))
+                    & (Z > 0.0) & (Z <= 1.0) & live
+                )
 
-        # merge with the carry under the same rule (zmax > 0 == any cover)
-        closer = zmax > depth
-        tie = (zmax > 0.0) & (zmax == depth) & (idmin < vis)
-        new_depth = jnp.where(closer, zmax, depth)
-        new_vis = jnp.where(closer | tie, idmin, vis)
-        return (new_depth, new_vis)
+                if alpha_test:
+                    # raster-time alpha test (reference mesh.frag.glsl:88-89
+                    # `discard`): alpha-tested records carry an 8x8 uv-space
+                    # opacity bitmask (cols 48-55, cooker/opacity.py).  This
+                    # is a STATIC kernel variant used only by post passes —
+                    # the reference's specialization-constant POST pipelines
+                    # — so opaque passes pay nothing.  Opaque records in a
+                    # merged stream carry idu == 0 and pass untouched.
+                    idu = r(54)
+                    wsum = E0 + E1 + E2
+                    inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
+                    # Olano-Greer: edge values are the perspective weights
+                    # (e1 -> A, e2 -> B, e0 -> C; see compact_setup)
+                    u = (E1 * r(22) + E2 * r(30) + E0 * r(38)) * inv
+                    v = (E1 * r(23) + E2 * r(31) + E0 * r(39)) * inv
+                    gx = jnp.clip(jnp.floor((u - r(52)) * idu), 0.0, 7.0)
+                    gy = jnp.clip(jnp.floor((v - r(53)) * r(55)), 0.0, 7.0)
+                    b = gy * 8.0 + gx
+                    half = jnp.where(
+                        b < 16.0, r(48), jnp.where(b < 32.0, r(49), jnp.where(b < 48.0, r(50), r(51)))
+                    )
+                    # bit extract in f32 (mask halves are exact 16-bit
+                    # ints): floor(half / 2^(b mod 16)) mod 2
+                    t = jnp.floor(half * jnp.exp2(-jnp.mod(b, 16.0)))
+                    bit = t - 2.0 * jnp.floor(t * 0.5)
+                    cover = cover & ((idu <= 0.0) | (bit > 0.5))
 
-    # carry I/O is [1, 1, PX] (pixels along LANES — the unpadded HBM layout;
-    # a trailing dim of 1 in HBM would pad 1 -> 128 lanes, a 128x blowup;
-    # the middle singleton exists because Mosaic requires the second-to-last
-    # BLOCK dim to be sublane-divisible or equal to the array dim — a literal
-    # 1 array dim satisfies "equal").  The kernel math wants pixels along
-    # SUBLANES, so transpose at the boundary (2D transposes lower fine).
-    depth0 = depth_in_ref[0].T
-    vis0 = vis_in_ref[0].T
-    depth, vis = jax.lax.fori_loop(0, n_chunks, chunk_body, (depth0, vis0))
-    depth_out_ref[0] = depth.T
-    vis_out_ref[0] = vis.T
+                # chunk resolve: max depth, ties to the smallest fragment id
+                zm = jnp.where(cover, Z, 0.0)  # covered z is > 0
+                zmax = jnp.max(zm, axis=1, keepdims=True)  # [PX, 1]
+                fragf = r(12)  # fragment ids ride record row 12 (exact f32)
+                idm = jnp.where(cover & (zm == zmax), fragf, _NOID)
+                idmin = jnp.min(idm, axis=1, keepdims=True).astype(jnp.int32)
+
+                # merge with the tile's carry (in the output block) under
+                # the same rule (zmax > 0 == any cover); [1, PX] <-> [PX, 1]
+                # 2D transposes lower fine
+                depth = depth_out_ref[pl.ds(g, 1), 0:1, :][0].T
+                vis = vis_out_ref[pl.ds(g, 1), 0:1, :][0].T
+                closer = zmax > depth
+                tie = (zmax > 0.0) & (zmax == depth) & (idmin < vis)
+                new_depth = jnp.where(closer, zmax, depth)
+                new_vis = jnp.where(closer | tie, idmin, vis)
+                depth_out_ref[pl.ds(g, 1), 0:1, :] = new_depth.T[None]
+                vis_out_ref[pl.ds(g, 1), 0:1, :] = new_vis.T[None]
+
+            return 0
+
+        return jax.lax.fori_loop(0, tiles_x, tile_body, 0)
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
 def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int,
@@ -401,18 +434,19 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
     # because the alternative [.., PX, 1] form would pad the trailing
     # 1 -> 128 lanes (a 128x blowup) and a flat [n_tiles, PX] block can't
     # satisfy the sublane constraint for a 1-row tile slice.
+    # Each grid step owns one ROW of tiles_x tiles (see _raster_kernel).
     PX = TILE_H * TILE_W
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(tiles_y,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # recs [NC, REC, 128]
-            pl.BlockSpec((1, 1, PX), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, PX), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((tiles_x, 1, PX), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((tiles_x, 1, PX), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, PX), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, 1, PX), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((tiles_x, 1, PX), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((tiles_x, 1, PX), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, rec_rows, REC_CHUNK), jnp.float32),
@@ -452,13 +486,15 @@ ATTR_CHANNELS = 13  # nx ny nz u v vz draw mat post vid0 vid1 vid2 duv
 _SHADE_ROWS = 48
 
 
-def _shade_kernel(*refs, tiles_x, n_streams):
+def _shade_kernel(*refs, tiles_x, n_streams, interpret=False):
     """Winners-only attribute interpolation over the visibility buffer.
 
     Streams the same per-tile record chunks as the raster kernel — for EVERY
-    pass's stream in one invocation (the attribute planes stay in registers
+    pass's stream in one invocation (the attribute planes stay in VMEM
     between streams instead of round-tripping [n_tiles, 12, 8, 128] through
-    HBM per pass).
+    HBM per pass), and with the same one-ROW-of-tiles grouping per grid
+    step (see _raster_kernel: per-tile steps paid ~28 us of fixed latency
+    each; a row shares one chunk-DMA sequence and cuts steps 15x).
 
     MXU gather formulation: a per-record scalar loop costs ~90 VPU
     cycles/record (measured; the interpolation itself, after the winner-test
@@ -478,29 +514,32 @@ def _shade_kernel(*refs, tiles_x, n_streams):
     recs_refs = refs[n_streams : 2 * n_streams]
     vis_ref, attr_in_ref, attr_out_ref, recs_vmem, sems = refs[2 * n_streams :]
 
-    i = pl.program_id(0)
+    i = pl.program_id(0)  # tile ROW index (same grouping as _raster_kernel:
+    t0 = i * tiles_x      # one step per row shares the chunk DMA sequence)
+    oy = i * TILE_H
 
-    # pixel centers in screen space, [1, 1024] lane-major: lane = y*128 + x
-    ox = (i % tiles_x) * TILE_W
-    oy = (i // tiles_x) * TILE_H
+    # pixel centers in screen space, [1, 1024] lane-major: lane = y*128 + x;
+    # fx gets the per-tile ox added inside the tile loop
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_H * TILE_W), 1)
-    fx = (lane % TILE_W).astype(jnp.float32) + (jnp.float32(0.5) + ox.astype(jnp.float32))
+    fx0 = (lane % TILE_W).astype(jnp.float32) + jnp.float32(0.5)
     fy = (lane // TILE_W).astype(jnp.float32) + (jnp.float32(0.5) + oy.astype(jnp.float32))
-
-    visv = vis_ref[0, 0:1, :].astype(jnp.float32)  # [1, 1024]; ids < 2^24 exact
-    acc = tuple(attr_in_ref[0, k] for k in range(ATTR_CHANNELS))  # [1,1024] each
 
     sub128 = jax.lax.broadcasted_iota(jnp.int32, (REC_CHUNK, 1), 0)
     dn_k1 = (((1,), (0,)), ((), ()))
 
+    # per-tile accumulators live in the output block (init from the input
+    # once; per-chunk contributions are exact-zero off the winning chunk,
+    # so read-add-write per (tile, chunk) equals the register accumulation)
+    attr_out_ref[...] = attr_in_ref[...]
+
     for s in range(n_streams):
-        start = tile_starts[s][i]
-        end = tile_starts[s][i + 1]
+        g_start = tile_starts[s][t0]
+        g_end = tile_starts[s][t0 + tiles_x]
         recs_ref = recs_refs[s]
 
-        a0c = start // REC_CHUNK
+        a0c = g_start // REC_CHUNK
         a0_off = a0c * REC_CHUNK
-        n_chunks = (end - a0_off + REC_CHUNK - 1) // REC_CHUNK
+        n_chunks = (g_end - a0_off + REC_CHUNK - 1) // REC_CHUNK
         ncmax = recs_ref.shape[0] - 1
 
         def dma(slot, c, recs_ref=recs_ref, a0c=a0c, ncmax=ncmax):
@@ -515,7 +554,8 @@ def _shade_kernel(*refs, tiles_x, n_streams):
         def _(dma=dma):
             dma(0, 0).start()
 
-        def chunk_body(c, acc, dma=dma, n_chunks=n_chunks, a0_off=a0_off, start=start, end=end):
+        def chunk_body(c, _, dma=dma, n_chunks=n_chunks, a0_off=a0_off,
+                       tile_start_ref=tile_starts[s]):
             slot = c % 2
 
             @pl.when(c + 1 < n_chunks)
@@ -523,69 +563,92 @@ def _shade_kernel(*refs, tiles_x, n_streams):
                 dma((c + 1) % 2, c + 1).start()
 
             dma(slot, c).wait()
+            c_lo = a0_off + c * REC_CHUNK
 
-            # one-hot winner matrix [128 rec, 1024 px]: frag ids as a
-            # sublane column (2D transpose of record row 12) vs the winner
-            # row; records outside this tile's [start, end) range masked off
-            fragT = jnp.transpose(recs_vmem[slot, 12:13, :])  # [128, 1] f32
-            gidx = a0_off + c * REC_CHUNK + sub128
-            liveT = (gidx >= start) & (gidx < end)
-            oh = ((fragT == visv) & liveT).astype(jnp.bfloat16)  # [128, 1024]
+            def tile_body(g, _):
+                start = tile_start_ref[t0 + g]
+                end = tile_start_ref[t0 + g + 1]
 
-            # gather the winning record's 56 coefficients to each pixel:
-            # 3 exact bf16 splits, f32 accumulation (one-hot contraction)
-            recs = recs_vmem[slot]  # [REC, 128] f32
-            s1 = recs.astype(jnp.bfloat16)
-            r1 = recs - s1.astype(jnp.float32)
-            s2 = r1.astype(jnp.bfloat16)
-            s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
-            C = jax.lax.dot_general(s1, oh, dn_k1, preferred_element_type=jnp.float32)
-            C = C + jax.lax.dot_general(s2, oh, dn_k1, preferred_element_type=jnp.float32)
-            C = C + jax.lax.dot_general(s3, oh, dn_k1, preferred_element_type=jnp.float32)
-            # C [REC, 1024]: per-pixel coefficients of the winning record
+                @pl.when((start < c_lo + REC_CHUNK) & (end > c_lo))
+                def _():
+                    fx = fx0 + (g * TILE_W).astype(jnp.float32)
+                    visv = vis_ref[pl.ds(g, 1), 0:1, :][0].astype(
+                        jnp.float32
+                    )  # [1, 1024]; ids < 2^24 exact
 
-            r = lambda k: C[k : k + 1, :]  # [1, 1024]
-            # Olano-Greer: the homogeneous edge functions ARE the
-            # perspective-correct interpolation weights — attr(p) =
-            # sum_j f_j u_j / sum u_j, no per-vertex division needed.
-            # e0 is through (A,B) -> weight of C; e1 (B,C) -> A;
-            # e2 (C,A) -> B (see compact_setup edge order).
-            e0 = r(0) * fx + r(1) * fy + r(2)
-            e1 = r(3) * fx + r(4) * fy + r(5)
-            e2 = r(6) * fx + r(7) * fy + r(8)
-            wsum = e0 + e1 + e2
-            inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
-            pw0 = e1 * inv
-            pw1 = e2 * inv
-            pw2 = e0 * inv
+                    # one-hot winner matrix [128 rec, 1024 px]: frag ids as
+                    # a sublane column (2D transpose of record row 12) vs
+                    # the winner row; records outside this tile's
+                    # [start, end) range masked off
+                    fragT = jnp.transpose(recs_vmem[slot, 12:13, :])  # [128, 1]
+                    liveT = ((c_lo + sub128) >= start) & ((c_lo + sub128) < end)
+                    oh = ((fragT == visv) & liveT).astype(jnp.bfloat16)  # [128, 1024]
 
-            def interp(o):
-                return pw0 * r(16 + o) + pw1 * r(24 + o) + pw2 * r(32 + o)
+                    # gather the winning record's coefficients to each pixel:
+                    # 3 exact bf16 splits, f32 accumulation (one-hot
+                    # contraction).  Interpret mode uses a single f32
+                    # HIGHEST dot instead: XLA's HLO cleanup collapses the
+                    # manual split trio to one bf16 pass (see
+                    # setup_fused.split3), while HIGHEST one-hot dots are
+                    # exact and honored by the optimizer.
+                    recs = recs_vmem[slot]  # [_SHADE_ROWS, 128] f32
+                    if interpret:
+                        C = jax.lax.dot_general(
+                            recs, oh.astype(jnp.float32), dn_k1,
+                            preferred_element_type=jnp.float32, precision=_PX)
+                    else:
+                        s1, s2, s3 = split3(recs)
+                        C = jax.lax.dot_general(s1, oh, dn_k1, preferred_element_type=jnp.float32)
+                        C = C + jax.lax.dot_general(s2, oh, dn_k1, preferred_element_type=jnp.float32)
+                        C = C + jax.lax.dot_general(s3, oh, dn_k1, preferred_element_type=jnp.float32)
+                    # C [_SHADE_ROWS, 1024]: per-pixel winning coefficients
 
-            # per-triangle uv derivative ratio (constant over the triangle):
-            # |d(uv)| / |d(screen)| from the record's corner attributes —
-            # the same quantities shade_gbuffer reads, so mip picks match
-            # bit-exactly (textures.select_mip computes the ratio this way)
-            uv_area = jnp.abs(
-                (r(30) - r(22)) * (r(39) - r(23)) - (r(31) - r(23)) * (r(38) - r(22))
-            )
-            px_area = jnp.abs(
-                (r(24) - r(16)) * (r(33) - r(17)) - (r(25) - r(17)) * (r(32) - r(16))
-            )
-            duv = uv_area / jnp.maximum(px_area, 1e-6)
+                    r = lambda k: C[k : k + 1, :]  # [1, 1024]
+                    # Olano-Greer: the homogeneous edge functions ARE the
+                    # perspective-correct interpolation weights — attr(p) =
+                    # sum_j f_j u_j / sum u_j, no per-vertex division.
+                    # e0 is through (A,B) -> weight of C; e1 (B,C) -> A;
+                    # e2 (C,A) -> B (see compact_setup edge order).
+                    e0 = r(0) * fx + r(1) * fy + r(2)
+                    e1 = r(3) * fx + r(4) * fy + r(5)
+                    e2 = r(6) * fx + r(7) * fy + r(8)
+                    wsum = e0 + e1 + e2
+                    inv = jnp.where(jnp.abs(wsum) < 1e-20, 0.0, 1.0 / wsum)
+                    pw0 = e1 * inv
+                    pw1 = e2 * inv
+                    pw2 = e0 * inv
 
-            vals = [interp(3), interp(4), interp(5),   # normal
-                    interp(6), interp(7),              # uv
-                    interp(2),                         # viewz
-                    r(43), r(44), r(45),               # draw, mat, post
-                    r(40), r(41), r(42),               # vids
-                    duv]
-            return tuple(acc[k] + v for k, v in enumerate(vals))
+                    def interp(o):
+                        return pw0 * r(16 + o) + pw1 * r(24 + o) + pw2 * r(32 + o)
 
-        acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc)
+                    # per-triangle uv derivative ratio (constant over the
+                    # triangle): |d(uv)| / |d(screen)| from the record's
+                    # corner attributes — the same quantities shade_gbuffer
+                    # reads, so mip picks match bit-exactly
+                    # (textures.select_mip computes the ratio this way)
+                    uv_area = jnp.abs(
+                        (r(30) - r(22)) * (r(39) - r(23)) - (r(31) - r(23)) * (r(38) - r(22))
+                    )
+                    px_area = jnp.abs(
+                        (r(24) - r(16)) * (r(33) - r(17)) - (r(25) - r(17)) * (r(32) - r(16))
+                    )
+                    duv = uv_area / jnp.maximum(px_area, 1e-6)
 
-    for k in range(ATTR_CHANNELS):
-        attr_out_ref[0, k] = acc[k]
+                    vals = [interp(3), interp(4), interp(5),   # normal
+                            interp(6), interp(7),              # uv
+                            interp(2),                         # viewz
+                            r(43), r(44), r(45),               # draw, mat, post
+                            r(40), r(41), r(42),               # vids
+                            duv]
+                    for k, v in enumerate(vals):
+                        acc = attr_out_ref[pl.ds(g, 1), k : k + 1, 0:1, :]
+                        attr_out_ref[pl.ds(g, 1), k : k + 1, 0:1, :] = acc + v[None, None]
+
+                return 0
+
+            return jax.lax.fori_loop(0, tiles_x, tile_body, 0)
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
 
 def shade_tiles(streams, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool = False):
@@ -598,19 +661,20 @@ def shade_tiles(streams, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool
         streams = [streams]
     n_streams = len(streams)
     n_tiles = vis_tiles.shape[0]
+    tiles_y = n_tiles // tiles_x
     PX = TILE_H * TILE_W
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_streams,
-        grid=(n_tiles,),
+        grid=(tiles_y,),
         in_specs=(
             [pl.BlockSpec(memory_space=pl.ANY)] * n_streams  # recs [NC, REC, 128]
             + [
-                pl.BlockSpec((1, 1, PX), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((1, ATTR_CHANNELS, 1, PX), lambda i, *_: (i, 0, 0, 0)),
+                pl.BlockSpec((tiles_x, 1, PX), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec((tiles_x, ATTR_CHANNELS, 1, PX), lambda i, *_: (i, 0, 0, 0)),
             ]
         ),
         out_specs=[
-            pl.BlockSpec((1, ATTR_CHANNELS, 1, PX), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((tiles_x, ATTR_CHANNELS, 1, PX), lambda i, *_: (i, 0, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, _SHADE_ROWS, REC_CHUNK), jnp.float32),
@@ -620,7 +684,8 @@ def shade_tiles(streams, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool
     # tiles enter the kernel lane-major ([1, 1024] pixels: one matmul N
     # dimension); these reshapes are free at the XLA level
     (attr_out,) = pl.pallas_call(
-        functools.partial(_shade_kernel, tiles_x=tiles_x, n_streams=n_streams),
+        functools.partial(_shade_kernel, tiles_x=tiles_x, n_streams=n_streams,
+                          interpret=interpret),
         out_shape=(jax.ShapeDtypeStruct((n_tiles, ATTR_CHANNELS, 1, PX), jnp.float32),),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -47,6 +47,37 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import MESH_MAXTRI, MESH_MAXVTX
 
+# f32-operand kernel dots carry explicit HIGHEST precision: compiled Mosaic
+# lowers f32 matmuls exactly, but interpret mode turns them into XLA dots
+# whose TPU default is a SINGLE bf16 pass — one-hot rank picks (values up to
+# WINDOW=896, unrepresentable in bf16) then misplace whole records.  With
+# HIGHEST both paths are exact for every dot here (each is one-hot or 0/1 on
+# one side, so the multi-pass split reconstruction is error-free).
+_PX = jax.lax.Precision.HIGHEST
+
+
+def split3(x):
+    """Exact 3-way bf16 split: s1 + s2 + s3 == x bit-for-bit after f32
+    accumulation (x f32; each residual fits bf16's 8-bit mantissa steps,
+    3 * 8 >= 24).  One-hot MXU contractions over the splits therefore
+    reconstruct f32 values exactly.
+
+    COMPILED-PATH ONLY.  Under interpret mode the kernel body lowers to
+    plain XLA HLO, where the optimizer collapses the reconstruction to a
+    single bf16 pass (observed on TPU: interpreted records came out exactly
+    bf16-rounded — the residual chain `x - f32(bf16(x))` folds to 0 at bf16
+    and sum-of-dots refolds dot(A,s1)+dot(A,s2)+dot(A,s3) into
+    dot(A, s1+s2+s3) with the add at bf16).  Interpret-mode callers must
+    use a single f32 dot with Precision.HIGHEST instead — exact for every
+    dot here because one side is one-hot, and honored by XLA's rewrites.
+    Mosaic compiles the kernel body directly (no HLO cleanup passes), so
+    the split trio survives there and stays exact."""
+    s1 = x.astype(jnp.bfloat16)
+    r1 = x - s1.astype(jnp.float32)
+    s2 = r1.astype(jnp.bfloat16)
+    s3 = (r1 - s2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return s1, s2, s3
+
 BLOCK = 8  # clusters per grid step
 TRIS = BLOCK * MESH_MAXTRI  # 768 triangle slots per step
 # record row width (f32): 0-15 raster coeffs, 16-47 shading attributes,
@@ -121,7 +152,7 @@ def _corner_fetch(rowbuf, slot, prm_e3):
         for k in range(BLOCK):
             tri_k = jax.lax.dot_general(
                 e_c, rowbuf[slot, k, 10:13, :].astype(jnp.float32), dn,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.float32, precision=_PX,
             )[:, :MESH_MAXTRI]  # [1, 96]
             rows.append(jnp.broadcast_to(tri_k, (MESH_MAXVTX, MESH_MAXTRI)))
         tric = jnp.concatenate(rows, axis=0)  # [512, 96]
@@ -135,21 +166,25 @@ def _corner_fetch(rowbuf, slot, prm_e3):
 def _setup_kernel_alpha(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
                         alpha_hbm, prm, rec_out, aabb_out, count_out,
                         window, awindow, pending, apending, staging, astaging,
-                        rowbuf, abuf, cursor, sems, rsem, asem):
+                        rowbuf, abuf, cursor, sems, rsem, asem, *,
+                        interpret: bool = False):
     _setup_kernel(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
                   alpha_hbm, prm, rec_out, aabb_out, count_out,
                   window, awindow, pending, apending, staging, astaging,
-                  rowbuf, abuf, cursor, sems, rsem, asem)
+                  rowbuf, abuf, cursor, sems, rsem, asem,
+                  interpret=interpret)
 
 
 def _setup_kernel_noalpha(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
                           prm, rec_out, aabb_out, count_out,
                           window, awindow, pending, apending, staging, astaging,
-                          rowbuf, cursor, sems, rsem):
+                          rowbuf, cursor, sems, rsem, *,
+                          interpret: bool = False):
     _setup_kernel(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
                   None, prm, rec_out, aabb_out, count_out,
                   window, awindow, pending, apending, staging, astaging,
-                  rowbuf, None, cursor, sems, rsem, None)
+                  rowbuf, None, cursor, sems, rsem, None,
+                  interpret=interpret)
 
 
 def _setup_kernel(
@@ -166,6 +201,7 @@ def _setup_kernel(
     count_out,  # [1, 1] i32
     window, awindow, pending, apending, staging, astaging,
     rowbuf, abuf, cursor, sems, rsem, asem,
+    interpret: bool = False,
 ):
     bi = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -419,7 +455,8 @@ def _setup_kernel(
             < jax.lax.broadcasted_iota(jnp.int32, (MESH_MAXTRI, MESH_MAXTRI), 1)
         ).astype(jnp.float32)
         within = jax.lax.dot_general(
-            vf, lt96, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            vf, lt96, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PX,
         )  # [BLOCK,96] exclusive per-cluster prefix
         row_tot = jnp.sum(vf, axis=1, keepdims=True)  # [BLOCK,1]
         ltb = (
@@ -427,7 +464,8 @@ def _setup_kernel(
             > jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
         ).astype(jnp.float32)
         row_off = jax.lax.dot_general(
-            ltb, row_tot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ltb, row_tot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PX,
         )  # [BLOCK,1] exclusive prefix over clusters
         p_off = cursor[1]
         grank = (within + row_off).astype(jnp.int32) + p_off  # [BLOCK,96]
@@ -456,11 +494,6 @@ def _setup_kernel(
         # row-major like rec_out — flushes are straight DMAs, no staging.
         recbig = jnp.concatenate(allcols, axis=0)  # [NCOL*8, 96]
         recbigT = recbig.T  # [96, NCOL*8]
-        t1 = recbigT.astype(jnp.bfloat16)
-        t1f = t1.astype(jnp.float32)
-        t2 = (recbigT - t1f).astype(jnp.bfloat16)
-        t2f = t2.astype(jnp.float32)
-        t3 = (recbigT - t1f - t2f).astype(jnp.bfloat16)
 
         grank_f = grank.astype(jnp.float32)  # [8,96], values < WINDOW (exact)
         i_384 = jax.lax.broadcasted_iota(jnp.int32, (NCOL * BLOCK, NCOL), 0)
@@ -473,30 +506,47 @@ def _setup_kernel(
         g_parts, v_parts = [], []
         for r in range(BLOCK):
             e_r = (r_sub == r).astype(jnp.float32)  # [1,8]
-            g_parts.append(jax.lax.dot_general(e_r, grank_f, dn, preferred_element_type=jnp.float32))
-            v_parts.append(jax.lax.dot_general(e_r, vf, dn, preferred_element_type=jnp.float32))
+            g_parts.append(jax.lax.dot_general(e_r, grank_f, dn, preferred_element_type=jnp.float32, precision=_PX))
+            v_parts.append(jax.lax.dot_general(e_r, vf, dn, preferred_element_type=jnp.float32, precision=_PX))
         grank_wide = jnp.concatenate(g_parts, axis=1)  # [1, 768]
         vf_wide = jnp.concatenate(v_parts, axis=1)
 
         # record rows k = r*96 + t -> record (r, t); the select dots are
         # cheap ([96,448]x[448,NCOL]); f32 accumulate (Mosaic requires
         # 32-bit acc), cast back to bf16 — exact: each output selects
-        # exactly one bf16 value
-        sel_mats = [
-            ((i_384 % BLOCK == r) & (i_384 // BLOCK == c_384)).astype(jnp.bfloat16)
-            for r in range(BLOCK)
-        ]
-        splits = []
-        for t in (t1, t2, t3):
-            splits.append(jnp.concatenate([
-                jax.lax.dot_general(
-                    t, sel_mats[r], dn, preferred_element_type=jnp.float32
-                ).astype(jnp.bfloat16)
+        # exactly one bf16 value.  Interpret mode takes the single-dot f32
+        # HIGHEST route instead: XLA's HLO cleanup collapses the manual
+        # split trio to one bf16 pass (see split3), while HIGHEST one-hot
+        # dots are exact AND honored by the optimizer.
+        if interpret:
+            sel_mats_f = [
+                ((i_384 % BLOCK == r) & (i_384 // BLOCK == c_384)).astype(jnp.float32)
                 for r in range(BLOCK)
-            ], axis=0))  # [768, NCOL]
-        # splits 1+2 pack side by side in the N dimension (MXU N pads to 128
-        # and NCOL is 64); split 3 rides a half-padded dot
-        rec12 = jnp.concatenate([splits[0], splits[1]], axis=1)  # [768, 2*NCOL]
+            ]
+            rec_f = jnp.concatenate([
+                jax.lax.dot_general(
+                    recbigT, sel_mats_f[r], dn,
+                    preferred_element_type=jnp.float32, precision=_PX,
+                )
+                for r in range(BLOCK)
+            ], axis=0)  # [768, NCOL] f32
+        else:
+            t1, t2, t3 = split3(recbigT)
+            sel_mats = [
+                ((i_384 % BLOCK == r) & (i_384 // BLOCK == c_384)).astype(jnp.bfloat16)
+                for r in range(BLOCK)
+            ]
+            splits = []
+            for t in (t1, t2, t3):
+                splits.append(jnp.concatenate([
+                    jax.lax.dot_general(
+                        t, sel_mats[r], dn, preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+                    for r in range(BLOCK)
+                ], axis=0))  # [768, NCOL]
+            # splits 1+2 pack side by side in the N dimension (MXU N pads to
+            # 128 and NCOL is 64); split 3 rides a half-padded dot
+            rec12 = jnp.concatenate([splits[0], splits[1]], axis=1)  # [768, 2*NCOL]
 
         # --- CHUNKED placement: ranks land in window rows [p_off, p_off +
         # cnt), so a chunk of 128 consecutive window rows is one [128, 768]
@@ -512,10 +562,17 @@ def _setup_kernel(
             def _(c=c):
                 j128 = (jax.lax.broadcasted_iota(jnp.int32, (128, BLOCK * MESH_MAXTRI), 0)
                         + c * 128).astype(jnp.float32)
-                Pb_c = ((j128 == grank_wide) & (vf_wide > 0.5)).astype(jnp.bfloat16)
-                d12 = jax.lax.dot_general(Pb_c, rec12, dn, preferred_element_type=jnp.float32)
-                d3 = jax.lax.dot_general(Pb_c, splits[2], dn, preferred_element_type=jnp.float32)
-                placed_c = d12[:, :NCOL] + d12[:, NCOL:] + d3  # [128, NCOL]
+                hit = (j128 == grank_wide) & (vf_wide > 0.5)
+                if interpret:
+                    placed_c = jax.lax.dot_general(
+                        hit.astype(jnp.float32), rec_f, dn,
+                        preferred_element_type=jnp.float32, precision=_PX,
+                    )  # [128, NCOL]
+                else:
+                    Pb_c = hit.astype(jnp.bfloat16)
+                    d12 = jax.lax.dot_general(Pb_c, rec12, dn, preferred_element_type=jnp.float32)
+                    d3 = jax.lax.dot_general(Pb_c, splits[2], dn, preferred_element_type=jnp.float32)
+                    placed_c = d12[:, :NCOL] + d12[:, NCOL:] + d3  # [128, NCOL]
                 if c == 0:
                     placed_c = placed_c + jnp.concatenate([pending[...], apending[...]], axis=1)
                 window[c * 128 : (c + 1) * 128, :] = placed_c[:, :REC]
@@ -695,7 +752,10 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
     operands.append(prm)
 
     rec_rows, aabb_t, count = pl.pallas_call(
-        _setup_kernel_alpha if with_alpha else _setup_kernel_noalpha,
+        functools.partial(
+            _setup_kernel_alpha if with_alpha else _setup_kernel_noalpha,
+            interpret=interpret,
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((cap_pad, 128), jnp.float32),
             jax.ShapeDtypeStruct((8, cap_pad), jnp.float32),

@@ -106,16 +106,19 @@ def mosaic_parity_check(geometry, *, width: int = 256, height: int = 128,
                     interpret=interpret)
         return out
 
-    compiled = jax.tree.map(np.asarray, run(False))
-    interp = jax.tree.map(np.asarray, run(True))
+    # jit both variants: the fused setup kernel pins small inputs to VMEM
+    # via with_memory_space_constraint, which cannot run eagerly
+    compiled = jax.tree.map(np.asarray, jax.jit(lambda: run(False))())
+    interp = jax.tree.map(np.asarray, jax.jit(lambda: run(True))())
 
     n = int(compiled["count"])
     assert n == int(interp["count"]), (
         f"setup count diverged: compiled {n} vs interpreted {int(interp['count'])}"
     )
     assert n > 0, "parity scene rendered nothing — scene/camera broke"
+    rec_cols = setup_fused.REC  # cols beyond REC are uninitialized scratch
     checks = {
-        "setup_records": (compiled["rec48"][:n], interp["rec48"][:n]),
+        "setup_records": (compiled["rec48"][:n, :rec_cols], interp["rec48"][:n, :rec_cols]),
         "raster_depth": (compiled["depth_opaque"], interp["depth_opaque"]),
         "raster_vis": (compiled["vis_opaque"], interp["vis_opaque"]),
         "raster_depth_alpha": (compiled["depth_alpha"], interp["depth_alpha"]),
