@@ -192,9 +192,28 @@ def main():
             )
 
         animate_j = jax.jit(animate_tail)
+        # the per-frame update runs at ANIMATED-TAIL scale, not headline
+        # scale: a 20K-draw tail at the sun's texel LOD needs ~1 command +
+        # ~1 coarse meshlet per draw, so cmd/cluster budgets sit at ~1.6x /
+        # ~3x measured demand and tri/pair at ~4x (drop counters guard —
+        # the bench records them; VERDICT r4 #3/#4: the update paid
+        # capacity-scale setup + a 1.25M-slot pair sort for a tail that
+        # emits a few thousand pairs, 228 ms/frame for ~ms of work)
+        upd_caps = dict(sun_caps)
+        if anim_n:
+            upd_caps.update(
+                cmd_capacity=max(1 << 12, 1 << (anim_n - 1).bit_length()),
+                # measured demand at the sun's texel LOD is ~1 coarse
+                # meshlet per draw; 1.5x headroom (the drop counter below
+                # is recorded in the bench JSON)
+                cluster_capacity=min(sun_caps["cluster_capacity"],
+                                     max(1 << 13, 1 << (3 * anim_n // 2 - 1).bit_length())),
+                tri_capacity=min(sun_caps["tri_capacity"], 1 << 17),
+                pair_capacity=min(sun_caps["pair_capacity"], 1 << 18),
+            )
         update_j = jax.jit(lambda sc, tiles: sunmap_mod.update_sun_map(
             sc, sf, tiles, None,
-            map_w=map_wh, map_h=map_wh, texel_world=texel_world, **sun_caps,
+            map_w=map_wh, map_h=map_wh, texel_world=texel_world, **upd_caps,
         ))
 
         t0 = time.time()
@@ -217,15 +236,19 @@ def main():
             # per-frame shadow-structure cost; reference TLAS refit role)
             t0 = time.time()
             n_upd = max(frames, 3)
+            upd_drop = jnp.int32(0)
             for i in range(n_upd):
                 tl_t = animate_j(tail_scene, jnp.float32(0.3 * (i + 1)))
-                smap_t, _, _ = update_j(tl_t, static_tiles)
+                smap_t, _, d_t = update_j(tl_t, static_tiles)
+                upd_drop = upd_drop + d_t
                 packed_t = pack_j(smap_t)
             _ = np.asarray(packed_t[:1, :1])
             upd_ms = (time.time() - t0) / n_upd * 1000
             extras["sunmap_update_ms"] = round(upd_ms, 2)
+            extras["sunmap_update_dropped"] = int(upd_drop)
             print(f"[bench] sun map incremental update+pack {upd_ms:.1f}ms/frame "
-                  f"({anim_n} animated draws onto cached static tiles)", file=sys.stderr)
+                  f"({anim_n} animated draws onto cached static tiles, "
+                  f"dropped {int(upd_drop)})", file=sys.stderr)
         shadow_ctx = (sf, packed, (map_wh, map_wh))
 
     render = lambda st: frame_mod.render_frame(
@@ -249,6 +272,9 @@ def main():
           f"tri={int(stats.tri_dropped)} pair={int(stats.pair_dropped)} "
           f"(all must be 0 for a loss-free frame); late candidates "
           f"{int(stats.candidates)}/{cfg.late_candidate_cap}", file=sys.stderr)
+    if int(stats.pair_dropped):
+        print(f"[bench] pair drops by class (tiny2/small/midA/midB/giant/sort): "
+              f"{np.asarray(stats.pair_drop_vec).tolist()}", file=sys.stderr)
 
     # frames chain through the carried visibility state, so dispatching the
     # whole run and syncing once measures true frame throughput (the relay
@@ -263,8 +289,17 @@ def main():
     scope = "cull+raster" + ("+alpha" if cfg.post_passes > 1 else "") \
         + ("+textured shade" if table is not None else "+shade") \
         + ("+sunshadow" if with_shadows else "") + "+bloom+final"
+    # steady-state drops (the r4 miss: frame-2 drops were 0 but the midA
+    # pair class overflowed once visibility converged)
+    drops_ss = dict(cmd=int(stats.cmd_dropped), cluster=int(stats.cluster_dropped),
+                    tri=int(stats.tri_dropped), pair=int(stats.pair_dropped))
+    extras["static_drops"] = drops_ss
     print(f"[bench] {frame_ms:.2f}ms/frame over {frames} chained frames "
-          f"({scope}); covered px ~{covered}", file=sys.stderr)
+          f"({scope}); covered px ~{covered}; "
+          f"demand tri={int(stats.tri_count)}/{cfg.tri_capacity} "
+          f"pair={int(stats.pair_count)}/{cfg.pair_capacity}; "
+          f"steady-state drops {drops_ss} "
+          f"pair_vec={np.asarray(stats.pair_drop_vec).tolist()}", file=sys.stderr)
 
     if anim_n:
         # config-5 end to end: animate 2% of draws + incremental sun-map
@@ -283,10 +318,12 @@ def main():
 
         animate_scene_j = jax.jit(animate_scene)
         t0 = time.time()
+        anim_sm_drop = jnp.int32(0)
         for i in range(frames):
             t_i = jnp.float32(0.3 * (i + 1))
             tl_t = animate_j(tail_scene, t_i)
-            smap_t, _, _ = update_j(tl_t, static_tiles)
+            smap_t, _, d_t = update_j(tl_t, static_tiles)
+            anim_sm_drop = anim_sm_drop + d_t
             packed_t = pack_j(smap_t)
             sc_t = animate_scene_j(scene, t_i)
             image, fb, state, stats = frame_mod.render_frame(
@@ -296,10 +333,17 @@ def main():
         _ = np.asarray(image[:1, :1])
         anim_ms = (time.time() - t0) / frames * 1000
         extras["animated_frame_ms"] = round(anim_ms, 2)
+        extras["animated_drops"] = dict(
+            cmd=int(stats.cmd_dropped), cluster=int(stats.cluster_dropped),
+            tri=int(stats.tri_dropped), pair=int(stats.pair_dropped),
+            sunmap=int(anim_sm_drop),
+        )
         print(f"[bench] animated full frame {anim_ms:.2f}ms/frame over {frames} "
               f"chained frames (move {anim_n} draws + sun-map update + {scope}); "
               f"drops: cmd={int(stats.cmd_dropped)} cluster={int(stats.cluster_dropped)} "
-              f"tri={int(stats.tri_dropped)} pair={int(stats.pair_dropped)}", file=sys.stderr)
+              f"tri={int(stats.tri_dropped)} pair={int(stats.pair_dropped)} "
+              f"sunmap={int(anim_sm_drop)} "
+              f"pair_vec={np.asarray(stats.pair_drop_vec).tolist()}", file=sys.stderr)
 
     if int(os.environ.get("BENCH_SHADOW", 0)):
         # ray-traced sun shadows side metric (parity oracle; the sun map is
@@ -349,7 +393,11 @@ def main():
         scene2 = jax.device_put(upload(
             sd.geometry, sd.draws, sd.materials, masks2, texture_table=table2_host))
         table2 = jax.device_put(table2_host)
-        caps2 = presets.headline_capacities(sd.draws.count)
+        # capacities scale to the scene (VERDICT r4 #3: the city paid
+        # 1M-draw budgets — 640K-tri setup grids + a 1.25M-slot pair sort —
+        # for a ~2.4K-tri frame); hard-bounded where possible, drop-counter
+        # guarded elsewhere (printed below)
+        caps2 = presets.scene_capacities(sd.geometry, sd.draws)
         cfg2 = frame_mod.FrameConfig(
             width=width, height=height,
             max_groups=int(np.ceil(sd.geometry.meshes.lod_meshlet_count.max() / 64)),
@@ -389,7 +437,10 @@ def main():
         }
         print(f"[bench] gltf city frame {gltf_ms:.2f}ms over {frames} chained "
               f"frames (textured+alpha deferred); covered px ~{covered2}; "
-              f"drops {drops2}", file=sys.stderr)
+              f"demand tri={int(stats2.tri_count)}/{cfg2.tri_capacity} "
+              f"pair={int(stats2.pair_count)}/{cfg2.pair_capacity}; "
+              f"drops {drops2} "
+              f"pair_vec={np.asarray(stats2.pair_drop_vec).tolist()}", file=sys.stderr)
 
     # measured chip primitives for roofline verification (same process,
     # same chip state as the frame numbers above)

@@ -28,7 +28,7 @@ import struct
 
 import numpy as np
 
-CITY_VERSION = 1
+CITY_VERSION = 2
 
 
 # ---------------------------------------------------------------- geometry
@@ -273,14 +273,20 @@ def _build_glb(path: str, geoms, mesh_defs, nodes, materials, image_uris, camera
 
 # ---------------------------------------------------------------- the city
 
-def generate_city(out_dir: str, *, blocks: int = 12, seed: int = 11,
-                  tex_size: int = 128, facade_seg: int = 24) -> str:
+def generate_city(out_dir: str, *, blocks: int = 42, seed: int = 11,
+                  tex_size: int = 128, facade_seg: int = 32,
+                  n_facade: int = 200, n_plank: int = 32, n_ground: int = 16,
+                  n_foliage: int = 48, n_trunk: int = 8, n_awning: int = 8) -> str:
     """Write city.glb + its DDS textures into out_dir; returns the glb path.
 
-    Defaults: 144 tower blocks (6 tessellated geometries x material
-    variants), ~600 cutout-canopy street trees, awnings and ground tiles —
-    ~1,900 draws, ~0.9M instanced triangles, 104 materials / 104 textures
-    (96+ opaque facades/planks/asphalt + foliage MASK class)."""
+    Defaults are Bistro-class density (VERDICT r4 #6; reference loadScene
+    scope scene.cpp:473-853): a 42x42 street grid = 1,764 tessellated tower
+    blocks, ~15.9K draws, ~900 unique cooked meshes / ~200K geometry
+    meshlets across their 16-LOD chains, 312 materials / 312 textures
+    (facades/planks/asphalt opaque + foliage MASK class riding the alpha
+    post pass), ~5K cutout-canopy street trees.  Everything instanced from
+    10 base vertex buffers, so the .glb stays small while the cooked
+    meshlet/LOD tables carry real scale."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -315,12 +321,12 @@ def generate_city(out_dir: str, *, blocks: int = 12, seed: int = 11,
         materials.append(m)
         return i
 
-    facade_mats = [add_material(_facade_tex(rng, tex_size)) for _ in range(56)]
-    plank_mats = [add_material(_plank_tex(rng, tex_size)) for _ in range(16)]
-    ground_mats = [add_material(_asphalt_tex(rng, tex_size)) for _ in range(8)]
-    foliage_mats = [add_material(_foliage_tex(rng, tex_size), alpha=True) for _ in range(16)]
-    trunk_mats = [add_material(_plank_tex(rng, tex_size)) for _ in range(4)]
-    awning_mats = [add_material(_plank_tex(rng, tex_size)) for _ in range(4)]
+    facade_mats = [add_material(_facade_tex(rng, tex_size)) for _ in range(n_facade)]
+    plank_mats = [add_material(_plank_tex(rng, tex_size)) for _ in range(n_plank)]
+    ground_mats = [add_material(_asphalt_tex(rng, tex_size)) for _ in range(n_ground)]
+    foliage_mats = [add_material(_foliage_tex(rng, tex_size), alpha=True) for _ in range(n_foliage)]
+    trunk_mats = [add_material(_plank_tex(rng, tex_size)) for _ in range(n_trunk)]
+    awning_mats = [add_material(_plank_tex(rng, tex_size)) for _ in range(n_awning)]
 
     # --- glTF meshes: (geometry, material) pairs ---
     mesh_defs, mesh_key = [], {}

@@ -187,6 +187,58 @@ def transform_meta(scene, cluster_cmd, cluster_lane, cluster_count, cmds):
     return out
 
 
+def order_clusters_by_x(scene, params, cluster_draw, cluster_mi, cluster_count):
+    """Reorder surviving clusters by projected screen-x center.
+
+    The tile raster kernel narrows each record chunk's evaluation to the
+    x-BANDS its records span (raster_tile._raster_kernel); in draw-major
+    cluster order a tile's records come from meshlets scattered across the
+    whole tile width, so chunks span all bands and the narrowing wins
+    nothing.  Sorting clusters by screen x makes a chunk's records
+    spatially tight (~meshlet width), which is where the banded kernel's
+    4-6x coverage-eval cut actually comes from.
+
+    Sound because raster resolution is ORDER-INDEPENDENT: the winner is
+    max depth with ties to the smallest fragment id — a total order on
+    (z, -id) reduced associatively across chunks — so the depth/vis image
+    is bit-identical under any record permutation; only the fragment id
+    VALUES (compacted record indices) change, and every consumer resolves
+    them through the same reordered arrays.
+
+    Returns (cluster_draw, cluster_mi) reordered; dead tail slots keep
+    dead values (sorted after every live cluster)."""
+    from . import cullmath as _cm
+
+    K = cluster_draw.shape[0]
+    slot_bits = max(K - 1, 1).bit_length()
+    xq_bits = 31 - slot_bits  # key = xq << slot_bits | slot fits u32
+    k = jnp.arange(K, dtype=jnp.int32)
+    live = k < cluster_count
+
+    xf = scene.draw_xform_row[cluster_draw]  # [K,8]
+    mrow = scene.meshlet_cull_row[
+        jnp.clip(cluster_mi, 0, scene.meshlet_cull_row.shape[0] - 1)
+    ]
+    world = _cm.rotate_quat(mrow[:, 0:3], xf[:, 4:8]) * xf[:, 3:4] + xf[:, 0:3]
+    view = params.view
+    camx = world @ view[0, :3] + view[0, 3]
+    viewz = world @ view[2, :3] + view[2, 3]
+    # only the ORDER matters: camx/viewz is monotone in screen x for
+    # in-front clusters; behind-near ones get a clamped ratio (their
+    # records carry conservative AABBs anyway)
+    ratio = camx / jnp.maximum(viewz, 1e-3)
+    half = jnp.float32(1 << (xq_bits - 1))
+    xq = jnp.clip(ratio * 256.0 + half, 0.0, 2.0 * half - 1.0).astype(jnp.uint32)
+    key = jnp.where(
+        live,
+        (xq << slot_bits) | k.astype(jnp.uint32),
+        (jnp.uint32(1) << 31) | k.astype(jnp.uint32),  # dead: after all live
+    )
+    (key_sorted,) = jax.lax.sort((key,), num_keys=1)
+    idx = (key_sorted & jnp.uint32((1 << slot_bits) - 1)).astype(jnp.int32)
+    return cluster_draw[idx], cluster_mi[idx]
+
+
 def transform_meta_direct(scene, cluster_draw, cluster_mi, cluster_count):
     """transform_meta for the cluster-direct cull path (ops/cull.py
     cluster_cull_direct): same output contract, fed by flat (draw, meshlet)

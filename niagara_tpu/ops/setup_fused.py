@@ -167,32 +167,32 @@ def _setup_kernel_alpha(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
                         alpha_hbm, prm, rec_out, aabb_out, count_out,
                         window, awindow, pending, apending, staging, astaging,
                         rowbuf, abuf, cursor, sems, rsem, asem, *,
-                        interpret: bool = False):
+                        interpret: bool = False, subs: int = 1):
     _setup_kernel(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
                   alpha_hbm, prm, rec_out, aabb_out, count_out,
                   window, awindow, pending, apending, staging, astaging,
                   rowbuf, abuf, cursor, sems, rsem, asem,
-                  interpret=interpret)
+                  interpret=interpret, subs=subs)
 
 
 def _setup_kernel_noalpha(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
                           prm, rec_out, aabb_out, count_out,
                           window, awindow, pending, apending, staging, astaging,
                           rowbuf, cursor, sems, rsem, *,
-                          interpret: bool = False):
+                          interpret: bool = False, subs: int = 1):
     _setup_kernel(cnt_ref, dmam_cur, dmam_nxt, xform, meta, rows_hbm,
                   None, prm, rec_out, aabb_out, count_out,
                   window, awindow, pending, apending, staging, astaging,
                   rowbuf, None, cursor, sems, rsem, None,
-                  interpret=interpret)
+                  interpret=interpret, subs=subs)
 
 
 def _setup_kernel(
     cnt_ref,  # scalar prefetch: [1] i32 live cluster count
-    dmam_cur,  # SMEM [BLOCK, 2] i32 (meshlet index, post class) of this block
-    dmam_nxt,  # SMEM [BLOCK, 2] i32 of the NEXT block (clamped at the end)
-    xform_ref,  # [BLOCK, 8] f32 (pos, scale, quat)
-    meta_ref,  # [BLOCK, 4] i32 (draw, mat, post, tri_count)
+    dmam_cur,  # SMEM [subs*BLOCK, 2] i32 (meshlet index, post class), this step
+    dmam_nxt,  # SMEM [subs*BLOCK, 2] i32 of the NEXT step (clamped at the end)
+    xform_ref,  # [subs*BLOCK, 8] f32 (pos, scale, quat)
+    meta_ref,  # [subs*BLOCK, 4] i32 (draw, mat, post, tri_count)
     rows_hbm,  # HBM [M, 16, 128] bf16 scene setup rows (scene.meshlet_setup_row)
     alpha_hbm,  # HBM [Ma, 8, 128] f32 opacity rows, or None (no-alpha variant)
     prm_ref,  # [1, 24] f32 params (view rows, p00, p11, znear, w, h)
@@ -202,21 +202,25 @@ def _setup_kernel(
     window, awindow, pending, apending, staging, astaging,
     rowbuf, abuf, cursor, sems, rsem, asem,
     interpret: bool = False,
+    subs: int = 1,
 ):
     bi = pl.program_id(0)
     nb = pl.num_programs(0)
-    base_cluster = bi * BLOCK
 
-    # --- per-live-cluster input DMA, double-buffered across grid steps.
+    # --- per-live-cluster input DMA, double-buffered across SUB-blocks.
     # The gathered-input formulation streamed EVERY capacity slot's channel
     # block through the grid pipeline (~50 KB x K/BLOCK steps ≈ 400 MB at
     # bench capacities, dead slots included) on top of the XLA gather that
     # built it; here each LIVE cluster costs one 4 KB row DMA (+4 KB
-    # opacity for post clusters), fetched a block ahead so the transfer
-    # hides under the previous block's MXU work.
-    slot = jax.lax.rem(bi, 2)
-    nslot = 1 - slot
-
+    # opacity for post clusters), fetched a sub-block ahead so the transfer
+    # hides under the previous sub-block's MXU work.
+    #
+    # `subs` 8-cluster sub-blocks share one grid step (a fori_loop below):
+    # the compute shapes stay BLOCK-sized (placement cost per record scales
+    # with the prefix-matmul width, so growing BLOCK itself is a net loss)
+    # while the grid shrinks subs x — at bench capacities the K/8-step grid
+    # paid ~4-5 us of per-step fixed cost on ~75% DEAD capacity steps,
+    # ~25 ms/frame of pure stepping (VERDICT r4 #1c).
     def row_dma(s, k, m):
         return pltpu.make_async_copy(rows_hbm.at[m], rowbuf.at[s, k], rsem.at[s, k])
 
@@ -225,13 +229,21 @@ def _setup_kernel(
 
     with_alpha = alpha_hbm is not None
 
-    def start_block(s, dmam):
+    def start_sub(slot, s_next):
+        """Start sub-block DMAs into buffer `slot`.  `s_next` is the LOCAL
+        sub-block index whose dmam rows drive the copies; s_next == subs
+        means the first sub-block of the NEXT grid step (dmam_nxt)."""
+        use_nxt = s_next >= subs
+        i0 = jnp.minimum(s_next, subs - 1) * BLOCK
         for k in range(BLOCK):
-            row_dma(s, k, dmam[k, 0]).start()
+            m = jnp.where(use_nxt, dmam_nxt[k, 0], dmam_cur[i0 + k, 0])
+            row_dma(slot, k, m).start()
             if with_alpha:
-                @pl.when(dmam[k, 1] > 0)
-                def _(k=k):
-                    alpha_dma(s, k, dmam[k, 0]).start()
+                p = jnp.where(use_nxt, dmam_nxt[k, 1], dmam_cur[i0 + k, 1])
+
+                @pl.when(p > 0)
+                def _(k=k, m=m):
+                    alpha_dma(slot, k, m).start()
 
     @pl.when(bi == 0)
     def _():
@@ -240,380 +252,393 @@ def _setup_kernel(
         pending[...] = jnp.zeros_like(pending)
         apending[...] = jnp.zeros_like(apending)
 
-    live_block = base_cluster < cnt_ref[0]
-    next_live = base_cluster + BLOCK < cnt_ref[0]  # implies bi + 1 < nb
+        @pl.when(cnt_ref[0] > 0)
+        def _():
+            start_sub(0, 0)
 
-    @pl.when((bi == 0) & live_block)
-    def _():
-        start_block(0, dmam_cur)
+    def sub_body(s, _):
+        g = bi * subs + s  # global sub-block index
+        base_cluster = g * BLOCK
+        slot = jax.lax.rem(g, 2)
+        nslot = 1 - slot
+        off = pl.multiple_of(s * BLOCK, BLOCK)
 
-    @pl.when(next_live)
-    def _():
-        start_block(nslot, dmam_nxt)
+        live_block = base_cluster < cnt_ref[0]
+        next_live = base_cluster + BLOCK < cnt_ref[0]
 
-    @pl.when(live_block)
-    def _process():
-        # wait this block's rows (started at step bi-1, or just above for
-        # block 0); gates must mirror start_block's exactly
-        for k in range(BLOCK):
-            row_dma(slot, k, dmam_cur[k, 0]).wait()
+        @pl.when(next_live)
+        def _():
+            start_sub(nslot, s + 1)
+
+        @pl.when(live_block)
+        def _process():
+            xform_blk = xform_ref[pl.ds(off, BLOCK), :]
+            meta_blk = meta_ref[pl.ds(off, BLOCK), :]
+            # wait this sub-block's rows (started one sub-block earlier, or
+            # in the bi == 0 warmup); gates must mirror start_sub's exactly
+            for k in range(BLOCK):
+                row_dma(slot, k, dmam_cur[off + k, 0]).wait()
+                if with_alpha:
+                    @pl.when(dmam_cur[off + k, 1] > 0)
+                    def _(k=k):
+                        alpha_dma(slot, k, dmam_cur[off + k, 0]).wait()
+
+            # in-kernel corner fetch: 3x [20*BLOCK, 96] f32 matrices, rows
+            # (ch*8 + k) = channel ch of cluster k (see _corner_fetch)
+            e3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
+            corner_mats = _corner_fetch(rowbuf, slot, e3)
+
+            def ch(mat, hi, lo=None):
+                v = mat[hi * BLOCK : (hi + 1) * BLOCK, :]
+                if lo is not None:
+                    v = v + mat[lo * BLOCK : (lo + 1) * BLOCK, :]
+                return v  # [BLOCK, 96]
+
+            # per-cluster transform scalars broadcast over the 96 tri lanes
+            tx = xform_blk[:, 0:1]
+            ty = xform_blk[:, 1:2]
+            tz = xform_blk[:, 2:3]
+            sc = xform_blk[:, 3:4]
+            qx = xform_blk[:, 4:5]
+            qy = xform_blk[:, 5:6]
+            qz = xform_blk[:, 6:7]
+            qw = xform_blk[:, 7:8]
+
+            p = lambda i: prm_ref[0, i]
+            v00, v01, v02, v03 = p(0), p(1), p(2), p(3)
+            v10, v11, v12, v13 = p(4), p(5), p(6), p(7)
+            v20, v21, v22, v23 = p(8), p(9), p(10), p(11)
+            p00, p11, znear = p(12), p(13), p(14)
+            width, height = p(15), p(16)
+
+            def rot_quat(px, py, pz):
+                # tmp = cross(qv, p) + qw*p ; out = p + 2*cross(qv, tmp)
+                txq = qy * pz - qz * py + qw * px
+                tyq = qz * px - qx * pz + qw * py
+                tzq = qx * py - qy * px + qw * pz
+                ox = px + 2.0 * (qy * tzq - qz * tyq)
+                oy = py + 2.0 * (qz * txq - qx * tzq)
+                oz = pz + 2.0 * (qx * tyq - qy * txq)
+                return ox, oy, oz
+
+            corners = []
+            for ref in corner_mats:
+                px = ch(ref, 0, 1)
+                py = ch(ref, 2, 3)
+                pz = ch(ref, 4, 5)
+                wx, wy, wz = rot_quat(px, py, pz)
+                wx = wx * sc + tx
+                wy = wy * sc + ty
+                wz = wz * sc + tz
+                camx = v00 * wx + v01 * wy + v02 * wz + v03
+                camy = v10 * wx + v11 * wy + v12 * wz + v13
+                viewz = v20 * wx + v21 * wy + v22 * wz + v23
+                safe_z = jnp.where(jnp.abs(viewz) < 1e-12, 1e-12, viewz)
+                zw = znear / safe_z
+                hx = (p00 * camx * 0.5 + 0.5 * viewz) * width
+                hy = (0.5 * viewz - p11 * camy * 0.5) * height
+                # 1/256 subpixel snap, bit-identical to transform_clusters
+                # (raster.py) — see the comment there; HW raster parity
+                wpos = viewz > 1e-9
+                hx = jnp.where(wpos, jnp.round(hx / safe_z * 256.0) * jnp.float32(1.0 / 256.0) * viewz, hx)
+                hy = jnp.where(wpos, jnp.round(hy / safe_z * 256.0) * jnp.float32(1.0 / 256.0) * viewz, hy)
+                nx = ch(ref, 6, 7)
+                ny = ch(ref, 8, 9)
+                nz = ch(ref, 10, 11)
+                wnx, wny, wnz = rot_quat(nx, ny, nz)
+                corners.append(
+                    dict(
+                        hx=hx, hy=hy, w=viewz, zw=zw,
+                        n=(wnx, wny, wnz),
+                        u=ch(ref, 12, 13), v=ch(ref, 14, 15),
+                        vid=ch(ref, 16) + ch(ref, 17) * 256.0 + ch(ref, 18) * 65536.0,
+                    )
+                )
+
+            A, B, C = corners
+
+            def cross_rows(p, q):
+                # negated adjugate rows: CCW-world content is front-facing under
+                # our y-down image mapping (see raster.compact_setup)
+                return (
+                    p["w"] * q["hy"] - p["hy"] * q["w"],
+                    p["hx"] * q["w"] - p["w"] * q["hx"],
+                    p["hy"] * q["hx"] - p["hx"] * q["hy"],
+                )
+
+            eAB = cross_rows(A, B)
+            eBC = cross_rows(B, C)
+            eCA = cross_rows(C, A)
+            det = A["hx"] * eBC[0] + A["hy"] * eBC[1] + A["w"] * eBC[2]
+            front = det > 0.0
+
+            inv_det = jnp.where(jnp.abs(det) < 1e-30, 0.0, 1.0 / det)
+            ka = A["zw"] * A["w"]
+            kb = B["zw"] * B["w"]
+            kc = C["zw"] * C["w"]
+            za = (ka * eBC[0] + kb * eCA[0] + kc * eAB[0]) * inv_det
+            zb = (ka * eBC[1] + kb * eCA[1] + kc * eAB[1]) * inv_det
+            zc = (ka * eBC[2] + kb * eCA[2] + kc * eAB[2]) * inv_det
+
+            # post passes are double-sided with a reverse-Z depth bias
+            # (reference niagara.cpp:1647-1648: cull mode NONE + depth bias 16):
+            # back-facing post triangles keep their exact depth plane (det sign
+            # cancels) but flip edge signs for the e >= 0 coverage convention.
+            is_post = jnp.broadcast_to(meta_blk[:, 2:3] > 0, det.shape)
+            flip = is_post & (det < 0.0)
+            sgn = jnp.where(flip, -1.0, 1.0)
+            eAB = tuple(e * sgn for e in eAB)
+            eBC = tuple(e * sgn for e in eBC)
+            eCA = tuple(e * sgn for e in eCA)
+            zbias = jnp.where(is_post, 1.0 + 2.0**-19, 1.0)
+            za, zb, zc = za * zbias, zb * zbias, zc * zbias
+            front = front | flip
+
+            # sliver triangles can overflow the depth plane to Inf (|inv_det| up
+            # to 1e30 times ~1e12 homogeneous edge terms).  A single non-finite
+            # record would poison every one-hot MXU dot it rides through
+            # (placement below, the shade kernel's winner gather: Inf * 0 = NaN
+            # contaminates the whole 128-chunk), so such triangles are invalid
+            # and their plane coefficients zeroed — they cover no pixel a
+            # finite-depth rasterizer could resolve anyway.
+            zmag = jnp.maximum(jnp.maximum(jnp.abs(za), jnp.abs(zb)), jnp.abs(zc))
+            zfin = zmag < 1e30
+            za = jnp.where(zfin, za, 0.0)
+            zb = jnp.where(zfin, zb, 0.0)
+            zc = jnp.where(zfin, zc, 0.0)
+            front = front & zfin
+
+            def sdiv(h, w):
+                return h / jnp.where(w > 1e-9, w, 1e-9)
+
+            sx = [sdiv(c["hx"], c["w"]) for c in (A, B, C)]
+            sy = [sdiv(c["hy"], c["w"]) for c in (A, B, C)]
+
+            behind_any = (A["w"] <= 1e-9) | (B["w"] <= 1e-9) | (C["w"] <= 1e-9)
+            all_behind = (A["w"] < znear) & (B["w"] < znear) & (C["w"] < znear)
+
+            x0f = jnp.where(behind_any, 0.0, jnp.floor(jnp.minimum(jnp.minimum(sx[0], sx[1]), sx[2])))
+            y0f = jnp.where(behind_any, 0.0, jnp.floor(jnp.minimum(jnp.minimum(sy[0], sy[1]), sy[2])))
+            x1f = jnp.where(behind_any, width, jnp.ceil(jnp.maximum(jnp.maximum(sx[0], sx[1]), sx[2])))
+            y1f = jnp.where(behind_any, height, jnp.ceil(jnp.maximum(jnp.maximum(sy[0], sy[1]), sy[2])))
+            on_screen = (x1f > 0) & (y1f > 0) & (x0f < width) & (y0f < height)
+
+            lane_t = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, MESH_MAXTRI), 1)
+            lane_k = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, MESH_MAXTRI), 0)
+            tri_count = meta_blk[:, 3:4]
+            cluster_live = (base_cluster + lane_k) < cnt_ref[0]
+            tri_live = (lane_t < tri_count) & cluster_live
+
+            x0d = jnp.clip(x0f, 0.0, width - 1.0)
+            y0d = jnp.clip(y0f, 0.0, height - 1.0)
+            x1d = jnp.clip(x1f, 0.0, width)
+            y1d = jnp.clip(y1f, 0.0, height)
+            valid = tri_live & front & ~all_behind & on_screen & (x1d > x0d) & (y1d > y0d)
+
+            flat = ((base_cluster + lane_k) * MESH_MAXTRI + lane_t).astype(jnp.float32)
+            drawf = meta_blk[:, 0:1].astype(jnp.float32) + jnp.zeros_like(flat)
+            matf = meta_blk[:, 1:2].astype(jnp.float32) + jnp.zeros_like(flat)
+            postf = meta_blk[:, 2:3].astype(jnp.float32) + jnp.zeros_like(flat)
+
+            cols = [
+                eAB[0], eAB[1], eAB[2], eBC[0], eBC[1], eBC[2], eCA[0], eCA[1], eCA[2],
+                za, zb, zc, x0d, y0d, x1d, y1d,
+            ]
+            for ci, c in enumerate((A, B, C)):
+                cols += [sx[ci], sy[ci], c["w"], c["n"][0], c["n"][1], c["n"][2], c["u"], c["v"]]
+            cols += [A["vid"], B["vid"], C["vid"], drawf, matf, postf, flat, jnp.zeros_like(flat)]
+            # opacity mask channels (exact f32 16-bit halves + uv rect); the
+            # no-alpha variant writes zeros without any mask input traffic.
+            # Opacity rows are DMA'd only for POST clusters — non-post clusters'
+            # buffer rows are stale, so mask them to zero (zero idu = "no alpha
+            # test"; only post streams consume these columns at raster time)
             if with_alpha:
-                @pl.when(dmam_cur[k, 1] > 0)
-                def _(k=k):
-                    alpha_dma(slot, k, dmam_cur[k, 0]).wait()
+                # select, don't multiply: non-post clusters' abuf rows are
+                # UNINITIALIZED scratch (their DMA never runs) and can hold
+                # NaN — NaN * 0 is NaN, and one NaN anywhere in the record
+                # stack poisons entire window chunks through the placement
+                # dots (0-weight one-hot terms still contribute 0 * NaN)
+                post_b = jnp.broadcast_to(meta_blk[:, 2:3] > 0, flat.shape)
+                cols += [
+                    jnp.where(post_b, abuf[slot, :, i, :MESH_MAXTRI], 0.0)
+                    for i in range(8)
+                ]
+            else:
+                cols += [jnp.zeros_like(flat) for _ in range(8)]
 
-        # in-kernel corner fetch: 3x [20*BLOCK, 96] f32 matrices, rows
-        # (ch*8 + k) = channel ch of cluster k (see _corner_fetch)
-        e3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3), 1)
-        corner_mats = _corner_fetch(rowbuf, slot, e3)
+            # --- in-block ranks at [BLOCK, 96] (flat row-major order = the XLA
+            # compaction order).  Mosaic has no cumsum and no lane-changing
+            # reshapes, so prefix sums are MXU matmuls against strict lower-
+            # triangular ones matrices (0/1 values, sums <= 768: exact in f32).
+            vf = valid.astype(jnp.float32)  # [BLOCK, 96]
+            lt96 = (
+                jax.lax.broadcasted_iota(jnp.int32, (MESH_MAXTRI, MESH_MAXTRI), 0)
+                < jax.lax.broadcasted_iota(jnp.int32, (MESH_MAXTRI, MESH_MAXTRI), 1)
+            ).astype(jnp.float32)
+            within = jax.lax.dot_general(
+                vf, lt96, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PX,
+            )  # [BLOCK,96] exclusive per-cluster prefix
+            row_tot = jnp.sum(vf, axis=1, keepdims=True)  # [BLOCK,1]
+            ltb = (
+                jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
+                > jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
+            ).astype(jnp.float32)
+            row_off = jax.lax.dot_general(
+                ltb, row_tot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PX,
+            )  # [BLOCK,1] exclusive prefix over clusters
+            p_off = cursor[1]
+            grank = (within + row_off).astype(jnp.int32) + p_off  # [BLOCK,96]
+            cnt = jnp.sum(vf).astype(jnp.int32)
 
-        def ch(mat, hi, lo=None):
-            v = mat[hi * BLOCK : (hi + 1) * BLOCK, :]
-            if lo is not None:
-                v = v + mat[lo * BLOCK : (lo + 1) * BLOCK, :]
-            return v  # [BLOCK, 96]
+            # aabb/meta side channel columns: x0 y0 x1 y1 valid flat pad pad
+            acols = [x0d, y0d, x1d, y1d, vf, flat, jnp.zeros_like(flat), jnp.zeros_like(flat)]
+            # sanitize: INVALID slots' raw values may be non-finite (degenerate
+            # math), and the placement dots sum 0 * value over every slot —
+            # 0 * Inf/NaN would contaminate whole window chunks.  Valid records
+            # are finite by construction (zfin above kills the one overflow
+            # source), so this is exact for everything consumed downstream.
+            allcols = [jnp.where(jnp.isfinite(c), c, 0.0) for c in cols + acols]
+            NCOL = len(allcols)
 
-        # per-cluster transform scalars broadcast over the 96 tri lanes
-        tx = xform_ref[:, 0:1]
-        ty = xform_ref[:, 1:2]
-        tz = xform_ref[:, 2:3]
-        sc = xform_ref[:, 3:4]
-        qx = xform_ref[:, 4:5]
-        qy = xform_ref[:, 5:6]
-        qz = xform_ref[:, 6:7]
-        qw = xform_ref[:, 7:8]
+            # --- placement, Mosaic-shaped.  Constraints: no lane<->sublane
+            # reshapes, no concat of vectors at mismatched sublane offsets, so
+            # per-cluster row extraction happens on the MXU (one-hot row picks)
+            # and record transposition happens ONCE per block:
+            #   recbig  [NCOL*BLOCK, 96]  (concat of whole [8,96] columns)
+            #   recbigT [96, NCOL*BLOCK]  (single 2D transpose)
+            #   rec_rT  [96, NCOL] = recbigT @ S_r  (constant one-hot select)
+            #   placed += P_r [WINDOW,96] @ rec_rT  (rank one-hot placement)
+            # Every matmul is one-hot on one side, so 3-way bf16 splits of the
+            # records reconstruct f32 exactly.  Output layout [WINDOW, NCOL] is
+            # row-major like rec_out — flushes are straight DMAs, no staging.
+            recbig = jnp.concatenate(allcols, axis=0)  # [NCOL*8, 96]
+            recbigT = recbig.T  # [96, NCOL*8]
 
-        p = lambda i: prm_ref[0, i]
-        v00, v01, v02, v03 = p(0), p(1), p(2), p(3)
-        v10, v11, v12, v13 = p(4), p(5), p(6), p(7)
-        v20, v21, v22, v23 = p(8), p(9), p(10), p(11)
-        p00, p11, znear = p(12), p(13), p(14)
-        width, height = p(15), p(16)
+            grank_f = grank.astype(jnp.float32)  # [8,96], values < WINDOW (exact)
+            i_384 = jax.lax.broadcasted_iota(jnp.int32, (NCOL * BLOCK, NCOL), 0)
+            c_384 = jax.lax.broadcasted_iota(jnp.int32, (NCOL * BLOCK, NCOL), 1)
+            r_sub = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+            dn = (((1,), (0,)), ((), ()))
 
-        def rot_quat(px, py, pz):
-            # tmp = cross(qv, p) + qw*p ; out = p + 2*cross(qv, tmp)
-            txq = qy * pz - qz * py + qw * px
-            tyq = qz * px - qx * pz + qw * py
-            tzq = qx * py - qy * px + qw * pz
-            ox = px + 2.0 * (qy * tzq - qz * tyq)
-            oy = py + 2.0 * (qz * txq - qx * tzq)
-            oz = pz + 2.0 * (qx * tyq - qy * txq)
-            return ox, oy, oz
+            # one-hot row picks (offset-0 [1,96] results, MXU-exact), then a
+            # lane concat to [1, 768] wide rank / validity rows
+            g_parts, v_parts = [], []
+            for r in range(BLOCK):
+                e_r = (r_sub == r).astype(jnp.float32)  # [1,8]
+                g_parts.append(jax.lax.dot_general(e_r, grank_f, dn, preferred_element_type=jnp.float32, precision=_PX))
+                v_parts.append(jax.lax.dot_general(e_r, vf, dn, preferred_element_type=jnp.float32, precision=_PX))
+            grank_wide = jnp.concatenate(g_parts, axis=1)  # [1, 768]
+            vf_wide = jnp.concatenate(v_parts, axis=1)
 
-        corners = []
-        for ref in corner_mats:
-            px = ch(ref, 0, 1)
-            py = ch(ref, 2, 3)
-            pz = ch(ref, 4, 5)
-            wx, wy, wz = rot_quat(px, py, pz)
-            wx = wx * sc + tx
-            wy = wy * sc + ty
-            wz = wz * sc + tz
-            camx = v00 * wx + v01 * wy + v02 * wz + v03
-            camy = v10 * wx + v11 * wy + v12 * wz + v13
-            viewz = v20 * wx + v21 * wy + v22 * wz + v23
-            safe_z = jnp.where(jnp.abs(viewz) < 1e-12, 1e-12, viewz)
-            zw = znear / safe_z
-            hx = (p00 * camx * 0.5 + 0.5 * viewz) * width
-            hy = (0.5 * viewz - p11 * camy * 0.5) * height
-            # 1/256 subpixel snap, bit-identical to transform_clusters
-            # (raster.py) — see the comment there; HW raster parity
-            wpos = viewz > 1e-9
-            hx = jnp.where(wpos, jnp.round(hx / safe_z * 256.0) * jnp.float32(1.0 / 256.0) * viewz, hx)
-            hy = jnp.where(wpos, jnp.round(hy / safe_z * 256.0) * jnp.float32(1.0 / 256.0) * viewz, hy)
-            nx = ch(ref, 6, 7)
-            ny = ch(ref, 8, 9)
-            nz = ch(ref, 10, 11)
-            wnx, wny, wnz = rot_quat(nx, ny, nz)
-            corners.append(
-                dict(
-                    hx=hx, hy=hy, w=viewz, zw=zw,
-                    n=(wnx, wny, wnz),
-                    u=ch(ref, 12, 13), v=ch(ref, 14, 15),
-                    vid=ch(ref, 16) + ch(ref, 17) * 256.0 + ch(ref, 18) * 65536.0,
-                )
-            )
-
-        A, B, C = corners
-
-        def cross_rows(p, q):
-            # negated adjugate rows: CCW-world content is front-facing under
-            # our y-down image mapping (see raster.compact_setup)
-            return (
-                p["w"] * q["hy"] - p["hy"] * q["w"],
-                p["hx"] * q["w"] - p["w"] * q["hx"],
-                p["hy"] * q["hx"] - p["hx"] * q["hy"],
-            )
-
-        eAB = cross_rows(A, B)
-        eBC = cross_rows(B, C)
-        eCA = cross_rows(C, A)
-        det = A["hx"] * eBC[0] + A["hy"] * eBC[1] + A["w"] * eBC[2]
-        front = det > 0.0
-
-        inv_det = jnp.where(jnp.abs(det) < 1e-30, 0.0, 1.0 / det)
-        ka = A["zw"] * A["w"]
-        kb = B["zw"] * B["w"]
-        kc = C["zw"] * C["w"]
-        za = (ka * eBC[0] + kb * eCA[0] + kc * eAB[0]) * inv_det
-        zb = (ka * eBC[1] + kb * eCA[1] + kc * eAB[1]) * inv_det
-        zc = (ka * eBC[2] + kb * eCA[2] + kc * eAB[2]) * inv_det
-
-        # post passes are double-sided with a reverse-Z depth bias
-        # (reference niagara.cpp:1647-1648: cull mode NONE + depth bias 16):
-        # back-facing post triangles keep their exact depth plane (det sign
-        # cancels) but flip edge signs for the e >= 0 coverage convention.
-        is_post = jnp.broadcast_to(meta_ref[:, 2:3] > 0, det.shape)
-        flip = is_post & (det < 0.0)
-        sgn = jnp.where(flip, -1.0, 1.0)
-        eAB = tuple(e * sgn for e in eAB)
-        eBC = tuple(e * sgn for e in eBC)
-        eCA = tuple(e * sgn for e in eCA)
-        zbias = jnp.where(is_post, 1.0 + 2.0**-19, 1.0)
-        za, zb, zc = za * zbias, zb * zbias, zc * zbias
-        front = front | flip
-
-        # sliver triangles can overflow the depth plane to Inf (|inv_det| up
-        # to 1e30 times ~1e12 homogeneous edge terms).  A single non-finite
-        # record would poison every one-hot MXU dot it rides through
-        # (placement below, the shade kernel's winner gather: Inf * 0 = NaN
-        # contaminates the whole 128-chunk), so such triangles are invalid
-        # and their plane coefficients zeroed — they cover no pixel a
-        # finite-depth rasterizer could resolve anyway.
-        zmag = jnp.maximum(jnp.maximum(jnp.abs(za), jnp.abs(zb)), jnp.abs(zc))
-        zfin = zmag < 1e30
-        za = jnp.where(zfin, za, 0.0)
-        zb = jnp.where(zfin, zb, 0.0)
-        zc = jnp.where(zfin, zc, 0.0)
-        front = front & zfin
-
-        def sdiv(h, w):
-            return h / jnp.where(w > 1e-9, w, 1e-9)
-
-        sx = [sdiv(c["hx"], c["w"]) for c in (A, B, C)]
-        sy = [sdiv(c["hy"], c["w"]) for c in (A, B, C)]
-
-        behind_any = (A["w"] <= 1e-9) | (B["w"] <= 1e-9) | (C["w"] <= 1e-9)
-        all_behind = (A["w"] < znear) & (B["w"] < znear) & (C["w"] < znear)
-
-        x0f = jnp.where(behind_any, 0.0, jnp.floor(jnp.minimum(jnp.minimum(sx[0], sx[1]), sx[2])))
-        y0f = jnp.where(behind_any, 0.0, jnp.floor(jnp.minimum(jnp.minimum(sy[0], sy[1]), sy[2])))
-        x1f = jnp.where(behind_any, width, jnp.ceil(jnp.maximum(jnp.maximum(sx[0], sx[1]), sx[2])))
-        y1f = jnp.where(behind_any, height, jnp.ceil(jnp.maximum(jnp.maximum(sy[0], sy[1]), sy[2])))
-        on_screen = (x1f > 0) & (y1f > 0) & (x0f < width) & (y0f < height)
-
-        lane_t = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, MESH_MAXTRI), 1)
-        lane_k = jax.lax.broadcasted_iota(jnp.int32, (BLOCK, MESH_MAXTRI), 0)
-        tri_count = meta_ref[:, 3:4]
-        cluster_live = (base_cluster + lane_k) < cnt_ref[0]
-        tri_live = (lane_t < tri_count) & cluster_live
-
-        x0d = jnp.clip(x0f, 0.0, width - 1.0)
-        y0d = jnp.clip(y0f, 0.0, height - 1.0)
-        x1d = jnp.clip(x1f, 0.0, width)
-        y1d = jnp.clip(y1f, 0.0, height)
-        valid = tri_live & front & ~all_behind & on_screen & (x1d > x0d) & (y1d > y0d)
-
-        flat = ((base_cluster + lane_k) * MESH_MAXTRI + lane_t).astype(jnp.float32)
-        drawf = meta_ref[:, 0:1].astype(jnp.float32) + jnp.zeros_like(flat)
-        matf = meta_ref[:, 1:2].astype(jnp.float32) + jnp.zeros_like(flat)
-        postf = meta_ref[:, 2:3].astype(jnp.float32) + jnp.zeros_like(flat)
-
-        cols = [
-            eAB[0], eAB[1], eAB[2], eBC[0], eBC[1], eBC[2], eCA[0], eCA[1], eCA[2],
-            za, zb, zc, x0d, y0d, x1d, y1d,
-        ]
-        for ci, c in enumerate((A, B, C)):
-            cols += [sx[ci], sy[ci], c["w"], c["n"][0], c["n"][1], c["n"][2], c["u"], c["v"]]
-        cols += [A["vid"], B["vid"], C["vid"], drawf, matf, postf, flat, jnp.zeros_like(flat)]
-        # opacity mask channels (exact f32 16-bit halves + uv rect); the
-        # no-alpha variant writes zeros without any mask input traffic.
-        # Opacity rows are DMA'd only for POST clusters — non-post clusters'
-        # buffer rows are stale, so mask them to zero (zero idu = "no alpha
-        # test"; only post streams consume these columns at raster time)
-        if with_alpha:
-            # select, don't multiply: non-post clusters' abuf rows are
-            # UNINITIALIZED scratch (their DMA never runs) and can hold
-            # NaN — NaN * 0 is NaN, and one NaN anywhere in the record
-            # stack poisons entire window chunks through the placement
-            # dots (0-weight one-hot terms still contribute 0 * NaN)
-            post_b = jnp.broadcast_to(meta_ref[:, 2:3] > 0, flat.shape)
-            cols += [
-                jnp.where(post_b, abuf[slot, :, i, :MESH_MAXTRI], 0.0)
-                for i in range(8)
-            ]
-        else:
-            cols += [jnp.zeros_like(flat) for _ in range(8)]
-
-        # --- in-block ranks at [BLOCK, 96] (flat row-major order = the XLA
-        # compaction order).  Mosaic has no cumsum and no lane-changing
-        # reshapes, so prefix sums are MXU matmuls against strict lower-
-        # triangular ones matrices (0/1 values, sums <= 768: exact in f32).
-        vf = valid.astype(jnp.float32)  # [BLOCK, 96]
-        lt96 = (
-            jax.lax.broadcasted_iota(jnp.int32, (MESH_MAXTRI, MESH_MAXTRI), 0)
-            < jax.lax.broadcasted_iota(jnp.int32, (MESH_MAXTRI, MESH_MAXTRI), 1)
-        ).astype(jnp.float32)
-        within = jax.lax.dot_general(
-            vf, lt96, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PX,
-        )  # [BLOCK,96] exclusive per-cluster prefix
-        row_tot = jnp.sum(vf, axis=1, keepdims=True)  # [BLOCK,1]
-        ltb = (
-            jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 0)
-            > jax.lax.broadcasted_iota(jnp.int32, (BLOCK, BLOCK), 1)
-        ).astype(jnp.float32)
-        row_off = jax.lax.dot_general(
-            ltb, row_tot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PX,
-        )  # [BLOCK,1] exclusive prefix over clusters
-        p_off = cursor[1]
-        grank = (within + row_off).astype(jnp.int32) + p_off  # [BLOCK,96]
-        cnt = jnp.sum(vf).astype(jnp.int32)
-
-        # aabb/meta side channel columns: x0 y0 x1 y1 valid flat pad pad
-        acols = [x0d, y0d, x1d, y1d, vf, flat, jnp.zeros_like(flat), jnp.zeros_like(flat)]
-        # sanitize: INVALID slots' raw values may be non-finite (degenerate
-        # math), and the placement dots sum 0 * value over every slot —
-        # 0 * Inf/NaN would contaminate whole window chunks.  Valid records
-        # are finite by construction (zfin above kills the one overflow
-        # source), so this is exact for everything consumed downstream.
-        allcols = [jnp.where(jnp.isfinite(c), c, 0.0) for c in cols + acols]
-        NCOL = len(allcols)
-
-        # --- placement, Mosaic-shaped.  Constraints: no lane<->sublane
-        # reshapes, no concat of vectors at mismatched sublane offsets, so
-        # per-cluster row extraction happens on the MXU (one-hot row picks)
-        # and record transposition happens ONCE per block:
-        #   recbig  [NCOL*BLOCK, 96]  (concat of whole [8,96] columns)
-        #   recbigT [96, NCOL*BLOCK]  (single 2D transpose)
-        #   rec_rT  [96, NCOL] = recbigT @ S_r  (constant one-hot select)
-        #   placed += P_r [WINDOW,96] @ rec_rT  (rank one-hot placement)
-        # Every matmul is one-hot on one side, so 3-way bf16 splits of the
-        # records reconstruct f32 exactly.  Output layout [WINDOW, NCOL] is
-        # row-major like rec_out — flushes are straight DMAs, no staging.
-        recbig = jnp.concatenate(allcols, axis=0)  # [NCOL*8, 96]
-        recbigT = recbig.T  # [96, NCOL*8]
-
-        grank_f = grank.astype(jnp.float32)  # [8,96], values < WINDOW (exact)
-        i_384 = jax.lax.broadcasted_iota(jnp.int32, (NCOL * BLOCK, NCOL), 0)
-        c_384 = jax.lax.broadcasted_iota(jnp.int32, (NCOL * BLOCK, NCOL), 1)
-        r_sub = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
-        dn = (((1,), (0,)), ((), ()))
-
-        # one-hot row picks (offset-0 [1,96] results, MXU-exact), then a
-        # lane concat to [1, 768] wide rank / validity rows
-        g_parts, v_parts = [], []
-        for r in range(BLOCK):
-            e_r = (r_sub == r).astype(jnp.float32)  # [1,8]
-            g_parts.append(jax.lax.dot_general(e_r, grank_f, dn, preferred_element_type=jnp.float32, precision=_PX))
-            v_parts.append(jax.lax.dot_general(e_r, vf, dn, preferred_element_type=jnp.float32, precision=_PX))
-        grank_wide = jnp.concatenate(g_parts, axis=1)  # [1, 768]
-        vf_wide = jnp.concatenate(v_parts, axis=1)
-
-        # record rows k = r*96 + t -> record (r, t); the select dots are
-        # cheap ([96,448]x[448,NCOL]); f32 accumulate (Mosaic requires
-        # 32-bit acc), cast back to bf16 — exact: each output selects
-        # exactly one bf16 value.  Interpret mode takes the single-dot f32
-        # HIGHEST route instead: XLA's HLO cleanup collapses the manual
-        # split trio to one bf16 pass (see split3), while HIGHEST one-hot
-        # dots are exact AND honored by the optimizer.
-        if interpret:
-            sel_mats_f = [
-                ((i_384 % BLOCK == r) & (i_384 // BLOCK == c_384)).astype(jnp.float32)
-                for r in range(BLOCK)
-            ]
-            rec_f = jnp.concatenate([
-                jax.lax.dot_general(
-                    recbigT, sel_mats_f[r], dn,
-                    preferred_element_type=jnp.float32, precision=_PX,
-                )
-                for r in range(BLOCK)
-            ], axis=0)  # [768, NCOL] f32
-        else:
-            t1, t2, t3 = split3(recbigT)
-            sel_mats = [
-                ((i_384 % BLOCK == r) & (i_384 // BLOCK == c_384)).astype(jnp.bfloat16)
-                for r in range(BLOCK)
-            ]
-            splits = []
-            for t in (t1, t2, t3):
-                splits.append(jnp.concatenate([
-                    jax.lax.dot_general(
-                        t, sel_mats[r], dn, preferred_element_type=jnp.float32
-                    ).astype(jnp.bfloat16)
+            # record rows k = r*96 + t -> record (r, t); the select dots are
+            # cheap ([96,448]x[448,NCOL]); f32 accumulate (Mosaic requires
+            # 32-bit acc), cast back to bf16 — exact: each output selects
+            # exactly one bf16 value.  Interpret mode takes the single-dot f32
+            # HIGHEST route instead: XLA's HLO cleanup collapses the manual
+            # split trio to one bf16 pass (see split3), while HIGHEST one-hot
+            # dots are exact AND honored by the optimizer.
+            if interpret:
+                sel_mats_f = [
+                    ((i_384 % BLOCK == r) & (i_384 // BLOCK == c_384)).astype(jnp.float32)
                     for r in range(BLOCK)
-                ], axis=0))  # [768, NCOL]
-            # splits 1+2 pack side by side in the N dimension (MXU N pads to
-            # 128 and NCOL is 64); split 3 rides a half-padded dot
-            rec12 = jnp.concatenate([splits[0], splits[1]], axis=1)  # [768, 2*NCOL]
-
-        # --- CHUNKED placement: ranks land in window rows [p_off, p_off +
-        # cnt), so a chunk of 128 consecutive window rows is one [128, 768]
-        # one-hot dot with a STATIC destination slice.  A typical block
-        # appends ~96 records after a ~max-127 pending offset — 2 live
-        # chunks — versus the whole-window dot's WINDOW/128 = 7, a ~3.5x
-        # MXU cut on the placement (the kernel's dominant cost).  Dead
-        # chunks skip entirely; their window rows keep stale values, which
-        # is safe: flush/pending only ever read rows below p_off + cnt.
-        total = p_off + cnt
-        for c in range(GROUPS):
-            @pl.when(c * 128 < total)
-            def _(c=c):
-                j128 = (jax.lax.broadcasted_iota(jnp.int32, (128, BLOCK * MESH_MAXTRI), 0)
-                        + c * 128).astype(jnp.float32)
-                hit = (j128 == grank_wide) & (vf_wide > 0.5)
-                if interpret:
-                    placed_c = jax.lax.dot_general(
-                        hit.astype(jnp.float32), rec_f, dn,
+                ]
+                rec_f = jnp.concatenate([
+                    jax.lax.dot_general(
+                        recbigT, sel_mats_f[r], dn,
                         preferred_element_type=jnp.float32, precision=_PX,
-                    )  # [128, NCOL]
-                else:
-                    Pb_c = hit.astype(jnp.bfloat16)
-                    d12 = jax.lax.dot_general(Pb_c, rec12, dn, preferred_element_type=jnp.float32)
-                    d3 = jax.lax.dot_general(Pb_c, splits[2], dn, preferred_element_type=jnp.float32)
-                    placed_c = d12[:, :NCOL] + d12[:, NCOL:] + d3  # [128, NCOL]
-                if c == 0:
-                    placed_c = placed_c + jnp.concatenate([pending[...], apending[...]], axis=1)
-                window[c * 128 : (c + 1) * 128, :] = placed_c[:, :REC]
-                awindow[c * 128 : (c + 1) * 128, :] = placed_c[:, REC:]
+                    )
+                    for r in range(BLOCK)
+                ], axis=0)  # [768, NCOL] f32
+            else:
+                t1, t2, t3 = split3(recbigT)
+                sel_mats = [
+                    ((i_384 % BLOCK == r) & (i_384 // BLOCK == c_384)).astype(jnp.bfloat16)
+                    for r in range(BLOCK)
+                ]
+                splits = []
+                for t in (t1, t2, t3):
+                    splits.append(jnp.concatenate([
+                        jax.lax.dot_general(
+                            t, sel_mats[r], dn, preferred_element_type=jnp.float32
+                        ).astype(jnp.bfloat16)
+                        for r in range(BLOCK)
+                    ], axis=0))  # [768, NCOL]
+                # splits 1+2 pack side by side in the N dimension (MXU N pads to
+                # 128 and NCOL is 64); split 3 rides a half-padded dot
+                rec12 = jnp.concatenate([splits[0], splits[1]], axis=1)  # [768, 2*NCOL]
 
-        total = p_off + cnt
-        n_flush = total // 128
+            # --- CHUNKED placement: ranks land in window rows [p_off, p_off +
+            # cnt), so a chunk of 128 consecutive window rows is one [128, 768]
+            # one-hot dot with a STATIC destination slice.  A typical block
+            # appends ~96 records after a ~max-127 pending offset — 2 live
+            # chunks — versus the whole-window dot's WINDOW/128 = 7, a ~3.5x
+            # MXU cut on the placement (the kernel's dominant cost).  Dead
+            # chunks skip entirely; their window rows keep stale values, which
+            # is safe: flush/pending only ever read rows below p_off + cnt.
+            total = p_off + cnt
+            for c in range(GROUPS):
+                @pl.when(c * 128 < total)
+                def _(c=c):
+                    j128 = (jax.lax.broadcasted_iota(jnp.int32, (128, BLOCK * MESH_MAXTRI), 0)
+                            + c * 128).astype(jnp.float32)
+                    hit = (j128 == grank_wide) & (vf_wide > 0.5)
+                    if interpret:
+                        placed_c = jax.lax.dot_general(
+                            hit.astype(jnp.float32), rec_f, dn,
+                            preferred_element_type=jnp.float32, precision=_PX,
+                        )  # [128, NCOL]
+                    else:
+                        Pb_c = hit.astype(jnp.bfloat16)
+                        d12 = jax.lax.dot_general(Pb_c, rec12, dn, preferred_element_type=jnp.float32)
+                        d3 = jax.lax.dot_general(Pb_c, splits[2], dn, preferred_element_type=jnp.float32)
+                        placed_c = d12[:, :NCOL] + d12[:, NCOL:] + d3  # [128, NCOL]
+                    if c == 0:
+                        placed_c = placed_c + jnp.concatenate([pending[...], apending[...]], axis=1)
+                    window[c * 128 : (c + 1) * 128, :] = placed_c[:, :REC]
+                    awindow[c * 128 : (c + 1) * 128, :] = placed_c[:, REC:]
 
-        cap_groups = rec_out.shape[0] // 128
-        for g in range(GROUPS):  # static unroll: slices stay static
-            @pl.when((g < n_flush) & (cursor[0] + g < cap_groups))
-            def _(g=g):
-                # Mosaic DMA refs need 128-multiple minor dims, so records
-                # flush as 128-wide rows (cols >= REC zero) and the aabb
-                # side channel flushes channel-major via a small transpose
-                staging[:, 0:REC] = window[g * 128 : (g + 1) * 128, :]
-                astaging[...] = awindow[g * 128 : (g + 1) * 128, :].T
-                dst = pl.multiple_of((cursor[0] + g) * 128, 128)
-                dma = pltpu.make_async_copy(staging, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
-                dma.start()
-                dma.wait()
-                adma = pltpu.make_async_copy(astaging, aabb_out.at[:, pl.ds(dst, 128)], sems.at[1])
-                adma.start()
-                adma.wait()
+            total = p_off + cnt
+            n_flush = total // 128
 
-        # new pending = the first partial group after the flushed ones; when
-        # total lands exactly on a group boundary there is no partial group
-        # and chunk n_flush was never placed (stale rows) — pending must be
-        # zero then
-        newp = jnp.zeros((128, REC), jnp.float32)
-        newap = jnp.zeros((128, 8), jnp.float32)
-        has_partial = total > n_flush * 128
-        for g in range(GROUPS):
-            sel = (g == n_flush) & has_partial
-            newp = jnp.where(sel, window[g * 128 : (g + 1) * 128, :], newp)
-            newap = jnp.where(sel, awindow[g * 128 : (g + 1) * 128, :], newap)
-        pending[...] = newp
-        apending[...] = newap
+            cap_groups = rec_out.shape[0] // 128
+            for g in range(GROUPS):  # static unroll: slices stay static
+                @pl.when((g < n_flush) & (cursor[0] + g < cap_groups))
+                def _(g=g):
+                    # Mosaic DMA refs need 128-multiple minor dims, so records
+                    # flush as 128-wide rows (cols >= REC zero) and the aabb
+                    # side channel flushes channel-major via a small transpose
+                    staging[:, 0:REC] = window[g * 128 : (g + 1) * 128, :]
+                    astaging[...] = awindow[g * 128 : (g + 1) * 128, :].T
+                    dst = pl.multiple_of((cursor[0] + g) * 128, 128)
+                    dma = pltpu.make_async_copy(staging, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
+                    dma.start()
+                    dma.wait()
+                    adma = pltpu.make_async_copy(astaging, aabb_out.at[:, pl.ds(dst, 128)], sems.at[1])
+                    adma.start()
+                    adma.wait()
 
-        cursor[0] = cursor[0] + n_flush
-        cursor[1] = total - n_flush * 128
+            # new pending = the first partial group after the flushed ones; when
+            # total lands exactly on a group boundary there is no partial group
+            # and chunk n_flush was never placed (stale rows) — pending must be
+            # zero then
+            newp = jnp.zeros((128, REC), jnp.float32)
+            newap = jnp.zeros((128, 8), jnp.float32)
+            has_partial = total > n_flush * 128
+            for g in range(GROUPS):
+                sel = (g == n_flush) & has_partial
+                newp = jnp.where(sel, window[g * 128 : (g + 1) * 128, :], newp)
+                newap = jnp.where(sel, awindow[g * 128 : (g + 1) * 128, :], newap)
+            pending[...] = newp
+            apending[...] = newap
+
+            cursor[0] = cursor[0] + n_flush
+            cursor[1] = total - n_flush * 128
+
+        return 0
+
+    jax.lax.fori_loop(0, subs, sub_body, 0)
 
     @pl.when(bi == nb - 1)
     def _finalize():
@@ -641,7 +666,14 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
     K = tc["mi"].shape[0]
     assert K % BLOCK == 0, "cluster capacity must be a multiple of BLOCK"
     cap_pad = -(-capacity // 128) * 128 + 128  # slack for the final padded flush
-    nb_m1 = K // BLOCK - 1
+    # sub-blocks per grid step: compute stays BLOCK-shaped, the grid shrinks
+    # subs x (per-step fixed cost was ~75% of the kernel at bench capacities
+    # — see the _setup_kernel docstring); every power-of-two capacity >= 64
+    # gets the full factor
+    subs = 8
+    while K % (BLOCK * subs):
+        subs //= 2
+    nb_m1 = K // (BLOCK * subs) - 1
 
     meta = jnp.stack(
         [tc["draw_id"], tc["mat_index"], tc["post_pass"], tc["tri_count"]], axis=-1
@@ -692,13 +724,13 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
         )
 
     in_specs = [
-        pl.BlockSpec((BLOCK, 2), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((subs * BLOCK, 2), lambda i, *_: (i, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec(
-            (BLOCK, 2), lambda i, *_: (jnp.minimum(i + 1, nb_m1), 0),
+            (subs * BLOCK, 2), lambda i, *_: (jnp.minimum(i + 1, nb_m1), 0),
             memory_space=pltpu.SMEM,
         ),
-        pl.BlockSpec((BLOCK, 8), lambda i, *_: (i, 0)),
-        pl.BlockSpec((BLOCK, 4), lambda i, *_: (i, 0)),
+        pl.BlockSpec((subs * BLOCK, 8), lambda i, *_: (i, 0)),
+        pl.BlockSpec((subs * BLOCK, 4), lambda i, *_: (i, 0)),
         _space(rows_res),  # rows table [M,16,128] (VMEM-resident when small)
     ]
     if with_alpha:
@@ -726,7 +758,7 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(K // BLOCK,),
+        grid=(K // (BLOCK * subs),),
         in_specs=in_specs,
         out_specs=[
             # HBM explicitly: under pl.ANY the compiler may place these in
@@ -754,7 +786,7 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
     rec_rows, aabb_t, count = pl.pallas_call(
         functools.partial(
             _setup_kernel_alpha if with_alpha else _setup_kernel_noalpha,
-            interpret=interpret,
+            interpret=interpret, subs=subs,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((cap_pad, 128), jnp.float32),

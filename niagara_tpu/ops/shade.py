@@ -337,6 +337,44 @@ def gbuffer_from_attrs(attrs_img, valid, scene, textures=None, *, depth=None,
     return jnp.where(valid4, g0, 0.0), jnp.where(valid4, g1, 0.0), valid
 
 
+def pack_gbuffer(g0, g1, valid):
+    """Quantize the G-buffer planes to the reference's actual storage
+    encodings — g0 as rgba8, g1 as 10/10/10+2 (reference mesh.frag.glsl:85-86
+    writes rgba8 albedo/emissive and a2bgr10 octahedral normal+gloss) — and
+    pack each into ONE i32 plane.  All channels are in [0,1] by
+    construction (srgb albedo, log-encoded emissive, oct*0.5+0.5 normal,
+    gloss); g1's unused 4th channel yields 2 spare bits, bit 30 of which
+    carries `valid`.
+
+    Invalid pixels pack to exactly 0, so a psum of disjoint owner planes
+    reconstructs the owner's packed value bit-exactly — the multi-chip
+    sort-last composite reduces 2 i32 planes (8 B/px) instead of 8 f32
+    channels + a valid plane (36 B/px).  Returns (p0, p1) i32 [H, W]."""
+    q0 = jnp.round(jnp.clip(g0, 0.0, 1.0) * 255.0).astype(jnp.uint32)
+    p0 = q0[..., 0] | (q0[..., 1] << 8) | (q0[..., 2] << 16) | (q0[..., 3] << 24)
+    q1 = jnp.round(jnp.clip(g1[..., :3], 0.0, 1.0) * 1023.0).astype(jnp.uint32)
+    p1 = (q1[..., 0] | (q1[..., 1] << 10) | (q1[..., 2] << 20)
+          | (valid.astype(jnp.uint32) << 30))
+    v = valid  # invalid pixels must contribute 0 to the psum union
+    return (jnp.where(v, p0, 0).astype(jnp.int32),
+            jnp.where(v, p1, 0).astype(jnp.int32))
+
+
+def unpack_gbuffer(p0, p1):
+    """Inverse of pack_gbuffer: (p0, p1) i32 -> (g0 [H,W,4], g1 [H,W,4],
+    valid [H,W] bool).  g1's 4th channel is restored as zero (it is zero by
+    construction in the shade path)."""
+    p0 = p0.astype(jnp.uint32)
+    p1 = p1.astype(jnp.uint32)
+    g0 = jnp.stack(
+        [((p0 >> s) & 255).astype(jnp.float32) * (1.0 / 255.0) for s in (0, 8, 16, 24)],
+        axis=-1,
+    )
+    c1 = [((p1 >> s) & 1023).astype(jnp.float32) * (1.0 / 1023.0) for s in (0, 10, 20)]
+    g1 = jnp.stack(c1 + [jnp.zeros_like(c1[0])], axis=-1)
+    return g0, g1, ((p1 >> 30) & 1) > 0
+
+
 def _lit_color(g0, g1, depth, *, camera_position, sun_direction,
                inverse_view_projection, shadow_term, width: int, height: int):
     """Decode one G-buffer layer and light it (the shared core of the

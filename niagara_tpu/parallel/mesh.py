@@ -83,11 +83,14 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
     """
     # Fragment ids within one device span [0, tri_capacity) for the early
     # pass plus [tri_capacity + g*late_tri_cap, ...) for each late class
-    # GROUP — see frame_core's frag_offset math.  The stride must cover the
-    # whole range so per-device id ranges are disjoint for every
-    # FrameConfig (post_passes>1, late_tri_capacity != tri_capacity
-    # included).
-    frag_stride = cfg.tri_capacity + len(cfg.late_class_groups) * cfg.late_tri_cap
+    # GROUP on the merged direct path, or [tri_capacity + pp*late_tri_cap)
+    # for pp in 0..post_passes-1 on the legacy wavefront path — see
+    # frame_core's frag_offset math.  The stride takes the max of both
+    # paths' spans so per-device id ranges stay disjoint for EVERY
+    # FrameConfig (the legacy path runs post_passes-1 sequential post
+    # passes after its late pass, one late_tri_cap block each).
+    late_blocks = max(len(cfg.late_class_groups), cfg.post_passes)
+    frag_stride = cfg.tri_capacity + late_blocks * cfg.late_tri_cap
 
     def per_device(scene, state, params, sp, textures, shadow_ctx):
         # shard_map passes [1, ...] blocks along the draw axis
@@ -127,9 +130,15 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
             g0, g1, valid = shade.shade_gbuffer(
                 local_fb, tc, setup_all, scene, cfg.width, cfg.height, textures=textures
             )
-        g0 = jax.lax.psum(g0, axis)
-        g1 = jax.lax.psum(g1, axis)
-        gvalid = jax.lax.psum(valid.astype(jnp.float32), axis) > 0.0
+        # pack to the reference's G-buffer encodings (rgba8 + a2bgr10 —
+        # shade.pack_gbuffer) before the reduce: 2 i32 planes (8 B/px,
+        # valid rides a spare bit) instead of 8 f32 channels + a valid
+        # plane (36 B/px).  Owner pixels are disjoint and non-owners pack
+        # to 0, so the psum is an exact bitwise union.
+        p0, p1 = shade.pack_gbuffer(g0, g1, valid)
+        p0 = jax.lax.psum(p0, axis)
+        p1 = jax.lax.psum(p1, axis)
+        g0, g1, gvalid = shade.unpack_gbuffer(p0, p1)
 
         # transmission layer (postPass=2): its own sort-last merge — the
         # front-most transmission fragment across devices wins, its owner
@@ -145,9 +154,10 @@ def make_sharded_frame(mesh: Mesh, cfg: frame_mod.FrameConfig, axis: str = "draw
                 trans["attrs"], t_mine, scene, textures=textures, depth=t_depth,
                 inverse_view_projection=sp.inverse_view_projection,
             )
-            g0t = jax.lax.psum(g0t, axis)
-            g1t = jax.lax.psum(g1t, axis)
-            t_gvalid = jax.lax.psum(t_valid.astype(jnp.float32), axis) > 0.0
+            p0t, p1t = shade.pack_gbuffer(g0t, g1t, t_valid)
+            p0t = jax.lax.psum(p0t, axis)
+            p1t = jax.lax.psum(p1t, axis)
+            g0t, g1t, t_gvalid = shade.unpack_gbuffer(p0t, p1t)
             transmission = (g0t, g1t, t_depth, t_gvalid)
 
         # post stages run replicated on the merged planes — the full frame
@@ -216,13 +226,15 @@ def allreduce_bytes_per_frame(cfg: frame_mod.FrameConfig, transmission: bool = F
     """Per-device ICI all-reduce traffic of one sharded frame (for roofline
     accounting; all buffers are [H, W]-shaped f32/i32):
 
-      depth pmax (4B) + vis pmin (4B) + g0/g1 psum (16B each) + valid psum
-      (4B) = 44 B/pixel, doubled when a transmission layer is merged.
+      depth pmax (4B) + vis pmin (4B) + packed-G-buffer p0/p1 psum (4B
+      each; rgba8 + a2bgr10 via shade.pack_gbuffer, valid rides a spare
+      bit — the reference's actual storage encodings, mesh.frag.glsl:85-86)
+      = 16 B/pixel, doubled when a transmission layer is merged.
 
-    At 1080p that is ~91 MB/frame — v5e ICI moves ~45 GB/s/link each way,
-    so the composite costs ~2 ms/frame/link, far below the sharded
-    cull/raster work it amortizes."""
-    per_px = 4 + 4 + 16 + 16 + 4
+    At 1080p that is ~33 MB/frame — v5e ICI moves ~45 GB/s/link each way,
+    so the composite costs well under a ms/frame/link, far below the
+    sharded cull/raster work it amortizes."""
+    per_px = 4 + 4 + 4 + 4
     if transmission:
         per_px *= 2
     return cfg.width * cfg.height * per_px

@@ -42,6 +42,13 @@ def mosaic_parity_check(geometry, *, width: int = 256, height: int = 128,
                                    scene_radius=12.0)
     masks = None
     if with_alpha:
+        # deep-copy before synthesizing uvs: the parity fixture must not
+        # mutate the CALLER's cooked geometry (bench.py reuses it for the
+        # headline scene — enabling/disabling the parity gate would
+        # otherwise change the headline's vertex uv data)
+        import copy
+
+        geometry = copy.deepcopy(geometry)
         synth.synthesize_planar_uvs(geometry)
         materials, texture_mips, mat_idx, post = synth.synthesize_materials(draws_n)
         draws.material_index[:] = mat_idx

@@ -79,4 +79,60 @@ def headline_capacities(draw_count: int) -> dict:
         pair_capacity=1280 * 1024,
         late_cluster_capacity=1 << 14,
         late_tri_capacity=1 << 18,
+        # late/post pair demand is the alpha class (~1/8 of draws -> ~130K
+        # pairs measured) + newly-visible geometry (~0 steady state); the
+        # early 1.25M budget made every late pass pay a 1.25M-row record
+        # gather (~17 ms each, latency-bound)
+        late_pair_capacity=1 << 18,
+    )
+
+
+def scene_capacities(geometry, draws) -> dict:
+    """Data-driven capacity policy for cooked scenes (VERDICT r4 #3: the
+    fixed headline budgets made a 21K-meshlet glTF city pay 1M-draw-scale
+    setup grids, emission sorts, and record streams — nearly 2/3 of the
+    1M-draw frame time for 0.1% of its work).
+
+    Hard bounds (loss-IMPOSSIBLE by construction):
+      * emitted draws  <= draw count                  -> cmd_capacity;
+      * candidate and survivor clusters <= the sum over draws of their
+        mesh's finest-LOD meshlet count (`total` below — coarser LODs only
+        shrink it)                                    -> cluster/candidate.
+
+    Heuristic bounds (drop-counter + bench-test guarded, like the
+    reference's TASK_WGLIMIT design, config.h:24-28):
+      * tri_capacity = 4x total meshlet instances (measured city demand:
+        ~2.4K valid tris at 13.5K instances — 96 tris/meshlet never
+        survive setup validity at scene scale);
+      * pair_capacity = 2x tri_capacity (measured ~42K pairs);
+      * giant_capacity scales with scene size: street-level scenes put
+        near-camera ground/facade triangles beyond the midB footprint
+        class, where the headline's fixed 64-slot budget dropped 81
+        pairs/frame (BENCH_r04 gltf tail).
+
+    Scenes larger than the hard-bound window fall back to the measured
+    1M-draw headline policy."""
+    import numpy as np
+
+    lod0 = geometry.meshes.lod_meshlet_count[:, 0]
+    total = int(lod0[np.asarray(draws.mesh_index)].sum())
+    if draws.count > 300_000 or total > (1 << 17):
+        return headline_capacities(draws.count)
+
+    def p2(x, lo, hi=1 << 30):
+        return min(hi, max(lo, 1 << (max(int(x), 1) - 1).bit_length()))
+
+    cluster = p2(total, 1 << 12)
+    tri = p2(4 * total, 1 << 14, 1 << 19)
+    return dict(
+        cmd_capacity=p2(draws.count, 1 << 12),
+        cluster_capacity=cluster,
+        candidate_capacity=cluster,
+        late_candidate_capacity=cluster,
+        late_cluster_capacity=max(1 << 12, cluster // 2),
+        tri_capacity=tri,
+        late_tri_capacity=max(1 << 14, tri // 2),
+        pair_capacity=2 * tri,
+        late_pair_capacity=max(1 << 15, tri),
+        giant_capacity=p2(total // 64, 128, 1 << 10),
     )

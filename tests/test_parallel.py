@@ -97,13 +97,13 @@ def test_sharded_matches_single_device_image_exactly(kitten_geometry, small_draw
         with m:
             image, _, _ = frame_fn(stacked, state, params, sp)
         imgs.append(np.asarray(image))
-    # identical winner set (bit-exact coverage); colors to float tolerance —
-    # XLA compiles the 1- vs N-device programs with different fusion/FMA
-    # choices, and the shading chain (edge-function reciprocal, normal
-    # renormalization) amplifies those ~1-ulp differences to ~1e-5 at
-    # glancing triangle-edge pixels
+    # identical winner set (bit-exact coverage); colors to one G-buffer
+    # quantization step — XLA compiles the 1- vs N-device programs with
+    # different fusion/FMA choices, and a ~1-ulp pre-pack difference at a
+    # pack_gbuffer rounding boundary (rgba8/a2bgr10 — the reference's own
+    # storage precision) flips a full 1/255 step
     np.testing.assert_array_equal(imgs[0].sum(-1) > 0.0, imgs[1].sum(-1) > 0.0)
-    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-4)
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=5e-3)
     assert (imgs[0].sum(-1) > 0.05).sum() > 100
 
 
@@ -142,7 +142,8 @@ def test_sharded_full_frame_with_bloom_and_shadows(kitten_geometry, small_draws)
             image, _, _ = frame_fn(stacked, state, params, sp, None, ctx)
         imgs.append(np.asarray(image))
     np.testing.assert_array_equal(imgs[0].sum(-1) > 0.0, imgs[1].sum(-1) > 0.0)
-    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-4)
+    # one G-buffer quantization step (see the exact-image test's comment)
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=5e-3)
 
     # shadows reached the composite: the same frame without the ctx is
     # brighter somewhere (kittens shadow each other under the diagonal sun)
@@ -180,7 +181,8 @@ def test_sharded_alpha_post_pass(kitten_geometry, small_draws):
             image, _, stats_n = frame_fn(stacked, state, params, sp)
         imgs.append(np.asarray(image))
     np.testing.assert_array_equal(imgs[0].sum(-1) > 0.0, imgs[1].sum(-1) > 0.0)
-    np.testing.assert_allclose(imgs[0], imgs[1], atol=1e-4)
+    # one G-buffer quantization step (see the exact-image test's comment)
+    np.testing.assert_allclose(imgs[0], imgs[1], atol=5e-3)
     assert int(stats_n.cmd_dropped) == 0 and int(stats_n.cluster_dropped) == 0
 
     # alpha draws contribute: removing the class changes the image
@@ -225,3 +227,79 @@ def test_sharded_textured_shading(kitten_geometry, small_draws, tmp_path):
     # red albedo: red channel dominates green/blue where lit
     assert (img_tex[lit][:, 0] >= img_tex[lit][:, 1]).mean() > 0.95
     assert not np.array_equal(img_tex, img_plain)
+
+
+def test_pack_gbuffer_roundtrip_and_psum_union():
+    """pack_gbuffer quantizes to the reference's storage encodings (rgba8 +
+    a2bgr10, mesh.frag.glsl:85-86) packed into two i32 planes.  Contract:
+    (a) roundtrip error bounded by half a quantization step, (b) invalid
+    pixels pack to EXACTLY 0 so a sum of disjoint owner planes is a
+    bit-exact union — the multi-chip composite reduces 8 B/px instead of
+    36 B/px (VERDICT r4 #7)."""
+    from niagara_tpu.ops import shade
+
+    rng = np.random.default_rng(3)
+    g0 = jnp.asarray(rng.random((8, 16, 4), np.float32))
+    g1 = jnp.asarray(rng.random((8, 16, 4), np.float32))
+    g1 = g1.at[..., 3].set(0.0)  # unused channel, zero by construction
+    valid = jnp.asarray(rng.random((8, 16)) < 0.7)
+
+    p0, p1 = shade.pack_gbuffer(g0, g1, valid)
+    r0, r1, rvalid = shade.unpack_gbuffer(p0, p1)
+    np.testing.assert_array_equal(np.asarray(rvalid), np.asarray(valid))
+    v = np.asarray(valid)
+    np.testing.assert_allclose(np.asarray(r0)[v], np.asarray(g0)[v], atol=0.5 / 255)
+    np.testing.assert_allclose(np.asarray(r1)[v][:, :3], np.asarray(g1)[v][:, :3], atol=0.5 / 1023)
+    assert (np.asarray(p0)[~v] == 0).all() and (np.asarray(p1)[~v] == 0).all()
+
+    # disjoint-owner union: splitting the valid set across two "devices"
+    # and summing the packed planes reproduces the single-plane packing
+    # bit-exactly
+    half = jnp.asarray(rng.random((8, 16)) < 0.5)
+    pa0, pa1 = shade.pack_gbuffer(g0, g1, valid & half)
+    pb0, pb1 = shade.pack_gbuffer(g0, g1, valid & ~half)
+    np.testing.assert_array_equal(np.asarray(pa0 + pb0), np.asarray(p0))
+    np.testing.assert_array_equal(np.asarray(pa1 + pb1), np.asarray(p1))
+
+
+def test_sharded_legacy_path_alpha_consistent(kitten_geometry, small_draws):
+    """Fragment-id disjointness on the LEGACY (wavefront/scatter-merge)
+    path with post passes (ADVICE r4: frag_stride covered only the merged
+    direct path's class groups; the legacy path offsets post passes at
+    tri_capacity + pp*late_tri_cap for pp up to post_passes-1, so a stride
+    computed from late_class_groups alone made adjacent devices' id ranges
+    OVERLAP and the psum double-shade pixels).  N-device must equal
+    1-device exactly."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, post_passes=2, use_tile_raster=False, direct_cluster_cull=False,
+        # late_tri_capacity != tri_capacity exercises the stride arithmetic
+        late_tri_capacity=CFG.tri_capacity // 2,
+    )
+    draws = dataclasses.replace(small_draws)
+    draws.post_pass = small_draws.post_pass.copy()
+    draws.post_pass[::3] = 1
+
+    n_dev = min(len(jax.devices()), 4)
+    params, sp = frame_mod.make_frame_inputs(Camera(), RenderSettings(), cfg)
+    imgs = []
+    for n in (1, n_dev):
+        m = pmesh.make_mesh(n)
+        stacked = pmesh.shard_draws(kitten_geometry, draws, n)
+        state = pmesh.init_sharded_state(stacked, n)
+        frame_fn = pmesh.make_sharded_frame(m, cfg)
+        with m:
+            image, _, _ = frame_fn(stacked, state, params, sp)
+        imgs.append(np.asarray(image))
+    np.testing.assert_array_equal(imgs[0].sum(-1) > 0.0, imgs[1].sum(-1) > 0.0)
+    # one G-buffer quantization step for the bulk; a handful of pixels may
+    # flip winners where two DIFFERENT draws tie at exact depth (device id
+    # offsets reorder cross-device ties -- inherent to sort-last with
+    # per-device id ranges).  The stride bug this test guards against
+    # (overlapping id ranges -> psum double-shading) brightens whole
+    # silhouettes, thousands of pixels, so a <=0.05% budget still catches it.
+    bad = np.abs(imgs[0] - imgs[1]).max(-1) > 5e-3
+    assert bad.sum() <= imgs[0].shape[0] * imgs[0].shape[1] * 0.0005, (
+        f"{bad.sum()} mismatched pixels on the legacy sharded path"
+    )

@@ -37,8 +37,13 @@ def test_tiles_roundtrip(rng):
     assert tiles.shape == (TILES_X * TILES_Y, raster_tile.TILE_H, raster_tile.TILE_W)
     back = np.asarray(raster_tile.tiles_to_image(tiles, HEIGHT, WIDTH))
     np.testing.assert_array_equal(back, img)
-    # tile 0 is the top-left block
-    np.testing.assert_array_equal(np.asarray(tiles[0]), img[:8, :128])
+    # tile 0 is the top-left block, stored band-major: element
+    # [b, y*BAND_W + xb] = img[y, b*BAND_W + xb]
+    blk = img[:8, :128].reshape(8, raster_tile.NBANDS, raster_tile.BAND_W)
+    np.testing.assert_array_equal(
+        np.asarray(tiles[0]),
+        np.transpose(blk, (1, 0, 2)).reshape(8, 128),
+    )
 
 
 def test_single_triangle_matches_oracle():

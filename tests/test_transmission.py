@@ -27,6 +27,17 @@ from niagara_tpu.render.camera import Camera, RenderSettings
 W, H = 256, 128
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_compile_cache():
+    """The 3-class interpret-mode frame is the largest program in the
+    suite; XLA:CPU's executable serialization segfaults writing its
+    persistent-cache entry (observed twice at this exact test).  Skip the
+    cache for this module — correctness tests, compile time is acceptable."""
+    jax.config.update("jax_enable_compilation_cache", False)
+    yield
+    jax.config.update("jax_enable_compilation_cache", True)
+
+
 @pytest.fixture(scope="module")
 def geometry(tmp_path_factory):
     from niagara_tpu.cooker import cook

@@ -173,7 +173,7 @@ def main():
     n_tiles = tiles_x * tiles_y
 
     ep = partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "pair_capacity"))(raster_tile.emit_pairs)
-    pair_tri, tile_start, pair_count, huge = timed(
+    pair_tri, tile_start, pair_count, huge, _dv, _dm = timed(
         "emit_pairs(sort)", ep, st, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=cfg.pair_capacity)
     print(f"{'':28s} [pairs={int(pair_count)} huge_dropped={int(huge)}]", flush=True)
 
