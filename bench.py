@@ -192,25 +192,10 @@ def main():
             )
 
         animate_j = jax.jit(animate_tail)
-        # the per-frame update runs at ANIMATED-TAIL scale, not headline
-        # scale: a 20K-draw tail at the sun's texel LOD needs ~1 command +
-        # ~1 coarse meshlet per draw, so cmd/cluster budgets sit at ~1.6x /
-        # ~3x measured demand and tri/pair at ~4x (drop counters guard —
-        # the bench records them; VERDICT r4 #3/#4: the update paid
-        # capacity-scale setup + a 1.25M-slot pair sort for a tail that
-        # emits a few thousand pairs, 228 ms/frame for ~ms of work)
-        upd_caps = dict(sun_caps)
-        if anim_n:
-            upd_caps.update(
-                cmd_capacity=max(1 << 12, 1 << (anim_n - 1).bit_length()),
-                # measured demand at the sun's texel LOD is ~1 coarse
-                # meshlet per draw; 1.5x headroom (the drop counter below
-                # is recorded in the bench JSON)
-                cluster_capacity=min(sun_caps["cluster_capacity"],
-                                     max(1 << 13, 1 << (3 * anim_n // 2 - 1).bit_length())),
-                tri_capacity=min(sun_caps["tri_capacity"], 1 << 17),
-                pair_capacity=min(sun_caps["pair_capacity"], 1 << 18),
-            )
+        # per-frame update budgets at ANIMATED-TAIL scale (shared policy:
+        # presets.sunmap_update_capacities; tests/test_bench_pairs.py pins
+        # its zero-drop contract at the bench tail shape)
+        upd_caps = presets.sunmap_update_capacities(anim_n, sun_caps)
         update_j = jax.jit(lambda sc, tiles: sunmap_mod.update_sun_map(
             sc, sf, tiles, None,
             map_w=map_wh, map_h=map_wh, texel_world=texel_world, **upd_caps,

@@ -470,13 +470,18 @@ def compact_setup(tc, width, height, znear, capacity: int):
             [tc["alpha"][:, i, :MESH_MAXTRI] for i in range(8)], axis=-1
         ).reshape(K * MESH_MAXTRI, 8)
         both = jnp.concatenate([rec, rec_shade, rec_alpha], axis=-1)[tidx]  # [cap, 56]
-        out = both[:, :16]
-        shade_rec = both[:, 16:48]
     else:
         both = jnp.concatenate([rec, rec_shade], axis=-1)[tidx]  # [cap, 48]
-        out = both[:, :16]
-        shade_rec = both[:, 16:]
         both = jnp.concatenate([both, jnp.zeros((both.shape[0], 8), both.dtype)], axis=-1)
+    out = both[:, :16]
+    shade_rec = both[:, 16:48]
+    # col 13 (the bbox y0 slot — the tile kernels read x0/x1 only) carries
+    # the record's own compacted index, matching the fused setup kernel:
+    # fragment ids become col13 + frag_offset inside the kernels, removing
+    # the [P]-scale id-column rewrite from the pair-stream build.  y0 is
+    # extracted above (out is sliced pre-overwrite lazily, so read it now).
+    y0_col = both[:, 13].astype(jnp.int32)
+    both = both.at[:, 13].set(jnp.arange(capacity, dtype=both.dtype))
     live = jnp.arange(capacity, dtype=jnp.int32) < count
 
     return dict(
@@ -488,7 +493,7 @@ def compact_setup(tc, width, height, znear, capacity: int):
         zb=out[:, 10],
         zc=out[:, 11],
         x0=out[:, 12].astype(jnp.int32),
-        y0=out[:, 13].astype(jnp.int32),
+        y0=y0_col,
         x1=out[:, 14].astype(jnp.int32),
         y1=out[:, 15].astype(jnp.int32),
         shade_rec=shade_rec,

@@ -50,6 +50,11 @@ from .setup_fused import REC, split3
 # 128 (Mosaic requires 128-lane-aligned HBM slices); chunk windows start at
 # the aligned offset below each tile's range and mask out-of-range records
 REC_CHUNK = 128
+# chunk-DMA pipeline depth: most chunks carry few live (tile, band) visits,
+# so with double buffering the wait for chunk c+1 stalls on DMA latency
+# (~2-3 us) nearly every iteration; 4 buffers hide it under 3 chunks of
+# compute for 16-84 KB of VMEM
+NBUF = 4
 
 # f32-operand kernel dots carry explicit HIGHEST precision: compiled Mosaic
 # lowers f32 matmuls exactly; interpret mode turns them into XLA dots whose
@@ -120,7 +125,9 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     if mid_capacity is None:
         mid_capacity = max(8192, T // 64)
     if midb_capacity is None:
-        midb_capacity = max(1024, T // 512)
+        # measured worst-case demand at the 1M-draw bench shape is T/3600
+        # (tests/test_bench_pairs.py prints the class demand vector)
+        midb_capacity = max(512, T // 1024)
     tri_bits = max(T - 1, 1).bit_length()
     assert tri_bits + (n_tiles).bit_length() <= 32, (
         "packed pair key overflows u32; lower tri_capacity or tile count"
@@ -177,7 +184,12 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     tri_t = tri_idx[:, None]
 
     is_tiny2 = is_tiny & ~is_tiny1
-    idx2, n2, over2 = compact_idx(is_tiny2, max(T // 3, 256))
+    # tiny2 worst-case demand is T/2.4 at the 1M-draw bench shape with
+    # EVERYTHING visible (the everything-was-visible-last-frame early pass;
+    # tests/test_bench_pairs.py measured 268K at T=640K) — the old T/3 cap
+    # dropped ~50K pairs in exactly the frame the bench's loss-free
+    # contract covers
+    idx2, n2, over2 = compact_idx(is_tiny2, max(T // 2, 256))
     sel2 = jnp.arange(idx2.shape[0], dtype=jnp.int32) < n2
     s2 = jnp.arange(2, dtype=jnp.int32)[None, :]
     dx2 = jnp.where(txs[idx2][:, None] == 2, s2, 0)
@@ -236,19 +248,30 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
 _NOID = float(1 << 30)
 
 
-def _raster_kernel(tile_start_ref, recs_ref, depth_in_ref, vis_in_ref,
+def _raster_kernel(tile_start_ref, off_ref, recs_ref, depth_in_ref, vis_in_ref,
                    depth_out_ref, vis_out_ref, recs_vmem, sems, *, tiles_x,
-                   alpha_test: bool = False, rec_rows: int = REC):
-    """Banded tile raster: one grid step per ROW of tiles_x tiles, pixels
-    along SUBLANES [BAND_PX, 1], records along LANES [1, 128].
+                   rows_per_step: int = 1, alpha_test: bool = False,
+                   rec_rows: int = REC):
+    """Banded tile raster: one grid step per GROUP of `rows_per_step` tile
+    rows (rows_per_step * tiles_x tiles), pixels along SUBLANES
+    [BAND_PX, 1], records along LANES [1, 128].
 
-    Grouping a whole tile row into one step is the latency fix: with one
-    step per TILE the kernel paid ~28 us of fixed cost (grid step + one
-    tiny un-overlapped chunk DMA) per tile — 2025 steps ~ 57 ms at 1080p
-    even with 6 pairs/tile.  Pairs are tile-sorted, so a row's records are
-    ONE contiguous chunk span: the row shares a single double-buffered DMA
-    sequence (chunks fetched once, not once per touching tile) and the
-    step count drops to tiles_y = 135.
+    Grouping tile rows into one step is the latency fix: with one step per
+    TILE the kernel paid ~28 us of fixed cost (grid step + one tiny
+    un-overlapped chunk DMA) per tile — 2025 steps ~ 57 ms at 1080p even
+    with 6 pairs/tile.  Pairs are tile-sorted, so a row GROUP's records are
+    ONE contiguous chunk span: the group shares a single double-buffered
+    DMA sequence (chunks fetched once, not once per touching tile) and the
+    step count drops to tiles_y / rows_per_step (15 at 1080p).  Tile
+    buffers cross the boundary as [G, 8, 128] blocks — exactly one f32
+    tile per sublane tile, so multi-row blocks stay unpadded (the earlier
+    [G, 1, 1024] form padded 1 -> 8 sublanes, 8x the VMEM).
+
+    Per chunk, a monotone TILE CURSOR (tile_start is sorted, chunk spans
+    only advance) finds the tiles the chunk's records touch — O(chunks +
+    live tiles) scalar work per step instead of the old chunks x tiles_x
+    guard scan, which at multi-row grouping would have scanned every tile
+    of the group per chunk.
 
     Per (chunk, tile) visit the kernel first reduces the chunk's live
     records' x-AABBs (record rows 12/14) to the contiguous x-BAND range
@@ -263,30 +286,30 @@ def _raster_kernel(tile_start_ref, recs_ref, depth_in_ref, vis_in_ref,
     the smallest fragment id (zmax + lane arg-min); across chunks and
     passes the (depth, id) carry merges with the same rule.  Per tile the
     chunk order stays ascending and bands partition the pixels, so the
-    output is bit-identical to the unbanded whole-tile kernel.
+    output is bit-identical to the per-row, unbanded whole-tile kernel.
     """
-    i = pl.program_id(0)  # tile ROW index; tiles [i*tiles_x, (i+1)*tiles_x)
-    t0 = i * tiles_x
+    i = pl.program_id(0)  # row-group index
+    gt = rows_per_step * tiles_x  # tiles per grid step
+    t0 = i * gt
     g_start = tile_start_ref[t0]
-    g_end = tile_start_ref[t0 + tiles_x]
+    g_end = tile_start_ref[t0 + gt]
 
-    # chunk window covering the whole row's [g_start, g_end); the stream is
-    # chunk-major [NC, REC, 128] so every chunk is ONE contiguous DMA block
-    # (the earlier [REC, P] layout made each chunk 56 strided 512B reads —
-    # measured DMA rate ~1GB/s; contiguous blocks stream at full rate)
+    # chunk window covering the whole group's [g_start, g_end); the stream
+    # is chunk-major [NC, REC, 128] so every chunk is ONE contiguous DMA
+    # block (the earlier [REC, P] layout made each chunk 56 strided 512B
+    # reads — measured DMA rate ~1GB/s; contiguous blocks stream at full
+    # rate)
     a0c = g_start // REC_CHUNK
     a0_off = a0c * REC_CHUNK
     n_chunks = (g_end - a0_off + REC_CHUNK - 1) // REC_CHUNK
     ncmax = recs_ref.shape[0] - 1
 
-    oy = i * TILE_H
-
     # band-local pixel centers [BAND_PX, 1]: sublane s is band pixel
     # (y = s // BAND_W, xb = s % BAND_W); fxb gets ox + band*BAND_W added
-    # inside the band loop
+    # inside the band loop, fyb gets the tile's oy
     s_sub = jax.lax.broadcasted_iota(jnp.int32, (BAND_PX, 1), 0)
     fxb = (s_sub % BAND_W).astype(jnp.float32) + jnp.float32(0.5)
-    fy = (s_sub // BAND_W).astype(jnp.float32) + (jnp.float32(0.5) + oy.astype(jnp.float32))
+    fyb = (s_sub // BAND_W).astype(jnp.float32) + jnp.float32(0.5)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, REC_CHUNK), 1)
 
@@ -302,22 +325,23 @@ def _raster_kernel(tile_start_ref, recs_ref, depth_in_ref, vis_in_ref,
             recs_ref.at[ci, pl.ds(0, rec_rows)], recs_vmem.at[slot], sems.at[slot]
         )
 
-    # the row's carry lives in the output block (init from the input once;
-    # per-(tile, chunk, band) updates read-modify-write the band's slice) —
-    # a register carry would need 2*tiles_x live [PX, 1] arrays
+    # the group's carry lives in the output block (init from the input
+    # once; per-(tile, chunk, band) updates read-modify-write the band's
+    # slice) — a register carry would need 2*gt live [PX, 1] arrays
     depth_out_ref[...] = depth_in_ref[...]
     vis_out_ref[...] = vis_in_ref[...]
 
-    @pl.when(n_chunks > 0)
-    def _():
-        dma(0, 0).start()
+    for j in range(NBUF - 1):  # warm the pipeline NBUF-1 chunks deep
+        @pl.when(j < n_chunks)
+        def _(j=j):
+            dma(j % NBUF, j).start()
 
-    def chunk_body(c, _):
-        slot = c % 2
+    def chunk_body(c, tcur):
+        slot = c % NBUF
 
-        @pl.when(c + 1 < n_chunks)
+        @pl.when(c + NBUF - 1 < n_chunks)
         def _():
-            dma((c + 1) % 2, c + 1).start()
+            dma((c + NBUF - 1) % NBUF, c + NBUF - 1).start()
 
         dma(slot, c).wait()
 
@@ -326,13 +350,16 @@ def _raster_kernel(tile_start_ref, recs_ref, depth_in_ref, vis_in_ref,
         c_lo = a0_off + c * REC_CHUNK
         gidx = c_lo + lane  # [1, 128] global pair index
 
-        def tile_body(g, _):
+        def tile_body(g):
             start = tile_start_ref[t0 + g]
             end = tile_start_ref[t0 + g + 1]
 
-            @pl.when((start < c_lo + REC_CHUNK) & (end > c_lo))
-            def _():
-                ox = (g * TILE_W).astype(jnp.float32)
+            if True:  # (indentation kept from the old pl.when guard form —
+                # the cursor's visit set IS the old guard's condition)
+                gg = t0 + g
+                ox = ((gg % tiles_x) * TILE_W).astype(jnp.float32)
+                oy = ((gg // tiles_x) * TILE_H).astype(jnp.float32)
+                fy = fyb + oy
                 live = (gidx >= start) & (gidx < end)  # [1, 128]
 
                 # x-band range of the chunk's live records for THIS tile:
@@ -412,28 +439,49 @@ def _raster_kernel(tile_start_ref, recs_ref, depth_in_ref, vis_in_ref,
                         # fragment id
                         zm = jnp.where(cover, Z, 0.0)  # covered z is > 0
                         zmax = jnp.max(zm, axis=1, keepdims=True)  # [BAND_PX, 1]
-                        fragf = r(13)  # fragment ids ride record row 13
+                        # fragment ids = record row 13 (the record's own
+                        # compacted index, baked at setup) + the pass's
+                        # frag offset — exact in f32 (ids < 2^24)
+                        fragf = r(13) + off_ref[0].astype(jnp.float32)
                         idm = jnp.where(cover & (zm == zmax), fragf, _NOID)
                         idmin = jnp.min(idm, axis=1, keepdims=True).astype(jnp.int32)
 
-                        # merge with the band's carry (in the output block)
-                        # under the same rule (zmax > 0 == any cover);
-                        # [1, BAND_PX] <-> [BAND_PX, 1] 2D transposes
-                        off = b * BAND_PX
-                        depth = depth_out_ref[pl.ds(g, 1), 0:1, pl.ds(off, BAND_PX)][0].T
-                        vis = vis_out_ref[pl.ds(g, 1), 0:1, pl.ds(off, BAND_PX)][0].T
+                        # merge with the band's carry (in the output block,
+                        # tile g's band b is the [1, 128] sublane row
+                        # [g, b, :]) under the same rule (zmax > 0 == any
+                        # cover); [1, BAND_PX] <-> [BAND_PX, 1] transposes
+                        depth = depth_out_ref[pl.ds(g, 1), b, :].T
+                        vis = vis_out_ref[pl.ds(g, 1), b, :].T
                         closer = zmax > depth
                         tie = (zmax > 0.0) & (zmax == depth) & (idmin < vis)
                         new_depth = jnp.where(closer, zmax, depth)
                         new_vis = jnp.where(closer | tie, idmin, vis)
-                        depth_out_ref[pl.ds(g, 1), 0:1, pl.ds(off, BAND_PX)] = new_depth.T[None]
-                        vis_out_ref[pl.ds(g, 1), 0:1, pl.ds(off, BAND_PX)] = new_vis.T[None]
+                        depth_out_ref[pl.ds(g, 1), b, :] = new_depth.T
+                        vis_out_ref[pl.ds(g, 1), b, :] = new_vis.T
 
-            return 0
+        # tile cursor: advance past tiles that end at or before this chunk
+        # (tile_start is sorted and chunk windows only move forward, so the
+        # cursor is monotone across the chunk loop), then visit every tile
+        # whose range starts before the chunk's end — exactly the tiles
+        # with records in this chunk, O(chunks + visits) scalar work.
+        tcur = jax.lax.while_loop(
+            lambda t: (t < gt) & (tile_start_ref[t0 + t + 1] <= c_lo),
+            lambda t: t + 1,
+            tcur,
+        )
 
-        return jax.lax.fori_loop(0, tiles_x, tile_body, 0)
+        def visit(t):
+            tile_body(t)
+            return t + 1
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        jax.lax.while_loop(
+            lambda t: (t < gt) & (tile_start_ref[t0 + t] < c_lo + REC_CHUNK),
+            visit,
+            tcur,
+        )
+        return tcur
+
+    jax.lax.fori_loop(0, n_chunks, chunk_body, jnp.int32(0))
 
 
 def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int,
@@ -458,10 +506,15 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
     # Mosaic requires to be lane-dim slices.  The rows carry both the
     # raster coefficients (rows 0-15) and the shading attributes (rows
     # 16-47), so the same stream feeds the raster and shade kernels.
-    if "rec48" in setup:
+    baked_ids = "rec48" in setup
+    if baked_ids:
         # the fused setup kernel stores 128-wide rows (DMA alignment); the
         # post-gather slice keeps only the REC live columns and fuses into
-        # the gather
+        # the gather.  Record col 13 already carries the compacted index
+        # (= pair_tri), so no id-column rewrite is needed — the kernels add
+        # the pass's frag offset themselves (a [P, REC] column set cost a
+        # measured ~7 ms/pass at headline capacity: a full re-write of the
+        # gathered stream).
         rows = setup["rec48"][pair_tri][:, :REC]  # [P, REC]
     else:
         a0, b0, c0 = setup["e"][0]
@@ -474,11 +527,11 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
             setup["x1"].astype(a0.dtype), jnp.zeros_like(a0),
         ]
         rows = jnp.stack(cols + [jnp.zeros_like(a0)] * (REC - 16), axis=-1)[pair_tri]
-    # fragment id into record column 13 (the bbox y0 slot — the kernels
-    # need x0/x1 in columns 12/14 for the band-range reduction but never
-    # read y0/y1): one stream carries coefficients, bands, and ids — no
-    # second id array to DMA per chunk
-    rows = rows.at[:, 13].set((pair_tri + frag_offset).astype(rows.dtype))
+    if not baked_ids:
+        # fragment id into record column 13 (the bbox y0 slot — the kernels
+        # need x0/x1 in columns 12/14 for the band-range reduction but
+        # never read y0/y1); offset added in-kernel like the baked path
+        rows = rows.at[:, 13].set(pair_tri.astype(rows.dtype))
     # chunk-major stream [NC, REC, 128]: each 128-record chunk is one
     # contiguous DMA block for the kernels (see _raster_kernel)
     P = rows.shape[0]
@@ -489,53 +542,56 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
     recs = jnp.swapaxes(rows.reshape(nc, REC_CHUNK, REC), 1, 2)  # [NC, REC, 128]
 
     rec_rows = REC if alpha_test else 16
+    # rows of tiles per grid step: the largest divisor of tiles_y whose
+    # depth/vis blocks (in + out, double-buffered by the pipeline) stay
+    # within a ~4.5 MB VMEM budget — 9 rows at 1080p (15 steps), 8 at a
+    # 2048^2 sun map.  Tiles cross the boundary as [gt, TILE_H, TILE_W]
+    # blocks: one f32 sublane tile per 8x128 image tile, no padding (the
+    # earlier [gt, 1, PX] form padded its singleton 1 -> 8 sublanes).
+    # per tile: depth+vis x in+out x pipeline double-buffer x 4B = 32 KB
+    tile_bytes = 4 * 2 * (TILE_H * TILE_W * 4)
+    max_tiles = max(4_500_000 // tile_bytes, tiles_x)
+    rows_per_step = 1
+    for r in range(1, tiles_y + 1):
+        if tiles_y % r == 0 and r * tiles_x <= max_tiles:
+            rows_per_step = r
+    gt = rows_per_step * tiles_x
     kernel = functools.partial(
-        _raster_kernel, tiles_x=tiles_x, alpha_test=alpha_test, rec_rows=rec_rows
+        _raster_kernel, tiles_x=tiles_x, rows_per_step=rows_per_step,
+        alpha_test=alpha_test, rec_rows=rec_rows,
     )
-    # tiles cross the kernel boundary as [n_tiles, 1, PX]: Mosaic requires
-    # the second-to-last BLOCK dim to be sublane-divisible or equal to the
-    # array dim, and a literal 1 array dim satisfies "equal" (see the carry
-    # I/O comment in _raster_kernel).  The middle singleton pads 1 -> 8
-    # sublanes in HBM — an 8x overhead on these staging buffers, accepted
-    # because the alternative [.., PX, 1] form would pad the trailing
-    # 1 -> 128 lanes (a 128x blowup) and a flat [n_tiles, PX] block can't
-    # satisfy the sublane constraint for a 1-row tile slice.
-    # Each grid step owns one ROW of tiles_x tiles (see _raster_kernel).
-    PX = TILE_H * TILE_W
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(tiles_y,),
+        num_scalar_prefetch=2,
+        grid=(tiles_y // rows_per_step,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # recs [NC, REC, 128]
-            pl.BlockSpec((tiles_x, 1, PX), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((tiles_x, 1, PX), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((gt, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((gt, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((tiles_x, 1, PX), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((tiles_x, 1, PX), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((gt, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((gt, TILE_H, TILE_W), lambda i, *_: (i, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, rec_rows, REC_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, rec_rows, REC_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 
+    # scalar-prefetch offset works for both static ints and traced values
+    # (multi-chip compositing derives it from the device index)
+    frag_off = jnp.reshape(jnp.asarray(frag_offset, jnp.int32), (1,))
     depth_out, vis_out = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, PX), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, TILE_H, TILE_W), jnp.int32),
         ),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(
-        tile_start, recs,
-        depth_tiles.reshape(n_tiles, 1, PX), vis_tiles.reshape(n_tiles, 1, PX),
-    )
-    depth_out = depth_out.reshape(n_tiles, TILE_H, TILE_W)
-    vis_out = vis_out.reshape(n_tiles, TILE_H, TILE_W)
+    )(tile_start, frag_off, recs, depth_tiles, vis_tiles)
 
-    stream = dict(tile_start=tile_start, recs=recs)
+    stream = dict(tile_start=tile_start, recs=recs, frag_off=frag_off)
     return depth_out, vis_out, dict(
         pair_count=pair_count, huge_dropped=huge_dropped, drop_vec=drop_vec,
         demand_vec=demand_vec, stream=stream,
@@ -555,15 +611,16 @@ ATTR_CHANNELS = 13  # nx ny nz u v vz draw mat post vid0 vid1 vid2 duv
 _SHADE_ROWS = 48
 
 
-def _shade_kernel(*refs, tiles_x, n_streams, interpret=False):
+def _shade_kernel(*refs, tiles_x, n_streams, rows_per_step=1, interpret=False):
     """Winners-only attribute interpolation over the visibility buffer.
 
     Streams the same per-tile record chunks as the raster kernel — for EVERY
     pass's stream in one invocation (the attribute planes stay in VMEM
     between streams instead of round-tripping [n_tiles, 12, 8, 128] through
-    HBM per pass), and with the same one-ROW-of-tiles grouping per grid
-    step (see _raster_kernel: per-tile steps paid ~28 us of fixed latency
-    each; a row shares one chunk-DMA sequence and cuts steps 15x).
+    HBM per pass), with the same multi-row grouping and monotone tile
+    cursor per grid step (see _raster_kernel: per-tile steps paid ~28 us of
+    fixed latency each; a row group shares one chunk-DMA sequence and the
+    cursor makes per-chunk tile lookup O(1) amortized).
 
     MXU gather formulation: a per-record scalar loop costs ~90 VPU
     cycles/record (measured; the interpolation itself, after the winner-test
@@ -582,32 +639,37 @@ def _shade_kernel(*refs, tiles_x, n_streams, interpret=False):
     one-hot column -> wsum 0 -> masked inverse 0), so per-chunk results
     simply SUM across chunks and streams and the band skip is exact."""
     tile_starts = refs[:n_streams]
-    recs_refs = refs[n_streams : 2 * n_streams]
-    vis_ref, attr_in_ref, attr_out_ref, recs_vmem, sems = refs[2 * n_streams :]
+    off_refs = refs[n_streams : 2 * n_streams]  # per-stream frag offsets
+    recs_refs = refs[2 * n_streams : 3 * n_streams]
+    vis_ref, attr_out_ref, recs_vmem, sems = refs[3 * n_streams :]
 
-    i = pl.program_id(0)  # tile ROW index (same grouping as _raster_kernel:
-    t0 = i * tiles_x      # one step per row shares the chunk DMA sequence)
-    oy = i * TILE_H
+    i = pl.program_id(0)  # row-group index (same grouping as _raster_kernel)
+    gt = rows_per_step * tiles_x
+    t0 = i * gt
 
     # band-local pixel centers [1, BAND_PX] lane-major (lane = y*BAND_W + xb
     # within a band, matching the raster kernel's band-major tile layout);
-    # fx gets ox + band*BAND_W added inside the band loop
+    # fx gets ox + band*BAND_W added inside the band loop, fyb the tile's oy
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, BAND_PX), 1)
     fxb0 = (lane % BAND_W).astype(jnp.float32) + jnp.float32(0.5)
-    fy = (lane // BAND_W).astype(jnp.float32) + (jnp.float32(0.5) + oy.astype(jnp.float32))
+    fyb = (lane // BAND_W).astype(jnp.float32) + jnp.float32(0.5)
 
     sub128 = jax.lax.broadcasted_iota(jnp.int32, (REC_CHUNK, 1), 0)
     dn_k1 = (((1,), (0,)), ((), ()))
 
-    # per-tile accumulators live in the output block (init from the input
-    # once; per-chunk contributions are exact-zero off the winning chunk,
-    # so read-add-write per (tile, chunk) equals the register accumulation)
-    attr_out_ref[...] = attr_in_ref[...]
+    # per-tile accumulators live in the output block (zero-init — the attr
+    # planes always start empty; per-chunk contributions are exact-zero off
+    # the winning chunk, so read-add-write per (tile, chunk) equals the
+    # register accumulation)
+    attr_out_ref[...] = jnp.zeros(attr_out_ref.shape, attr_out_ref.dtype)
 
     for s in range(n_streams):
         g_start = tile_starts[s][t0]
-        g_end = tile_starts[s][t0 + tiles_x]
+        g_end = tile_starts[s][t0 + gt]
         recs_ref = recs_refs[s]
+        # stream's fragment-id offset (ids = record col 13 + offset, exact
+        # in f32: ids < 2^24)
+        off_f = off_refs[s][0].astype(jnp.float32)
 
         a0c = g_start // REC_CHUNK
         a0_off = a0c * REC_CHUNK
@@ -622,28 +684,32 @@ def _shade_kernel(*refs, tiles_x, n_streams, interpret=False):
                 recs_ref.at[ci, pl.ds(0, _SHADE_ROWS)], recs_vmem.at[slot], sems.at[slot]
             )
 
-        @pl.when(n_chunks > 0)
-        def _(dma=dma):
-            dma(0, 0).start()
+        for j in range(NBUF - 1):  # warm the pipeline NBUF-1 chunks deep
+            @pl.when(j < n_chunks)
+            def _(j=j, dma=dma):
+                dma(j % NBUF, j).start()
 
-        def chunk_body(c, _, dma=dma, n_chunks=n_chunks, a0_off=a0_off,
+        def chunk_body(c, tcur, dma=dma, n_chunks=n_chunks, a0_off=a0_off,
                        tile_start_ref=tile_starts[s]):
-            slot = c % 2
+            slot = c % NBUF
 
-            @pl.when(c + 1 < n_chunks)
+            @pl.when(c + NBUF - 1 < n_chunks)
             def _():
-                dma((c + 1) % 2, c + 1).start()
+                dma((c + NBUF - 1) % NBUF, c + NBUF - 1).start()
 
             dma(slot, c).wait()
             c_lo = a0_off + c * REC_CHUNK
 
-            def tile_body(g, _):
+            def tile_body(g):
                 start = tile_start_ref[t0 + g]
                 end = tile_start_ref[t0 + g + 1]
 
-                @pl.when((start < c_lo + REC_CHUNK) & (end > c_lo))
-                def _():
-                    ox = (g * TILE_W).astype(jnp.float32)
+                if True:  # (indentation kept from the old pl.when guard —
+                    # the cursor's visit set IS the old guard's condition)
+                    gg = t0 + g
+                    ox = ((gg % tiles_x) * TILE_W).astype(jnp.float32)
+                    oy = ((gg // tiles_x) * TILE_H).astype(jnp.float32)
+                    fy = fyb + oy
                     live = ((c_lo + sub128) >= start) & ((c_lo + sub128) < end)  # [128,1]
 
                     # x-band range of the chunk's live records for THIS tile
@@ -671,16 +737,18 @@ def _shade_kernel(*refs, tiles_x, n_streams, interpret=False):
                         0, NBANDS - 1,
                     ) - jnp.where(xmax <= 0.0, NBANDS, 0)
 
-                    fragT = jnp.transpose(recs_vmem[slot, 13:14, :])  # [128, 1]
+                    fragT = jnp.transpose(recs_vmem[slot, 13:14, :]) + off_f  # [128, 1]
                     # live frag-id range of the chunk, for the band winner
                     # pre-test below (ids are triangle ids, not contiguous,
                     # so the range test can false-positive — that only
                     # costs a wasted dot, never a missed winner)
                     fmin = jnp.min(
-                        jnp.where(liveR, recs_vmem[slot, 13:14, :], jnp.float32(_NOID)),
+                        jnp.where(liveR, recs_vmem[slot, 13:14, :] + off_f,
+                                  jnp.float32(_NOID)),
                         axis=1, keepdims=True)[0, 0]
                     fmax = jnp.max(
-                        jnp.where(liveR, recs_vmem[slot, 13:14, :], jnp.float32(-1.0)),
+                        jnp.where(liveR, recs_vmem[slot, 13:14, :] + off_f,
+                                  jnp.float32(-1.0)),
                         axis=1, keepdims=True)[0, 0]
                     recs = recs_vmem[slot]  # [_SHADE_ROWS, 128] f32
                     if not interpret:
@@ -689,8 +757,7 @@ def _shade_kernel(*refs, tiles_x, n_streams, interpret=False):
                     for b in range(NBANDS):
                         @pl.when((b >= b_lo) & (b <= b_hi))
                         def _(b=b):
-                            off = b * BAND_PX
-                            visv = vis_ref[pl.ds(g, 1), 0:1, pl.ds(off, BAND_PX)][0].astype(
+                            visv = vis_ref[pl.ds(g, 1), b, :].astype(
                                 jnp.float32
                             )  # [1, BAND_PX]; ids < 2^24 exact
 
@@ -776,61 +843,85 @@ def _shade_kernel(*refs, tiles_x, n_streams, interpret=False):
                                         r(40), r(41), r(42),               # vids
                                         duv]
                                 for k, v in enumerate(vals):
-                                    acc = attr_out_ref[pl.ds(g, 1), k : k + 1, 0:1, pl.ds(off, BAND_PX)]
-                                    attr_out_ref[pl.ds(g, 1), k : k + 1, 0:1, pl.ds(off, BAND_PX)] = acc + v[None, None]
+                                    acc = attr_out_ref[pl.ds(g, 1), k, b, :]
+                                    attr_out_ref[pl.ds(g, 1), k, b, :] = acc + v
 
-                return 0
+            # monotone tile cursor — see _raster_kernel
+            tcur = jax.lax.while_loop(
+                lambda t: (t < gt) & (tile_start_ref[t0 + t + 1] <= c_lo),
+                lambda t: t + 1,
+                tcur,
+            )
 
-            return jax.lax.fori_loop(0, tiles_x, tile_body, 0)
+            def visit(t):
+                tile_body(t)
+                return t + 1
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+            jax.lax.while_loop(
+                lambda t: (t < gt) & (tile_start_ref[t0 + t] < c_lo + REC_CHUNK),
+                visit,
+                tcur,
+            )
+            return tcur
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, jnp.int32(0))
 
 
-def shade_tiles(streams, vis_tiles, attr_tiles, *, tiles_x: int, interpret: bool = False):
+def shade_tiles(streams, vis_tiles, attr_tiles=None, *, tiles_x: int,
+                interpret: bool = False):
     """Interpolate per-pixel attributes for one or more passes' records in a
     single kernel launch (pass a stream dict or a list of them).
 
-    attr_tiles [n_tiles, ATTR_CHANNELS, TILE_H, TILE_W] carries prior planes;
-    returns the updated planes."""
+    Returns attr planes [n_tiles, ATTR_CHANNELS, TILE_H, TILE_W].  The
+    planes always start at zero (every caller passed zeros — the kernel now
+    zero-inits in VMEM instead of streaming a zero image in); `attr_tiles`
+    is accepted for API compatibility and must be None or all-zero."""
+    del attr_tiles  # always zero-initialized in-kernel
     if isinstance(streams, dict):
         streams = [streams]
     n_streams = len(streams)
     n_tiles = vis_tiles.shape[0]
     tiles_y = n_tiles // tiles_x
-    PX = TILE_H * TILE_W
+    # rows of tiles per grid step under a ~5.5 MB VMEM budget (the attr
+    # block is the big one: 13 channels x 4 KB x double-buffer per tile)
+    tile_bytes = 2 * 4 * (TILE_H * TILE_W) * (ATTR_CHANNELS + 1)
+    max_tiles = max(5_500_000 // tile_bytes, tiles_x)
+    rows_per_step = 1
+    for r in range(1, tiles_y + 1):
+        if tiles_y % r == 0 and r * tiles_x <= max_tiles:
+            rows_per_step = r
+    gt = rows_per_step * tiles_x
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=n_streams,
-        grid=(tiles_y,),
+        num_scalar_prefetch=2 * n_streams,  # tile_starts + frag offsets
+        grid=(tiles_y // rows_per_step,),
         in_specs=(
             [pl.BlockSpec(memory_space=pl.ANY)] * n_streams  # recs [NC, REC, 128]
-            + [
-                pl.BlockSpec((tiles_x, 1, PX), lambda i, *_: (i, 0, 0)),
-                pl.BlockSpec((tiles_x, ATTR_CHANNELS, 1, PX), lambda i, *_: (i, 0, 0, 0)),
-            ]
+            + [pl.BlockSpec((gt, TILE_H, TILE_W), lambda i, *_: (i, 0, 0))]
         ),
         out_specs=[
-            pl.BlockSpec((tiles_x, ATTR_CHANNELS, 1, PX), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((gt, ATTR_CHANNELS, TILE_H, TILE_W),
+                         lambda i, *_: (i, 0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, _SHADE_ROWS, REC_CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, _SHADE_ROWS, REC_CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
-    # tiles enter the kernel lane-major ([1, 1024] pixels: one matmul N
-    # dimension); these reshapes are free at the XLA level
     (attr_out,) = pl.pallas_call(
         functools.partial(_shade_kernel, tiles_x=tiles_x, n_streams=n_streams,
-                          interpret=interpret),
-        out_shape=(jax.ShapeDtypeStruct((n_tiles, ATTR_CHANNELS, 1, PX), jnp.float32),),
+                          rows_per_step=rows_per_step, interpret=interpret),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, ATTR_CHANNELS, TILE_H, TILE_W), jnp.float32),
+        ),
         grid_spec=grid_spec,
         interpret=interpret,
     )(
         *[s["tile_start"] for s in streams],
+        *[s.get("frag_off", jnp.zeros(1, jnp.int32)) for s in streams],
         *[s["recs"] for s in streams],
-        vis_tiles.reshape(n_tiles, 1, PX),
-        attr_tiles.reshape(n_tiles, ATTR_CHANNELS, 1, PX),
+        vis_tiles,
     )
-    return attr_out.reshape(n_tiles, ATTR_CHANNELS, TILE_H, TILE_W)
+    return attr_out
 
 
 def attr_tiles_to_image(attr_tiles, height, width):

@@ -603,6 +603,7 @@ def _setup_kernel(
             n_flush = total // 128
 
             cap_groups = rec_out.shape[0] // 128
+            idx_col = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0).astype(jnp.float32)
             for g in range(GROUPS):  # static unroll: slices stay static
                 @pl.when((g < n_flush) & (cursor[0] + g < cap_groups))
                 def _(g=g):
@@ -610,6 +611,15 @@ def _setup_kernel(
                     # flush as 128-wide rows (cols >= REC zero) and the aabb
                     # side channel flushes channel-major via a small transpose
                     staging[:, 0:REC] = window[g * 128 : (g + 1) * 128, :]
+                    # col 13 (the bbox y0 slot — kernels read x0/x1 only) is
+                    # overwritten with the record's own compacted index:
+                    # the raster/shade kernels derive fragment ids as
+                    # col13 + frag_offset, so the [P]-scale post-gather
+                    # id-column rewrite (~7 ms/pass measured) disappears.
+                    # y0 still reaches consumers via the aabb side channel.
+                    staging[:, 13:14] = (
+                        idx_col + ((cursor[0] + g) * 128).astype(jnp.float32)
+                    )
                     astaging[...] = awindow[g * 128 : (g + 1) * 128, :].T
                     dst = pl.multiple_of((cursor[0] + g) * 128, 128)
                     dma = pltpu.make_async_copy(staging, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
@@ -647,6 +657,11 @@ def _setup_kernel(
         # raw count still reports the true total for the dropped stat)
         dst_group = jnp.minimum(cursor[0], rec_out.shape[0] // 128 - 1)
         staging[:, 0:REC] = pending[...]
+        # compacted-index id column, as in the full-group flushes above
+        staging[:, 13:14] = (
+            jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0).astype(jnp.float32)
+            + (dst_group * 128).astype(jnp.float32)
+        )
         astaging[...] = apending[...].T
         dst = pl.multiple_of(dst_group * 128, 128)
         dma = pltpu.make_async_copy(staging, rec_out.at[pl.ds(dst, 128), :], sems.at[0])
@@ -668,9 +683,13 @@ def setup_compact(tc, params, width: int, height: int, capacity: int, *, interpr
     cap_pad = -(-capacity // 128) * 128 + 128  # slack for the final padded flush
     # sub-blocks per grid step: compute stays BLOCK-shaped, the grid shrinks
     # subs x (per-step fixed cost was ~75% of the kernel at bench capacities
-    # — see the _setup_kernel docstring); every power-of-two capacity >= 64
-    # gets the full factor
-    subs = 8
+    # — see the _setup_kernel docstring).  32 sub-blocks/step turns a DEAD
+    # capacity region into 32 scalar live-checks (~100 ns each) instead of
+    # 4 grid steps (~4.5 us each); per-step input blocks stay small
+    # ([256, 8] f32 + [256, 2] SMEM — 64 sub-blocks overflowed the 1 MB
+    # SMEM budget by 2.6 KB on v5e).  Every power-of-two capacity >= 64
+    # gets a full power-of-two factor.
+    subs = 32
     while K % (BLOCK * subs):
         subs //= 2
     nb_m1 = K // (BLOCK * subs) - 1

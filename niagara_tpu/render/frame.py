@@ -170,6 +170,10 @@ class FrameStats:
     # sort-truncation), summed over all raster passes — a nonzero
     # pair_dropped names its overflowing budget (VERDICT r4 weak #1/#7)
     pair_drop_vec: Any = 0
+    # live per-class emission demand (tiny1, tiny2, small, midA, midB,
+    # giant), summed over all raster passes — what the class capacities in
+    # emit_pairs must exceed; capacities are tuned against THESE, not guesses
+    pair_demand_vec: Any = 0
     # candidate clusters expanded by the direct cull's late pass (0 on other
     # paths) — the quantity candidate_capacity must exceed; exposed so the
     # bench can verify its headroom, not just the absence of drops
@@ -300,6 +304,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
     tri_dropped = st_e["dropped"]
     pair_dropped = jnp.int32(0)
     pair_drop_vec = jnp.zeros(6, jnp.int32)
+    pair_demand_vec = jnp.zeros(6, jnp.int32)
     tri_count = st_e["count"].astype(jnp.int32)
     pair_count = jnp.int32(0)
 
@@ -322,6 +327,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         streams.append(rst_e["stream"])
         pair_dropped = pair_dropped + rst_e["huge_dropped"]
         pair_drop_vec = pair_drop_vec + rst_e["drop_vec"]
+        pair_demand_vec = pair_demand_vec + rst_e["demand_vec"]
         pair_count = pair_count + rst_e["pair_count"]
         fb = raster.Framebuffer(
             depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
@@ -406,6 +412,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                     streams.append(rst_p["stream"])
                 pair_dropped = pair_dropped + rst_p["huge_dropped"]
                 pair_drop_vec = pair_drop_vec + rst_p["drop_vec"]
+                pair_demand_vec = pair_demand_vec + rst_p["demand_vec"]
                 pair_count = pair_count + rst_p["pair_count"]
                 k_off = cfg.cluster_capacity + g * cfg.late_cluster_cap
                 tc = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), tc, tc_p)
@@ -449,6 +456,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                 streams.append(rst_l["stream"])
                 pair_dropped = pair_dropped + rst_l["huge_dropped"]
                 pair_drop_vec = pair_drop_vec + rst_l["drop_vec"]
+                pair_demand_vec = pair_demand_vec + rst_l["demand_vec"]
                 pair_count = pair_count + rst_l["pair_count"]
                 fb = raster.Framebuffer(
                     depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
@@ -507,6 +515,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                     streams.append(rst_p["stream"])
                     pair_dropped = pair_dropped + rst_p["huge_dropped"]
                     pair_drop_vec = pair_drop_vec + rst_p["drop_vec"]
+                    pair_demand_vec = pair_demand_vec + rst_p["demand_vec"]
                     pair_count = pair_count + rst_p["pair_count"]
                     fb = raster.Framebuffer(
                         depth=raster_tile.tiles_to_image(depth_t, cfg.height, cfg.width),
@@ -538,6 +547,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             tri_dropped=tri_dropped,
             pair_dropped=pair_dropped,
             pair_drop_vec=pair_drop_vec,
+            pair_demand_vec=pair_demand_vec,
             candidates=n_cand,
             tri_count=tri_count,
             pair_count=pair_count,
@@ -558,6 +568,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
             tri_dropped=tri_dropped,
             pair_dropped=pair_dropped,
             pair_drop_vec=pair_drop_vec,
+            pair_demand_vec=pair_demand_vec,
             tri_count=tri_count,
             pair_count=pair_count,
         )
@@ -568,21 +579,16 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         # winners-only attribute interpolation over the final visibility
         # buffer, one kernel pass per raster pass (disjoint fragment-id
         # ranges let every pass claim exactly its own pixels)
-        attr_t = jnp.zeros(
-            (n_tiles, raster_tile.ATTR_CHANNELS, raster_tile.TILE_H, raster_tile.TILE_W),
-            jnp.float32,
-        )
         attr_t = raster_tile.shade_tiles(
-            streams, vis_t, attr_t, tiles_x=tiles_x, interpret=cfg.raster_interpret
+            streams, vis_t, tiles_x=tiles_x, interpret=cfg.raster_interpret
         )
         attrs_img = raster_tile.attr_tiles_to_image(attr_t, cfg.height, cfg.width)
         if trans is not None:
             # transmission layer: its own visibility buffer resolves the
             # front-most transmission fragment per pixel; attributes
             # interpolate the same way and the blend happens in composite
-            attr_tt = jnp.zeros_like(attr_t)
             attr_tt = raster_tile.shade_tiles(
-                [trans["stream"]], trans["vis_t"], attr_tt, tiles_x=tiles_x,
+                [trans["stream"]], trans["vis_t"], tiles_x=tiles_x,
                 interpret=cfg.raster_interpret,
             )
             trans_out = dict(

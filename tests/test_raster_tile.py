@@ -114,19 +114,21 @@ def test_pair_overflow_drops():
 
 def test_tiny2_class_overflow_is_counted():
     """Two-tile triangles go through the tiny2 compactor (emit_pairs) at
-    T//3 capacity; overflow must drop whole triangles AND be counted —
+    T//2 capacity; overflow must drop whole triangles AND be counted —
     never vanish silently (the drop-observability contract every capacity
     in the pipeline follows)."""
-    # 400 small triangles each crossing one horizontal tile boundary
+    # 700 small triangles each crossing one horizontal tile boundary
     # (ty spans 2, tx spans 1) -> tiny2 class; setup capacity is 1024 so
-    # the tiny2 compactor holds max(1024//3, 256) = 341 of them
+    # the tiny2 compactor holds max(1024//2, 256) = 512 of them
     tris = []
-    for i in range(400):
-        x = 2.0 + (i % 60) * 2.0
-        y = 6.0 + (i // 60) * 8.0
+    for i in range(700):
+        x = 2.0 + (i % 120) * 1.0
+        y = 6.0 + (i // 120) * 8.0
         tris.append([(x, y, 0.5, 1.0), (x + 1.5, y, 0.5, 1.0), (x, y + 3.0, 0.5, 1.0)])
     depth, vis, stats = run_tile_raster(tris)
-    assert int(stats["huge_dropped"]) == 400 - 341
+    assert int(stats["huge_dropped"]) == 700 - 512
     kept = np.unique(vis[vis != raster.INVALID_FRAG])
-    assert len(kept) <= 341
-    assert len(kept) > 300  # the survivors actually rendered
+    assert len(kept) <= 512
+    assert len(kept) > 256  # the survivors actually rendered (overlapping
+    # columns resolve ties to the smaller id, so not every survivor wins
+    # a pixel)

@@ -81,7 +81,9 @@ def test_fused_matches_xla_setup(pipeline):
     np.testing.assert_allclose(a[:, cols], b[:, cols], rtol=1e-4, atol=1e-4)
 
     cxs = 0.5 * (a[:, 12] + a[:, 14])
-    cys = 0.5 * (a[:, 13] + a[:, 15])
+    # col 13 carries the record's compacted index (fragment-id baking);
+    # y0 comes from the setup dict's aabb side channel
+    cys = 0.5 * (np.asarray(got["y0"][:n_ref], np.float32) + a[:, 15])
     z_got = a[:, 9] * cxs + a[:, 10] * cys + a[:, 11]
     z_ref = b[:, 9] * cxs + b[:, 10] * cys + b[:, 11]
     assert np.abs(z_got - z_ref).max() < 4e-3

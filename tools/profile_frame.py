@@ -261,6 +261,13 @@ def main():
     ref_ms, _ = timed("dense8MB", jax.jit(lambda y: y * 2 + 1), y, n=20)
     print(f"{'dense 8MB (chip ref)':28s} {ref_ms:9.2f} ms", flush=True)
 
+    # PF_ONLY=substr,substr runs only matching prefixes (deltas then span
+    # the skipped stages — useful for fast kernel iteration)
+    only = [s for s in os.environ.get("PF_ONLY", "").split(",") if s]
+    if only:
+        prefixes = [(nm, fn) for nm, fn in prefixes
+                    if any(s in nm for s in only)]
+
     prev = 0.0
     for name, fn in prefixes:
         ms, _ = timed(name, jax.jit(fn), scene, state, n=n)

@@ -35,6 +35,7 @@ from niagara_tpu.scene import upload
 
 def main():
     draw_count = int(os.environ.get("QB_DRAWS", 1_000_000))
+    with_shadows = int(os.environ.get("QB_SHADOWS", 1))
     frames = int(os.environ.get("QB_FRAMES", 5))
     width, height = 1920, 1080
     map_wh = 2048
@@ -59,26 +60,28 @@ def main():
     cfg = frame_mod.FrameConfig(
         width=width, height=height,
         max_groups=int(np.ceil(geometry.meshes.lod_meshlet_count.max() / 64)),
-        post_passes=2, shadows=True, **caps,
+        post_passes=2, shadows=bool(with_shadows), **caps,
     )
     params, sp = frame_mod.make_frame_inputs(Camera(), RenderSettings(), cfg)
     state = frame_mod.init_state(scene.num_draws, scene.meshlet_visibility_count)
 
-    sf = sunmap_mod.fit_sun_to_draws(np.asarray(sp.sun_direction), draws)
-    ext = np.asarray(jax.device_get(sf["hi"] - sf["lo"]))
-    texel_world = float(max(ext[0] / map_wh, ext[1] / map_wh))
-    sun_caps = dict(
-        cmd_capacity=cfg.cmd_capacity, cluster_capacity=cfg.cluster_capacity,
-        tri_capacity=min(cfg.tri_capacity, 1 << 19),
-        pair_capacity=cfg.pair_capacity, max_groups=cfg.max_groups,
-    )
-    t0 = time.time()
-    smap, sm_drops = sunmap_mod.build_static_sun_map(
-        scene, sf, map_w=map_wh, map_h=map_wh, texel_world=texel_world, **sun_caps)
-    packed = jax.jit(sunmap_mod.pack_sun_map)(smap)
-    _ = np.asarray(packed[:1, :1])
-    print(f"[qb] sun map {time.time()-t0:.1f}s dropped={int(sm_drops)}", file=sys.stderr)
-    shadow_ctx = (sf, packed, (map_wh, map_wh))
+    shadow_ctx = None
+    if with_shadows:
+        sf = sunmap_mod.fit_sun_to_draws(np.asarray(sp.sun_direction), draws)
+        ext = np.asarray(jax.device_get(sf["hi"] - sf["lo"]))
+        texel_world = float(max(ext[0] / map_wh, ext[1] / map_wh))
+        sun_caps = dict(
+            cmd_capacity=cfg.cmd_capacity, cluster_capacity=cfg.cluster_capacity,
+            tri_capacity=min(cfg.tri_capacity, 1 << 19),
+            pair_capacity=cfg.pair_capacity, max_groups=cfg.max_groups,
+        )
+        t0 = time.time()
+        smap, sm_drops = sunmap_mod.build_static_sun_map(
+            scene, sf, map_w=map_wh, map_h=map_wh, texel_world=texel_world, **sun_caps)
+        packed = jax.jit(sunmap_mod.pack_sun_map)(smap)
+        _ = np.asarray(packed[:1, :1])
+        print(f"[qb] sun map {time.time()-t0:.1f}s dropped={int(sm_drops)}", file=sys.stderr)
+        shadow_ctx = (sf, packed, (map_wh, map_wh))
 
     render = lambda st: frame_mod.render_frame(
         scene, st, params, sp, cfg, bvh=shadow_ctx, textures=table)
@@ -107,6 +110,9 @@ def main():
           f"drops cmd={int(stats.cmd_dropped)} cluster={int(stats.cluster_dropped)} "
           f"tri={int(stats.tri_dropped)} pair={int(stats.pair_dropped)} "
           f"vec={np.asarray(stats.pair_drop_vec).tolist()}")
+    print(f"[qb] demand tri={int(stats.tri_count)} pair={int(stats.pair_count)} "
+          f"class demand (tiny1/tiny2/small/midA/midB/giant)="
+          f"{np.asarray(stats.pair_demand_vec).tolist()}")
 
 
 if __name__ == "__main__":
