@@ -97,12 +97,22 @@ def tiles_to_image(tiles, height, width):
 
 def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
                mid_capacity: int | None = None, small_capacity: int | None = None,
-               midb_capacity: int | None = None, giant_capacity: int = 64):
+               midb_capacity: int | None = None, giant_capacity: int = 64,
+               row_window: tuple[int, int] | None = None):
     """(tile, tri) pair list sorted by tile.
 
     Pairs are packed as single u32 keys (tile << tri_bits | tri) so the sort
     moves one array instead of a (key, value) pair — measured 2.5x cheaper —
     and the sorted value doubles as the triangle id.
+
+    `row_window=(row0, n_rows)`: restrict output to the tile rows
+    [row0, row0+n_rows) and renumber tiles band-locally (tile ids in
+    [0, n_rows*tiles_x)) — the dirty-row incremental sun-map update renders
+    only the band the animated casters touch (ops/sunmap.update_sun_map).
+    Tile ids stay FULL-GRID during emission, so footprint classes and
+    coverage arithmetic are bit-identical to the unwindowed call; live
+    pairs falling outside the window count as dropped (a too-small window
+    is a caller bug the counters must surface, folded into drop_vec[5]).
 
     Returns (pair_tri [P] i32 sorted, tile_start [n_tiles+1] i32, pair_count,
     dropped — triangles lost to class-capacity overflow or the final sort
@@ -123,7 +133,11 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     if small_capacity is None:
         small_capacity = max(1 << 15, T // 8)
     if mid_capacity is None:
-        mid_capacity = max(8192, T // 64)
+        # floor halved from 8192: late passes (T = 256K) pay 40 sort slots
+        # per midA cap entry, and the worst-case late demand is 1,352
+        # (tests/test_bench_pairs.py) — 4096 keeps 3x headroom there while
+        # big-T passes stay governed by the T//64 term
+        mid_capacity = max(4096, T // 64)
     if midb_capacity is None:
         # measured worst-case demand at the 1M-draw bench shape is T/3600
         # (tests/test_bench_pairs.py prints the class demand vector)
@@ -213,6 +227,17 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
         [tri_t.reshape(-1), tri_t2.reshape(-1), tri_s, tri_a, tri_b, tri_g]
     )
 
+    out_of_window = jnp.int32(0)
+    if row_window is not None:
+        row0, n_rows = row_window
+        base = row0 * tiles_x
+        band = n_rows * tiles_x
+        live_full = tiles_all < n_tiles
+        in_band = live_full & (tiles_all >= base) & (tiles_all < base + band)
+        out_of_window = jnp.sum(live_full & ~in_band).astype(jnp.int32)
+        tiles_all = jnp.where(in_band, tiles_all - base, band)
+        n_tiles = band
+
     # pack (tile, tri) into one u32 and sort; dead pairs (tile == n_tiles)
     # sort to the end.  Key order (tile, tri) is total, so the result is
     # deterministic regardless of emission order.
@@ -222,8 +247,9 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     pair_count = jnp.sum(tiles_all < n_tiles).astype(jnp.int32)
     # pairs sorted past pair_capacity are truncated below — count them as
     # dropped (they would otherwise vanish silently while the per-class
-    # overflow counters read 0)
-    trunc = jnp.maximum(pair_count - pair_capacity, 0)
+    # overflow counters read 0).  Out-of-window live pairs (see row_window
+    # above) are folded in here too.
+    trunc = jnp.maximum(pair_count - pair_capacity, 0) + out_of_window
     dropped = dropped + trunc
     packed_sorted = packed_sorted[:pair_capacity]
     pair_tri = (packed_sorted & jnp.uint32((1 << tri_bits) - 1)).astype(jnp.int32)
@@ -251,7 +277,7 @@ _NOID = float(1 << 30)
 def _raster_kernel(tile_start_ref, off_ref, recs_ref, depth_in_ref, vis_in_ref,
                    depth_out_ref, vis_out_ref, recs_vmem, sems, *, tiles_x,
                    rows_per_step: int = 1, alpha_test: bool = False,
-                   rec_rows: int = REC):
+                   rec_rows: int = REC, row0: int = 0):
     """Banded tile raster: one grid step per GROUP of `rows_per_step` tile
     rows (rows_per_step * tiles_x tiles), pixels along SUBLANES
     [BAND_PX, 1], records along LANES [1, 128].
@@ -358,7 +384,10 @@ def _raster_kernel(tile_start_ref, off_ref, recs_ref, depth_in_ref, vis_in_ref,
                 # the cursor's visit set IS the old guard's condition)
                 gg = t0 + g
                 ox = ((gg % tiles_x) * TILE_W).astype(jnp.float32)
-                oy = ((gg // tiles_x) * TILE_H).astype(jnp.float32)
+                # row0: band-local tile index -> GLOBAL pixel row (dirty-row
+                # sun-map updates render a tile-row band with full-map
+                # coverage arithmetic — bit-identical to the full grid)
+                oy = ((gg // tiles_x + row0) * TILE_H).astype(jnp.float32)
                 fy = fyb + oy
                 live = (gidx >= start) & (gidx < end)  # [1, 128]
 
@@ -486,17 +515,30 @@ def _raster_kernel(tile_start_ref, off_ref, recs_ref, depth_in_ref, vis_in_ref,
 
 def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int,
                     pair_capacity: int, frag_offset=0, interpret: bool = False,
-                    alpha_test: bool = False, giant_capacity: int = 64):
+                    alpha_test: bool = False, giant_capacity: int = 64,
+                    row_window: tuple[int, int] | None = None):
     """Rasterize set-up triangles into tile-major depth/vis buffers.
 
     depth_tiles/vis_tiles: [n_tiles, TILE_H, TILE_W] prior contents (cleared
     or the early pass's output for the late pass).
+
+    `row_window=(row0, n_rows)`: render ONLY the tile rows [row0,
+    row0+n_rows) of the tiles_x x tiles_y grid — depth_tiles/vis_tiles must
+    then be the [n_rows*tiles_x, ...] band slice, and the returned tiles
+    cover the band.  Coverage math runs in full-grid pixel coordinates, so
+    band output is bit-identical to the matching rows of a full render
+    (dirty-row sun-map updates, ops/sunmap.update_sun_map).
     Returns (depth_tiles, vis_tiles, stats dict).
     """
+    row0, tiles_y_full = 0, tiles_y
+    if row_window is not None:
+        row0, tiles_y = row_window  # grid below runs over the band only
     n_tiles = tiles_x * tiles_y
+    assert depth_tiles.shape[0] == n_tiles and vis_tiles.shape[0] == n_tiles
     pair_tri, tile_start, pair_count, huge_dropped, drop_vec, demand_vec = emit_pairs(
-        setup, tiles_x=tiles_x, tiles_y=tiles_y, pair_capacity=pair_capacity,
-        giant_capacity=giant_capacity,
+        setup, tiles_x=tiles_x, tiles_y=tiles_y_full,
+        pair_capacity=pair_capacity, giant_capacity=giant_capacity,
+        row_window=row_window,
     )
 
     # per-pair records: ONE row gather of the packed REC-float record

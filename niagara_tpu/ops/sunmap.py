@@ -215,12 +215,19 @@ def render_sun_map(scene, sf, *, camera_position=None, lod_target=None, lod_enab
                    tri_capacity: int = 1 << 19, pair_capacity: int = 1 << 20,
                    max_groups: int = 8, lod_bias: float = 4.0,
                    texel_world: float | None = None, draw_range=None,
-                   depth_tiles=None, interpret: bool = False):
+                   depth_tiles=None, interpret: bool = False,
+                   row_window: tuple[int, int] | None = None):
     """Depth-only render of the scene (or one draw-id batch) from the sun.
 
     Returns ([map_h, map_w] reverse-depth image, depth tiles, drop count).
     Pass `depth_tiles` from a previous batch to accumulate (reverse depth
-    merges by max — the role of the depth test across batches)."""
+    merges by max — the role of the depth test across batches).
+
+    `row_window=(row0, n_rows)`: render only that tile-row band of the map
+    (depth_tiles must then be the band slice and the returned image/tiles
+    cover the band only) — the dirty-row incremental update path.  Coverage
+    arithmetic is full-map, so band rows are bit-identical to a full render
+    (raster_tile.rasterize_tiles row_window)."""
     emit, lod = sun_cull(
         scene, sf, camera_position, lod_target, lod_enabled,
         lod_bias=lod_bias, texel_world=texel_world, draw_range=draw_range,
@@ -233,20 +240,23 @@ def render_sun_map(scene, sf, *, camera_position=None, lod_target=None, lod_enab
 
     tiles_x = map_w // TILE_W
     tiles_y = map_h // TILE_H
-    n_tiles = tiles_x * tiles_y
+    band_rows = row_window[1] if row_window is not None else tiles_y
+    band_h = band_rows * TILE_H
+    n_tiles = tiles_x * band_rows
     if depth_tiles is None:
         depth_tiles = jnp.zeros((n_tiles, TILE_H, TILE_W), jnp.float32)
     vis_t = jnp.full((n_tiles, TILE_H, TILE_W), raster.INVALID_FRAG, jnp.int32)
     depth_tiles, vis_t, rst = raster_tile.rasterize_tiles(
         st, depth_tiles, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
         pair_capacity=pair_capacity, interpret=interpret,
+        row_window=row_window,
         # alpha-test casters against their baked opacity masks so cutouts
         # (foliage) cast holed shadows; static variant — opaque-only scenes
         # pay nothing
         alpha_test=bool(getattr(scene, "has_alpha_masks", False)),
     )
     dropped = cmds.dropped + coverflow + st["dropped"] + rst["huge_dropped"]
-    return raster_tile.tiles_to_image(depth_tiles, map_h, map_w), depth_tiles, dropped
+    return raster_tile.tiles_to_image(depth_tiles, band_h, map_w), depth_tiles, dropped
 
 
 _STEP_CACHE: dict = {}

@@ -135,29 +135,47 @@ def scene_capacities(geometry, draws) -> dict:
         class, where the headline's fixed 64-slot budget dropped 81
         pairs/frame (BENCH_r04 gltf tail).
 
-    Scenes larger than the hard-bound window fall back to the measured
+    Scenes larger than the mid-size window fall back to the measured
     1M-draw headline policy."""
     import numpy as np
 
     lod0 = geometry.meshes.lod_meshlet_count[:, 0]
     total = int(lod0[np.asarray(draws.mesh_index)].sum())
-    if draws.count > 300_000 or total > (1 << 17):
+    if draws.count > 300_000 or total > (1 << 19):
         return headline_capacities(draws.count)
 
     def p2(x, lo, hi=1 << 30):
         return min(hi, max(lo, 1 << (max(int(x), 1) - 1).bit_length()))
 
     cluster = p2(total, 1 << 12)
-    tri = p2(4 * total, 1 << 14, 1 << 19)
+    if total <= (1 << 17):
+        # hard-bound window: candidate/survivor budgets at the full meshlet
+        # total — loss-impossible by construction
+        cand = cluster
+        tri = p2(4 * total, 1 << 14, 1 << 19)
+    else:
+        # mid-size window (Bistro-scale city: 289K meshlet instances): the
+        # hard bounds exceed measured live work ~100x (occlusion + LOD keep
+        # steady-state demand at ~30K candidates / ~2.4K valid setup tris /
+        # ~47K pairs, BENCH r5), so budgets clamp to measured demand with
+        # >=4x headroom — drop-counter + bench guarded, like the
+        # reference's TASK_WGLIMIT design (config.h:24-28)
+        cand = min(cluster, 1 << 17)
+        cluster = min(cluster, 1 << 15)
+        tri = 1 << 17
     return dict(
         cmd_capacity=p2(draws.count, 1 << 12),
         cluster_capacity=cluster,
-        candidate_capacity=cluster,
-        late_candidate_capacity=cluster,
+        candidate_capacity=cand,
+        late_candidate_capacity=cand,
         late_cluster_capacity=max(1 << 12, cluster // 2),
         tri_capacity=tri,
         late_tri_capacity=max(1 << 14, tri // 2),
         pair_capacity=2 * tri,
         late_pair_capacity=max(1 << 15, tri),
-        giant_capacity=p2(total // 64, 128, 1 << 10),
+        # street-level scenes put near-camera ground/facade triangles beyond
+        # the midB footprint class (measured worst demand: 135 at the city
+        # camera); each slot emits n_tiles dense sort keys, so the cap stays
+        # tight — 256 = ~1.9x the measured worst case
+        giant_capacity=p2(total // 256, 128, 256),
     )
