@@ -274,7 +274,84 @@ def _quantize_primitive(g: _Gltf, prim: dict) -> tuple[np.ndarray, np.ndarray]:
     return verts, indices
 
 
-def load_scene(path: str, build_lods: bool = True) -> SceneData:
+_DRAW_FIELDS = ("position", "scale", "orientation", "mesh_index",
+                "meshlet_visibility_offset", "post_pass", "material_index")
+_ANIM_FIELDS = ("draw_index", "light_index", "start_time", "period",
+                "key_offset", "key_count", "key_translation", "key_scale",
+                "key_rotation")
+
+
+def _save_scene_data_cache(cache_path: str, sd: SceneData, source_hash: int) -> None:
+    """Versioned snapshot of a fully cooked glTF scene — geometry, draws,
+    materials, animations (role of the reference's scenecache.cpp, which the
+    OBJ path already mirrors in cook.py; the glTF cook is the expensive one:
+    per-primitive meshopt decode + clusterize + 16-LOD simplify)."""
+    from .cook import CACHE_VERSION, _geometry_to_dict
+
+    arrays = {f"g_{k}": v for k, v in _geometry_to_dict(sd.geometry).items()}
+    arrays.update({f"d_{k}": getattr(sd.draws, k) for k in _DRAW_FIELDS})
+    arrays.update({f"m_{k}": v for k, v in sd.materials.items()})
+    arrays.update({f"L_{k}": v for k, v in (sd.lights or {}).items()})
+    arrays.update({f"a_{k}": np.asarray(getattr(sd.animations, k)) for k in _ANIM_FIELDS})
+    arrays["tex_paths"] = np.array(sd.texture_paths, dtype=np.str_)
+    has_cam = sd.camera_position is not None
+    arrays["camera"] = (
+        np.concatenate([np.asarray(sd.camera_position, np.float64).reshape(3),
+                        np.asarray(sd.camera_orientation, np.float64).reshape(4),
+                        np.float64([sd.camera_fov_y])])
+        if has_cam else np.zeros(0, np.float64))
+    arrays["sun"] = np.asarray(sd.sun_direction, np.float32)
+    arrays["__meta__"] = np.array(
+        [CACHE_VERSION, source_hash & 0xFFFFFFFF, (source_hash >> 32) & 0xFFFFFFFF],
+        dtype=np.uint64)
+    np.savez(cache_path, **arrays)
+
+
+def _load_scene_data_cache(cache_path: str, source_hash: int) -> SceneData | None:
+    from ..render.animation import AnimationTable
+    from .cook import CACHE_VERSION, _geometry_from_dict
+
+    if not os.path.exists(cache_path):
+        return None
+    try:
+        with np.load(cache_path) as data:
+            meta = data["__meta__"]
+            if int(meta[0]) != CACHE_VERSION:
+                return None
+            if (int(meta[1]) | (int(meta[2]) << 32)) != (source_hash & 0xFFFFFFFFFFFFFFFF):
+                return None
+            out = SceneData()
+            out.geometry = _geometry_from_dict(
+                {k[2:]: data[k] for k in data.files if k.startswith("g_")})
+            out.draws = Draws(**{k: data[f"d_{k}"] for k in _DRAW_FIELDS})
+            out.materials = {k[2:]: data[k] for k in data.files if k.startswith("m_")}
+            out.lights = {k[2:]: data[k] for k in data.files if k.startswith("L_")}
+            out.animations = AnimationTable(**{k: data[f"a_{k}"] for k in _ANIM_FIELDS})
+            out.texture_paths = [str(p) for p in data["tex_paths"]]
+            cam = data["camera"]
+            if cam.size:
+                out.camera_position = cam[:3].astype(np.float32)
+                out.camera_orientation = cam[3:7].astype(np.float32)
+                out.camera_fov_y = float(cam[7])
+            out.sun_direction = data["sun"]
+            return out
+    except Exception:
+        return None
+
+
+def load_scene(path: str, build_lods: bool = True, cache_dir: str | None = None) -> SceneData:
+    cache_path = None
+    if cache_dir is not None:
+        from .cook import _hash_file_meta
+
+        os.makedirs(cache_dir, exist_ok=True)
+        h = _hash_file_meta(path) ^ (0x51F7 if build_lods else 0)
+        cache_path = os.path.join(
+            cache_dir, os.path.basename(path) + ".scene.npz")
+        cached = _load_scene_data_cache(cache_path, h)
+        if cached is not None:
+            return cached
+
     g = _Gltf(path)
     out = SceneData()
 
@@ -406,6 +483,8 @@ def load_scene(path: str, build_lods: bool = True) -> SceneData:
         out.texture_paths.append(uri)
 
     out.animations = _load_animations(g, anim_node_draw)
+    if cache_path is not None:
+        _save_scene_data_cache(cache_path, out, h)
     return out
 
 

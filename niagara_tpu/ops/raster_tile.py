@@ -98,6 +98,7 @@ def tiles_to_image(tiles, height, width):
 def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
                mid_capacity: int | None = None, small_capacity: int | None = None,
                midb_capacity: int | None = None, giant_capacity: int = 64,
+               tiny2_capacity: int | None = None,
                row_window: tuple[int, int] | None = None):
     """(tile, tri) pair list sorted by tile.
 
@@ -203,7 +204,9 @@ def emit_pairs(setup, *, tiles_x: int, tiles_y: int, pair_capacity: int,
     # tests/test_bench_pairs.py measured 268K at T=640K) — the old T/3 cap
     # dropped ~50K pairs in exactly the frame the bench's loss-free
     # contract covers
-    idx2, n2, over2 = compact_idx(is_tiny2, max(T // 2, 256))
+    if tiny2_capacity is None:
+        tiny2_capacity = max(T // 2, 256)
+    idx2, n2, over2 = compact_idx(is_tiny2, tiny2_capacity)
     sel2 = jnp.arange(idx2.shape[0], dtype=jnp.int32) < n2
     s2 = jnp.arange(2, dtype=jnp.int32)[None, :]
     dx2 = jnp.where(txs[idx2][:, None] == 2, s2, 0)
@@ -516,6 +519,7 @@ def _raster_kernel(tile_start_ref, off_ref, recs_ref, depth_in_ref, vis_in_ref,
 def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int,
                     pair_capacity: int, frag_offset=0, interpret: bool = False,
                     alpha_test: bool = False, giant_capacity: int = 64,
+                    class_caps: tuple | None = None,
                     row_window: tuple[int, int] | None = None):
     """Rasterize set-up triangles into tile-major depth/vis buffers.
 
@@ -535,10 +539,12 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
         row0, tiles_y = row_window  # grid below runs over the band only
     n_tiles = tiles_x * tiles_y
     assert depth_tiles.shape[0] == n_tiles and vis_tiles.shape[0] == n_tiles
+    cc = dict(zip(("tiny2_capacity", "small_capacity", "mid_capacity",
+                   "midb_capacity"), class_caps)) if class_caps else {}
     pair_tri, tile_start, pair_count, huge_dropped, drop_vec, demand_vec = emit_pairs(
         setup, tiles_x=tiles_x, tiles_y=tiles_y_full,
         pair_capacity=pair_capacity, giant_capacity=giant_capacity,
-        row_window=row_window,
+        row_window=row_window, **cc,
     )
 
     # per-pair records: ONE row gather of the packed REC-float record
@@ -600,7 +606,7 @@ def rasterize_tiles(setup, depth_tiles, vis_tiles, *, tiles_x: int, tiles_y: int
     gt = rows_per_step * tiles_x
     kernel = functools.partial(
         _raster_kernel, tiles_x=tiles_x, rows_per_step=rows_per_step,
-        alpha_test=alpha_test, rec_rows=rec_rows,
+        alpha_test=alpha_test, rec_rows=rec_rows, row0=row0,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

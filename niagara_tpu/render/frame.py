@@ -69,6 +69,12 @@ class FrameConfig:
     # slot emits n_tiles pairs, so the default stays small — street-level
     # scenes raise it via presets.scene_capacities)
     giant_capacity: int = 64
+    # explicit (tiny2, small, midA, midB) pair-emission class budgets; None
+    # derives them from tri capacity (raster_tile.emit_pairs' T-fraction
+    # defaults).  Small scenes set these from measured demand so the fixed
+    # class FLOORS (32K/4K/512 slots x their dense footprints ~ 1M sort
+    # keys) don't dominate the emission sort (presets.scene_capacities).
+    pair_class_caps: tuple | None = None
     # candidate-cluster budget for the direct cull's draw->cluster expansion
     # (pre-cull: every meshlet of every emitted draw).  Distinct from
     # cluster_capacity, which bounds post-cull survivors — see
@@ -321,7 +327,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
         depth_t, vis_t, rst_e = raster_tile.rasterize_tiles(
             st_e, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
             pair_capacity=cfg.pair_capacity,
-                        giant_capacity=cfg.giant_capacity, frag_offset=frag_offset,
+                        giant_capacity=cfg.giant_capacity, class_caps=cfg.pair_class_caps, frag_offset=frag_offset,
             interpret=cfg.raster_interpret,
         )
         streams.append(rst_e["stream"])
@@ -393,7 +399,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                     depth_tt, vis_tt, rst_p = raster_tile.rasterize_tiles(
                         st_p, depth_tt, vis_tt, tiles_x=tiles_x, tiles_y=tiles_y,
                         pair_capacity=cfg.late_pair_cap,
-                        giant_capacity=cfg.giant_capacity, frag_offset=off_p,
+                        giant_capacity=cfg.giant_capacity, class_caps=cfg.pair_class_caps, frag_offset=off_p,
                         interpret=cfg.raster_interpret,
                     )
                     trans = dict(stream=rst_p["stream"], vis_t=vis_tt, depth_t=depth_tt)
@@ -401,7 +407,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                     depth_t, vis_t, rst_p = raster_tile.rasterize_tiles(
                         st_p, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
                         pair_capacity=cfg.late_pair_cap,
-                        giant_capacity=cfg.giant_capacity, frag_offset=off_p,
+                        giant_capacity=cfg.giant_capacity, class_caps=cfg.pair_class_caps, frag_offset=off_p,
                         interpret=cfg.raster_interpret,
                         # alpha-class records test at raster time (the
                         # reference's POST fragment discard); opaque
@@ -449,7 +455,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                 depth_t, vis_t, rst_l = raster_tile.rasterize_tiles(
                     st_l, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
                     pair_capacity=cfg.late_pair_cap,
-                        giant_capacity=cfg.giant_capacity,
+                        giant_capacity=cfg.giant_capacity, class_caps=cfg.pair_class_caps,
                     frag_offset=frag_offset + cfg.tri_capacity,
                     interpret=cfg.raster_interpret,
                 )
@@ -508,7 +514,7 @@ def frame_core(scene, state: FrameState, params, cfg: FrameConfig, frag_offset: 
                     depth_t, vis_t, rst_p = raster_tile.rasterize_tiles(
                         st_p, depth_t, vis_t, tiles_x=tiles_x, tiles_y=tiles_y,
                         pair_capacity=cfg.late_pair_cap,
-                        giant_capacity=cfg.giant_capacity, frag_offset=off_p,
+                        giant_capacity=cfg.giant_capacity, class_caps=cfg.pair_class_caps, frag_offset=off_p,
                         interpret=cfg.raster_interpret,
                         alpha_test=pp == 1,
                     )

@@ -312,3 +312,38 @@ def test_alpha_textured_scene_bakes_and_renders(tmp_path):
     # masked render: roughly half the footprint, all right of the quad center
     assert vis.sum() < 0.6 * vis_p.sum(), (vis.sum(), vis_p.sum())
     assert x_cut.min() >= mid - 1, (x_cut.min(), mid)
+
+
+def test_scene_cache_roundtrip(tmp_path):
+    """load_scene(cache_dir=...) must write a versioned snapshot on the
+    first call and reproduce the cooked scene EXACTLY from it on the second
+    (role of the reference's scenecache.cpp for the glTF path — the
+    per-primitive cook is the expensive step repeat runs skip)."""
+    import numpy as np
+
+    path = make_test_gltf(tmp_path, animated=True)
+    cache = str(tmp_path / "cache")
+    a = gltf.load_scene(path, cache_dir=cache)
+    import os
+    assert any(f.endswith(".scene.npz") for f in os.listdir(cache))
+    b = gltf.load_scene(path, cache_dir=cache)
+
+    for k in gltf._DRAW_FIELDS:
+        np.testing.assert_array_equal(getattr(a.draws, k), getattr(b.draws, k))
+    for k in a.materials:
+        np.testing.assert_array_equal(a.materials[k], b.materials[k])
+    for k in gltf._ANIM_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a.animations, k)), np.asarray(getattr(b.animations, k)))
+    assert a.texture_paths == b.texture_paths
+    np.testing.assert_array_equal(a.sun_direction, b.sun_direction)
+    if a.camera_position is not None:
+        np.testing.assert_array_equal(a.camera_position, b.camera_position)
+        np.testing.assert_array_equal(a.camera_orientation, b.camera_orientation)
+        assert a.camera_fov_y == b.camera_fov_y
+    # geometry: compare the full cooked array set
+    from niagara_tpu.cooker.cook import _geometry_to_dict
+    ga, gb = _geometry_to_dict(a.geometry), _geometry_to_dict(b.geometry)
+    assert ga.keys() == gb.keys()
+    for k in ga:
+        np.testing.assert_array_equal(ga[k], gb[k])

@@ -60,36 +60,58 @@ def timed(name, fn, *args, n=5):
 def main():
     draws_n = int(os.environ.get("PF_DRAWS", 1_000_000))
     textured = int(os.environ.get("PF_TEXTURED", 1))
+    gltf_city = int(os.environ.get("PF_GLTF", 0))  # profile the city scene
     n = int(os.environ.get("PF_N", 5))
     width, height = 1920, 1080
 
-    geometry = cook_or_load(["/root/reference/data/kitten.obj"], cache_dir="/root/repo/.cache")
-    draws = synth.synthesize_draws(geometry.meshes.count, draw_count=draws_n)
-    table = None
-    post_passes = 1
-    if textured:
-        synth.synthesize_planar_uvs(geometry)
-        materials, texture_mips, mat_idx, post = synth.synthesize_materials(draws_n)
-        draws.material_index[:] = mat_idx
-        draws.post_pass[:] = post
-        from niagara_tpu.cooker.opacity import bake_opacity
-        from niagara_tpu.render import textures as tex_mod
+    from niagara_tpu.cooker.opacity import bake_opacity
+    from niagara_tpu.render import textures as tex_mod
 
-        masks = bake_opacity(geometry, draws, materials, texture_mips)
-        table_host = tex_mod.build_texture_table(mips=texture_mips)
-        scene = jax.device_put(upload(geometry, draws, materials, masks, texture_table=table_host))
+    cam, settings = Camera(), RenderSettings()
+    sun_dir = None
+    if gltf_city:
+        from niagara_tpu.cooker import gltf as gltf_mod
+        from niagara_tpu.cooker import synth_city
+
+        city_dir = "/root/repo/.cache/city"
+        sd = gltf_mod.load_scene(synth_city.ensure_city(city_dir), cache_dir=city_dir)
+        geometry, draws = sd.geometry, sd.draws
+        mips = tex_mod.load_texture_mips(sd.texture_paths, base_dir=city_dir)
+        masks = bake_opacity(geometry, draws, sd.materials, mips)
+        table_host = tex_mod.build_texture_table(mips=mips)
+        scene = jax.device_put(upload(geometry, draws, sd.materials, masks,
+                                      texture_table=table_host))
         table = jax.device_put(table_host)
         post_passes = 2
+        caps = presets.scene_capacities(geometry, draws)
+        cam = Camera(position=sd.camera_position, orientation=sd.camera_orientation)
+        sun_dir = sd.sun_direction
     else:
-        scene = jax.device_put(upload(geometry, draws))
+        geometry = cook_or_load(["/root/reference/data/kitten.obj"], cache_dir="/root/repo/.cache")
+        draws = synth.synthesize_draws(geometry.meshes.count, draw_count=draws_n)
+        table = None
+        post_passes = 1
+        if textured:
+            synth.synthesize_planar_uvs(geometry)
+            materials, texture_mips, mat_idx, post = synth.synthesize_materials(draws_n)
+            draws.material_index[:] = mat_idx
+            draws.post_pass[:] = post
 
-    caps = presets.headline_capacities(draws_n)
+            masks = bake_opacity(geometry, draws, materials, texture_mips)
+            table_host = tex_mod.build_texture_table(mips=texture_mips)
+            scene = jax.device_put(upload(geometry, draws, materials, masks, texture_table=table_host))
+            table = jax.device_put(table_host)
+            post_passes = 2
+        else:
+            scene = jax.device_put(upload(geometry, draws))
+        caps = presets.headline_capacities(draws_n)
+
     cfg = frame_mod.FrameConfig(
         width=width, height=height,
         max_groups=int(np.ceil(geometry.meshes.lod_meshlet_count.max() / 64)),
         post_passes=post_passes, **caps,
     )
-    params, sp = frame_mod.make_frame_inputs(Camera(), RenderSettings(), cfg)
+    params, sp = frame_mod.make_frame_inputs(cam, settings, cfg, sun_direction=sun_dir)
     levels, ph, pw = cfg.pyramid_levels_shape
     pyr_hw = (ph, pw)
     tiles_x = width // raster_tile.TILE_W
